@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Dev-only local mimic of the driver's DuckDB-oracle compare.
+
+NOT part of the engine (the Scala library has no Python dependency) — this
+just lets the builder run the same kind of check the driver runs, locally:
+
+    sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
+    python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/verify_out
+
+For each query: loads <out>/<name>/ parquet (Spark result), runs the oracle
+SQL from oracle_sql.json in DuckDB against views over the sf dir's tables,
+and compares schema + row multiset, exactly and with a 1e-9 relative
+tolerance fallback so we can tell hard mismatches from float jitter.
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+def key_row(row):
+    return tuple(repr(norm_cell(v)) for v in row)
+
+def close(a, b):
+    if type(a) != type(b):
+        if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+            pass
+        else:
+            return a == b
+    if isinstance(a, float) or isinstance(b, float):
+        if a == b:
+            return True
+        try:
+            return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
+        except (TypeError, ValueError):
+            return False
+    return a == b
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_soft = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            got_cols = sorted(got.columns)
+            got_rows = con.sql(
+                f"SELECT {', '.join(got_cols)} FROM read_parquet('{out_dir}/{name}/*.parquet')"
+            ).fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark result: {e}")
+            n_fail += 1
+            continue
+        try:
+            exp = con.sql(sql)
+            exp_cols = sorted(exp.columns)
+            exp_rows = con.sql(f"SELECT {', '.join(exp_cols)} FROM ({sql})").fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        if got_cols != exp_cols:
+            print(f"FAIL {name}: columns differ spark={got_cols} duckdb={exp_cols}")
+            n_fail += 1
+            continue
+        if len(got_rows) != len(exp_rows):
+            print(f"FAIL {name}: row count spark={len(got_rows)} duckdb={len(exp_rows)}")
+            n_fail += 1
+            continue
+        gs = sorted(got_rows, key=key_row)
+        es = sorted(exp_rows, key=key_row)
+        if gs == es:
+            print(f"PASS {name}: {len(gs)} rows exact")
+            n_pass += 1
+            continue
+        # tolerance pass
+        bad = None
+        for gr, er in zip(gs, es):
+            for gv, ev in zip(gr, er):
+                if not close(gv, ev):
+                    bad = (gr, er)
+                    break
+            if bad:
+                break
+        if bad is None:
+            print(f"SOFT {name}: {len(gs)} rows match within 1e-9 (not exact!)")
+            n_soft += 1
+        else:
+            print(f"FAIL {name}: value mismatch\n  spark : {bad[0]}\n  duckdb: {bad[1]}")
+            n_fail += 1
+    print(f"\n== {n_pass} exact, {n_soft} soft, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
