@@ -25,6 +25,12 @@ object Tables {
     * `/` would route through double and lose precision above 2^53 ns).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // Deliberately session-level (advisor flagged it): the conf is consulted
+    // lazily at scan planning/execution, so save-and-restore around this
+    // builder would break the read at action time. The setting only changes
+    // decoding of TIMESTAMP(NANOS) parquet columns — `events.ts` is the only
+    // one in the corpus — and "nanos as long" is precisely the contract the
+    // conversion below relies on, so it is inert for every other read.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))

@@ -49,10 +49,15 @@ object Relational {
       .groupBy($"l_partkey", $"l_returnflag")
       .agg((sum(cents($"l_extendedprice")) / lit(100.0) /
         (sum($"l_quantity") + lit(1e-6))).as("group_rate"))
+      // The aggregate feeds two actions (the scalar below and the join);
+      // without caching the full scan+shuffle would run twice (X3,
+      // nyc_taxi_final.py:408).
+      .cache()
     // Driver round-trip scalar, as nyc_taxi_final.py:491 (kept a scalar, not
     // a crossjoin, for parity; rounded so the fill constant is
-    // engine-order-independent).
-    val globalRate = rates.agg(round(avg($"group_rate"), 6)).first().getDouble(0)
+    // engine-order-independent). Null-guarded: avg over zero rows is null.
+    val row = rates.agg(round(avg($"group_rate"), 6)).first()
+    val globalRate = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
     li.join(rates, Seq("l_partkey", "l_returnflag"), "left")
       .na.fill(Map("group_rate" -> globalRate))
       .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_returnflag",
@@ -152,16 +157,19 @@ object Relational {
     ev.agg(nullCounts.head, (nullCounts.tail ++ predCounts): _*)
   }
 
+  // Every SUM is wrapped in CAST(... AS BIGINT): DuckDB's SUM(int) returns
+  // HUGEINT (int128) whereas Spark's sum(int) is BIGINT, and the driver's
+  // compare hashes types — uncast sums hash-mismatch even with equal values.
   private val auditCountsSql =
     """SELECT
-      |  SUM(CAST(event_id IS NULL AS INT)) AS nulls_event_id,
-      |  SUM(CAST(ts IS NULL AS INT)) AS nulls_ts,
-      |  SUM(CAST(user_id IS NULL AS INT)) AS nulls_user_id,
-      |  SUM(CAST(event_type IS NULL AS INT)) AS nulls_event_type,
-      |  SUM(CAST(value IS NULL AS INT)) AS nulls_value,
-      |  SUM(CAST(props IS NULL AS INT)) AS nulls_props,
-      |  SUM(CAST(value < 0 AS INT)) AS n_negative_value,
-      |  SUM(CAST(value > 400 AS INT)) AS n_large_value,
+      |  CAST(SUM(CAST(event_id IS NULL AS INT)) AS BIGINT) AS nulls_event_id,
+      |  CAST(SUM(CAST(ts IS NULL AS INT)) AS BIGINT) AS nulls_ts,
+      |  CAST(SUM(CAST(user_id IS NULL AS INT)) AS BIGINT) AS nulls_user_id,
+      |  CAST(SUM(CAST(event_type IS NULL AS INT)) AS BIGINT) AS nulls_event_type,
+      |  CAST(SUM(CAST(value IS NULL AS INT)) AS BIGINT) AS nulls_value,
+      |  CAST(SUM(CAST(props IS NULL AS INT)) AS BIGINT) AS nulls_props,
+      |  CAST(SUM(CAST(value < 0 AS INT)) AS BIGINT) AS n_negative_value,
+      |  CAST(SUM(CAST(value > 400 AS INT)) AS BIGINT) AS n_large_value,
       |  COUNT(*) AS n_rows
       |FROM events""".stripMargin
 
@@ -259,8 +267,13 @@ object Relational {
     */
   def projFilter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Same semantics as year(d)=1997 AND month(d) IN 1..6, but written as a
+    // raw range predicate on the column so it pushes into the parquet scan
+    // (row-group min/max pruning fires; year()/month() expressions don't
+    // push). At 100 TB this is the difference between scanning six months
+    // and scanning everything.
     Tables.orders(spark, dir)
-      .filter(year($"o_orderdate") === 1997 && month($"o_orderdate").between(1, 6))
+      .filter($"o_orderdate".between(lit("1997-01-01").cast("date"), lit("1997-06-30").cast("date")))
       .select($"o_orderkey",
         date_format($"o_orderdate", "yyyy-MM-dd").as("odate"),
         // round(0.9*price, 2) half-up, done on exact integer cents: Spark's
@@ -275,7 +288,7 @@ object Relational {
       |       ((CAST(round(o_totalprice*100) AS BIGINT) * 9 + 5) // 10) / 100.0 AS disc_price,
       |       o_orderpriority
       |FROM orders
-      |WHERE year(o_orderdate) = 1997 AND month(o_orderdate) BETWEEN 1 AND 6""".stripMargin
+      |WHERE o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1997-06-30'""".stripMargin
 
   /** Time-feature extraction (SURVEY §2.6 F8–F11, §2.9;
     * nyc_taxi_final.py:412–425): minute/hour/dow/dom/month/date + epoch
@@ -390,10 +403,13 @@ object Relational {
     """SELECT c_custkey, c_name, c_acctbal FROM customer c
       |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin
 
-  /** Multi-table star join (TPC-H Q5 shape): fact × fact shuffle join with
-    * the dimension chain broadcast; revenue per nation. At 100 TB the
-    * lineitem⋈orders join shuffles on orderkey (co-partitionable /
-    * bucketable); customer→nation→region stays broadcast.
+  /** Multi-table star join (TPC-H Q5 shape): revenue per nation. Scale
+    * shape for 100 TB: lineitem⋈orders shuffles on orderkey
+    * (co-partitionable / bucketable); that result shuffles on custkey to
+    * meet customer; only the O(25)/O(5)-row nation and region dimensions are
+    * broadcast — customer scales with the data and must NEVER be broadcast
+    * (it is billions of rows at 100 TB), so no hint is placed on it and AQE
+    * is left to decide at runtime.
     */
   def joinMulti(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -407,7 +423,7 @@ object Relational {
       .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
       .select($"c_custkey", $"n_name", $"r_name")
     li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(dims), $"o_custkey" === $"c_custkey")
+      .join(dims, $"o_custkey" === $"c_custkey")
       .groupBy($"r_name", $"n_name")
       .agg((sum($"price_c" * (lit(100) - $"disc_c")) / lit(10000.0)).as("revenue"),
         count(lit(1)).as("n_items"))

@@ -72,6 +72,28 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns differ spark={got_cols} duckdb={exp_cols}")
             n_fail += 1
             continue
+        # The driver's compare hashes values AFTER type conversion to
+        # arrow/pandas — machine-width ints (int8..int64) all land in int64
+        # and compare fine, but DuckDB HUGEINT (int128) / DECIMAL take a
+        # different path and hash-mismatch even when values agree (observed
+        # on q_audit_counts r01). Flag family-level divergence.
+        def fam(t):
+            t = str(t).upper()
+            if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL"):
+                return t
+            if "INT" in t:
+                return "INT"
+            if t in ("FLOAT", "DOUBLE", "REAL"):
+                return "FLOAT"
+            return t
+        got_types = {c: fam(t) for c, t in zip(got.columns, got.types)}
+        exp_types = {c: fam(t) for c, t in zip(exp.columns, exp.types)}
+        type_diff = {c: (got_types[c], exp_types[c])
+                     for c in got_types if got_types[c] != exp_types[c]}
+        if type_diff:
+            print(f"FAIL {name}: column types differ (spark, duckdb): {type_diff}")
+            n_fail += 1
+            continue
         if len(got_rows) != len(exp_rows):
             print(f"FAIL {name}: row count spark={len(got_rows)} duckdb={len(exp_rows)}")
             n_fail += 1
