@@ -1,0 +1,217 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Tables, VerifiedQuery}
+import graft.etl.{TaxiFeatures, WeatherClean}
+
+/** Verified queries exercising the ETL-parity modules (etl.TaxiFeatures /
+  * etl.WeatherClean) over the driver's test corpus: the full
+  * feature-engineering composition (SURVEY §3.2), the CSV→clean→parquet
+  * weather pipeline (§3.1, S3), the partitioned parquet sink (S7/X4), and
+  * the sample/split determinism surface (X1/X2).
+  *
+  * Where the reference sums raw doubles (hist_avg_speed,
+  * nyc_taxi_final.py:471-481), the ORACLED analogs sum integer cents /
+  * integer minutes instead so the grouped quotients are bit-identical to
+  * DuckDB under any partitioning; the reference-exact double-sum versions in
+  * etl.TaxiFeatures are fixture-tested in scalatest where tiny inputs make
+  * double summation deterministic.
+  */
+object Etl {
+
+  /** Repo-local scratch root for sink/CSV round-trip fixtures (the driver
+    * runs Verify/Bench from arbitrary cwd, so the path is absolute). */
+  private val fixtureRoot = "/root/repo/target/qfixtures"
+
+  private def tag(dir: String): String = dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+
+  // -------------------------------------------------------- taxi-analog ETL
+
+  /** The taxi feature pipeline (SURVEY §2.9) run over `events`:
+    * pickup = ts, dropoff = ts + props.k minutes (so duration_min == k
+    * exactly), trip_distance = value, congestion analog = value - 200.
+    * Composes the etl.TaxiFeatures steps in reference order: na.drop →
+    * range filter → time features → time_period → duration via
+    * unix_timestamp diff → ratio-of-sums hist aggregate per
+    * (event_type, time_period, day_of_week) → left join-back + round +
+    * global fill → duration outlier filter AFTER the aggregate →
+    * expected_duration → labels → final select.
+    */
+  def etlFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val allCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val base = TaxiFeatures.dropNulls(Tables.events(spark, dir), allCols)
+      .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+      .na.drop(Seq("k"))
+      .filter($"value" > 0.5 && $"value" < 400)
+      .withColumn("tpep_pickup_datetime", $"ts")
+      .withColumn("tpep_dropoff_datetime", expr("ts + make_interval(0, 0, 0, 0, 0, k, 0)"))
+    val timed = TaxiFeatures.timePeriod(TaxiFeatures.timeFeatures(base, "ts"))
+    val durated = TaxiFeatures.duration(timed)
+    // Exact-math variant of TaxiFeatures.histSpeedAgg + withHistAvgSpeed:
+    // value summed as cents (long), duration as exact integer minutes, so
+    // the quotient is the same double in Spark and DuckDB.
+    val keys = Seq("event_type", "time_period", "day_of_week")
+    val hist = durated
+      .groupBy(keys.map(col): _*)
+      .agg((sum(cents($"value")) / lit(100.0) / (sum($"k") + lit(1e-6)) * 60)
+        .as("hist_avg_speed"))
+      .cache()
+    val row = hist.agg(avg($"hist_avg_speed")).first()
+    val globalSpeed = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    val withHist = durated.join(hist, keys, "left")
+      .withColumn("avg_speed_time_period",
+        when(round($"hist_avg_speed", 2).isNull, globalSpeed)
+          .otherwise(round($"hist_avg_speed", 2)))
+      .drop("hist_avg_speed")
+    val filtered = TaxiFeatures.durationFilter(withHist)
+    val labeled = TaxiFeatures.delayLabel(
+      TaxiFeatures.congestionLabel(
+        TaxiFeatures.expectedDuration(filtered, distCol = "value")
+          .withColumn("congestion_surcharge", $"value" - lit(200.0))))
+    labeled.select($"event_id", $"month", $"day_of_month", $"hour", $"minute",
+      $"day_of_week", $"is_holiday", $"time_period", $"value".as("trip_distance"),
+      $"duration_min", $"avg_speed_time_period", $"expected_duration",
+      $"is_congested", $"is_delayed")
+  }
+
+  private val etlFeaturesSql =
+    """WITH base AS (
+      |  SELECT event_id, ts, event_type, value,
+      |         CAST(props->>'k' AS INTEGER) AS k
+      |  FROM events
+      |  WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+      |    AND event_type IS NOT NULL AND value IS NOT NULL AND props IS NOT NULL
+      |    AND CAST(props->>'k' AS INTEGER) IS NOT NULL
+      |    AND value > 0.5 AND value < 400
+      |), feat AS (
+      |  SELECT event_id, event_type, value, k,
+      |    minute(ts) AS minute, hour(ts) AS hour,
+      |    dayofweek(ts) + 1 AS day_of_week, day(ts) AS day_of_month,
+      |    month(ts) AS month,
+      |    CASE WHEN dayofweek(ts) + 1 IN (1, 7) THEN 1 ELSE 0 END AS is_holiday,
+      |    CASE WHEN hour(ts) BETWEEN 6 AND 11 THEN 'morning'
+      |         WHEN hour(ts) BETWEEN 12 AND 16 THEN 'afternoon'
+      |         WHEN hour(ts) BETWEEN 17 AND 23 THEN 'evening'
+      |         ELSE 'night' END AS time_period,
+      |    CAST(k AS DOUBLE) AS duration_min
+      |  FROM base
+      |), hist AS (
+      |  SELECT event_type, time_period, day_of_week,
+      |    CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0
+      |      / (SUM(k) + 1e-6) * 60 AS hist_avg_speed
+      |  FROM feat GROUP BY 1, 2, 3
+      |)
+      |SELECT f.event_id, f.month, f.day_of_month, f.hour, f.minute,
+      |  f.day_of_week, f.is_holiday, f.time_period, f.value AS trip_distance,
+      |  f.duration_min,
+      |  round(h.hist_avg_speed, 2) AS avg_speed_time_period,
+      |  round(f.value / (round(h.hist_avg_speed, 2) + 1e-6) * 60, 2) AS expected_duration,
+      |  CASE WHEN f.value - 200.0 > 0 THEN 1 ELSE 0 END AS is_congested,
+      |  CASE WHEN f.duration_min > round(f.value / (round(h.hist_avg_speed, 2) + 1e-6) * 60, 2) * 1.0
+      |       THEN 1 ELSE 0 END AS is_delayed
+      |FROM feat f
+      |LEFT JOIN hist h ON f.event_type = h.event_type
+      |  AND f.time_period = h.time_period AND f.day_of_week = h.day_of_week
+      |WHERE f.duration_min > 2 AND f.duration_min < 180""".stripMargin
+
+  // ------------------------------------------------------ weather CSV round-trip
+
+  /** S3 + §3.1: derive a deterministic weather-shaped daily table from
+    * `orders` (integer-valued measures — exact through the float schema and
+    * the CSV text round-trip), write it as headerless CSV, re-read it with
+    * WeatherClean's explicit 11-column schema (positional, no inference),
+    * and run the reference clean (select+round+filter on a Jan–Jun window).
+    */
+  def weatherCsv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val csvPath = s"$fixtureRoot/weather_csv_${tag(dir)}"
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date($"o_orderdate").as("date"))
+      .agg(
+        count(lit(1)).cast("int").as("tavg"),
+        (min($"o_orderkey") % 500).cast("int").as("tmin"),
+        (max($"o_orderkey") % 500).cast("int").as("tmax"),
+        (min($"o_custkey") % 100).cast("int").as("prcp"),
+        (max($"o_custkey") % 10).cast("int").as("snow"),
+        lit(0).as("wdir"), lit(0).cast("int").as("wspd"),
+        lit(0).cast("int").as("wpgt"), lit(0).cast("int").as("pres"),
+        lit(0).as("tsun"))
+      .select($"date", $"tavg", $"tmin", $"tmax", $"prcp", $"snow",
+        $"wdir", $"wspd", $"wpgt", $"pres", $"tsun")
+    daily.write.mode("overwrite").csv(csvPath)
+    WeatherClean.clean(WeatherClean.readWeather(spark, csvPath), yr = 1995)
+      .select(date_format($"date", "yyyy-MM-dd").as("wdate"), $"tmin", $"prcp")
+  }
+
+  private val weatherCsvSql =
+    """SELECT strftime(d, '%Y-%m-%d') AS wdate,
+      |       CAST(tmin_i AS FLOAT) AS tmin,
+      |       CAST(prcp_i AS FLOAT) AS prcp
+      |FROM (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |         CAST(MIN(o_orderkey) % 500 AS INTEGER) AS tmin_i,
+      |         CAST(MIN(o_custkey) % 100 AS INTEGER) AS prcp_i
+      |  FROM orders GROUP BY 1)
+      |WHERE d BETWEEN DATE '1995-01-01' AND DATE '1995-06-30'""".stripMargin
+
+  // ------------------------------------------------------ partitioned parquet sink
+
+  /** S7 + X4 + S5: repartition by the partition column (one file per
+    * partition dir instead of #tasks × #partitions small files — the thing
+    * that matters at 100 TB), write partitionBy, read back from the
+    * partition-directory layout, and aggregate per partition value.
+    */
+  def parquetSink(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = s"$fixtureRoot/sink_${tag(dir)}"
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("odate"), $"o_orderpriority")
+      .repartition($"o_orderpriority")
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    spark.read.parquet(out)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        (sum(cents($"o_totalprice")) / lit(100.0)).as("sum_price"),
+        min($"odate").as("min_date"), max($"odate").as("max_date"))
+  }
+
+  private val parquetSinkSql =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_price,
+      |  MIN(strftime(o_orderdate, '%Y-%m-%d')) AS min_date,
+      |  MAX(strftime(o_orderdate, '%Y-%m-%d')) AS max_date
+      |FROM orders GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------ sample / split
+
+  /** X1/X2: seed-pinned sample + randomSplit invariants as a 3-row result
+    * (no DuckDB oracle — Bernoulli sampling is engine-specific; the driver
+    * records a rows-only check and scalatest asserts seed-stability,
+    * disjointness and coverage).
+    */
+  def sampleSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir).select($"o_orderkey")
+    val sampled = ord.sample(withReplacement = false, 0.3, seed = 42)
+    val Array(train, test) = sampled.randomSplit(Array(0.8, 0.2), seed = 42)
+    val nSampled = sampled.count()
+    val nTrain = train.count()
+    val nTest = test.count()
+    Seq(("sampled", nSampled), ("train", nTrain), ("test", nTest))
+      .toDF("split", "n_rows")
+  }
+
+  // ---------------------------------------------------------------- registry
+
+  val all: Seq[VerifiedQuery] = Seq(
+    VerifiedQuery("q_etl_features", etlFeatures, Some(etlFeaturesSql)),
+    VerifiedQuery("q_weather_csv", weatherCsv, Some(weatherCsvSql)),
+    VerifiedQuery("q_parquet_sink", parquetSink, Some(parquetSinkSql)),
+    VerifiedQuery("q_sample_split", sampleSplit, None),
+  )
+}
