@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Tables, VerifiedQuery}
+import graft.ml.{CongestionModel, DelayModel, FeatureEncoding, RandomForestPipeline}
+
+/** Verified queries over the ML surface (SURVEY §2.8 M1-M9).
+  *
+  * The StringIndexer mapping is deterministic relational math (rank by
+  * frequency) so it gets a full DuckDB oracle; model training/eval emits
+  * VectorUDT columns and learned floats that no SQL engine reproduces, so
+  * those queries register WITHOUT oracle SQL (driver rows-only check) and
+  * the exact assertions (AUC bounds, importance normalization, save/load
+  * round-trip) live in the scalatest suites.
+  */
+object Ml {
+
+  /** The events-derived frame both models train on: the ETL analog features
+    * (ops.Etl.etlFeatures) + encoded time_period. Cached — the frame feeds
+    * indexer/OHE fits, the RF instance conversion, and the test transform,
+    * and Spark's plan-keyed CacheManager lets the second model query reuse
+    * the same InMemoryRelation. */
+  private def features(spark: SparkSession, dir: String): DataFrame =
+    FeatureEncoding.encode(Etl.etlFeatures(spark, dir), Seq("time_period")).cache()
+
+  // ---------------------------------------------------------- StringIndexer
+
+  /** M1 as an oracled query: StringIndexer(frequencyDesc) over the derived
+    * time_period column == rank by (count DESC, label ASC) - 1. Emits the
+    * label→index mapping with its support count.
+    */
+  def stringIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val binned = graft.etl.TaxiFeatures.timePeriod(
+      Tables.events(spark, dir).withColumn("hour", hour($"ts")))
+    val (indexed, _) = FeatureEncoding.indexCategoricals(binned, Seq("time_period"))
+    indexed.groupBy($"time_period", $"time_period_idx".cast("int").as("idx"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private val stringIndexSql =
+    """SELECT time_period,
+      |       CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, time_period ASC) - 1 AS INTEGER) AS idx,
+      |       COUNT(*) AS n
+      |FROM (SELECT CASE WHEN hour(ts) BETWEEN 6 AND 11 THEN 'morning'
+      |                  WHEN hour(ts) BETWEEN 12 AND 16 THEN 'afternoon'
+      |                  WHEN hour(ts) BETWEEN 17 AND 23 THEN 'evening'
+      |                  ELSE 'night' END AS time_period
+      |      FROM events)
+      |GROUP BY time_period""".stripMargin
+
+  // ------------------------------------------------------------- RF models
+
+  /** Shared shape for both model queries: train, evaluate, rank importances,
+    * emit everything as (kind, name, value) rows. Rows-only driver check;
+    * exact properties are asserted in scalatest.
+    */
+  private def modelReport(spark: SparkSession,
+                          trained: (org.apache.spark.ml.PipelineModel, DataFrame),
+                          labelCol: String): DataFrame = {
+    import spark.implicits._
+    val (model, predictions) = trained
+    val cached = predictions.cache()
+    val metrics = RandomForestPipeline.evaluate(cached, labelCol)
+      .toSeq.map { case (k, v) => ("metric", k, v) }
+    val imps = RandomForestPipeline.featureImportances(model, cached)
+      .take(10).map { case (n, v) => ("importance", n, v) }
+    cached.unpersist()
+    (metrics ++ imps).toDF("kind", "name", "value")
+  }
+
+  /** M3-M9 end-to-end: the congestion classifier on the events analog
+    * (pipeline 3, nyc_taxi_final.py:738-923). The analog lacks the
+    * weather/location columns of the real taxi frame, so the feature list
+    * narrows to what ops.Etl.etlFeatures provides; the full
+    * CongestionModel.featureCols path runs against the reference taxi
+    * schema in scalatest. */
+  def rfCongestion(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("trip_distance", "hour", "minute", "day_of_week",
+      "day_of_month", "month", "is_holiday", "time_period_ohe",
+      "avg_speed_time_period", "expected_duration")
+    modelReport(spark,
+      RandomForestPipeline.trainPredict(features(spark, dir), cols,
+        CongestionModel.labelCol, sampleFraction = 0.3),
+      CongestionModel.labelCol)
+  }
+
+  /** The delay classifier (pipeline 4, nyc_taxi_final.py:1047-1239), with
+    * its own explicit sample (quirk §2.11.1 fixed). The events analog lacks
+    * weather/location columns, so the feature list drops to the columns the
+    * analog provides — semantics (assemble → RF → evaluate → importances)
+    * unchanged. */
+  def rfDelay(spark: SparkSession, dir: String): DataFrame = {
+    val df = DelayModel.withLabel(features(spark, dir))
+    val cols = Seq("trip_distance", "hour", "minute", "day_of_week",
+      "day_of_month", "month", "is_holiday", "time_period_ohe",
+      "avg_speed_time_period", "is_congested")
+    modelReport(spark,
+      RandomForestPipeline.trainPredict(df, cols, DelayModel.labelCol, sampleFraction = 0.3),
+      DelayModel.labelCol)
+  }
+
+  // ---------------------------------------------------------------- registry
+
+  val all: Seq[VerifiedQuery] = Seq(
+    VerifiedQuery("q_string_index", stringIndex, Some(stringIndexSql)),
+    VerifiedQuery("q_rf_congestion", rfCongestion, None),
+    VerifiedQuery("q_rf_delay", rfDelay, None),
+  )
+}

@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Scale-shape assertions: the physical plans the 100 TB design depends on
+  * (SURVEY §4) — what gets broadcast, what pushes into the scan — checked
+  * at sf0.001 where plan shape is identical to production shape.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("joinMulti hints broadcast ONLY for nation+region, never customer (scale-killer fix)") {
+    // The explicit broadcast() hint is what would OOM at 100 TB (customer
+    // scales with the data). Auto-broadcast chosen by size stats at tiny SF
+    // is fine — it's size-aware and won't fire at scale — so assert on the
+    // HINTS in the logical plan, not the physical join strategy.
+    val plan = Relational.joinMulti(spark, dir).queryExecution.analyzed.toString
+    val hints = "ResolvedHint \\(strategy=broadcast\\)".r.findAllIn(plan).size
+    assert(hints == 2, s"expected exactly 2 broadcast hints (nation, region), got $hints:\n$plan")
+    // and neither hint wraps the customer relation (hints sit directly on
+    // the nation/region relations in the analyzed plan)
+    val hintedCustomer = "(?s)ResolvedHint \\(strategy=broadcast\\)\\s*\\n\\s*\\+?:?- Relation \\[c_custkey".r
+      .findFirstIn(plan)
+    assert(hintedCustomer.isEmpty, s"customer is broadcast-hinted:\n$plan")
+  }
+
+  test("projFilter pushes the raw date-range predicate into the parquet scan") {
+    val plan = Relational.projFilter(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate") || plan.contains("GreaterThanOrEqual(`o_orderdate`"),
+      s"date lower bound not pushed:\n$plan")
+  }
+
+  test("topK plans as TakeOrderedAndProject (no global sort)") {
+    val plan = Relational.topK(spark, dir).queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("broadcastFill keeps the fact side shuffle-free for the dimension join") {
+    val plan = Relational.broadcastFill(spark, dir).queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("pricingSummary scan prunes to the referenced columns only") {
+    val plan = Relational.pricingSummary(spark, dir).queryExecution.executedPlan.toString
+    // ReadSchema must not include unreferenced wide columns
+    assert(!plan.contains("l_partkey") && !plan.contains("l_suppkey"),
+      s"column pruning failed:\n$plan")
+  }
+
+  test("sampleSplit: seed-pinned sample is stable; split is disjoint and covering") {
+    import spark.implicits._
+    val ord = graft.Tables.orders(spark, dir).select($"o_orderkey")
+    val s1 = ord.sample(withReplacement = false, 0.3, 42).as[Long].collect().toSet
+    val s2 = ord.sample(withReplacement = false, 0.3, 42).as[Long].collect().toSet
+    assert(s1 == s2, "sample(0.3, seed=42) not seed-stable")
+    val sampled = ord.sample(withReplacement = false, 0.3, 42)
+    val Array(train, test) = sampled.randomSplit(Array(0.8, 0.2), 42)
+    val tr = train.as[Long].collect().toSet
+    val te = test.as[Long].collect().toSet
+    assert(tr.intersect(te).isEmpty, "randomSplit halves overlap")
+    assert(tr.union(te) == s1, "randomSplit halves don't cover the sample")
+  }
+}
