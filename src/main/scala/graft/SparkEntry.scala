@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def registry: Seq[VerifiedQuery] =
-    ops.Relational.all ++ ops.Etl.all ++ ops.Ml.all
+    ops.Relational.all ++ ops.Etl.all ++ ops.Ml.all ++
+      ops.LlmData.all ++ ops.Similarity.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

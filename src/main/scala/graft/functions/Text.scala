@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text-analysis functions for large-scale training-data
+  * pipelines: tokenization, quality signals, language-ID scores, document
+  * normalization/fingerprinting, and 64-bit SimHash.
+  *
+  * Everything here is built from codegen'd built-in expressions (split /
+  * regexp_* / higher-order array functions) — no UDFs — so the whole text
+  * surface stays inside WholeStageCodegen and distributes trivially: each
+  * function is a per-row scalar over the `text` column.
+  */
+object Text {
+
+  /** Whitespace tokens of the trimmed input (empty string → [""] — callers
+    * that need emptiness-safety should filter `length(c) > 0`). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokensLower(c: Column): Column = tokens(lower(c))
+
+  /** BPE-ish regex tokenizer: letter runs, digit runs, or single
+    * non-alphanumeric marks — the classic pre-tokenization split. */
+  def regexTokens(c: Column): Column =
+    regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  def regexTokenCount(c: Column): Column = size(regexTokens(c))
+
+  def punctCount(c: Column): Column = regexp_count(c, lit("[.,;:!?]"))
+
+  /** Sum of token lengths (for mean-token-length quality signals). */
+  def tokenCharSum(c: Column): Column =
+    aggregate(transform(tokens(c), t => length(t)), lit(0), (acc, v) => acc + v)
+
+  /** Number of token OCCURRENCES that appear in `words` (not distinct —
+    * "the the the" counts 3). */
+  def occurrenceCount(c: Column, words: Seq[String]): Column = {
+    val dict = array(words.map(lit): _*)
+    size(filter(tokensLower(c), t => array_contains(dict, t)))
+  }
+
+  /** Language-marker dictionaries for the n-gram/stopword language-ID
+    * heuristic. Public-knowledge function words per language. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una"))
+
+  /** Marker-occurrence score for one language. */
+  def langScore(c: Column, lang: String): Column =
+    occurrenceCount(c, langMarkers.toMap.apply(lang))
+
+  /** Deterministic argmax over the language scores (ties resolved in
+    * langMarkers order: en > de > fr > es). */
+  def langPredict(c: Column): Column = {
+    val scores = langMarkers.map { case (l, _) => l -> langScore(c, l) }
+    scores.init.foldRight(lit(scores.last._1): Column) { case ((l, s), rest) =>
+      val laterScores = scores.dropWhile(_._1 != l).tail.map(_._2)
+      when(laterScores.foldLeft(lit(true): Column)((acc, o) => acc && s >= o), l)
+        .otherwise(rest)
+    }
+  }
+
+  /** Canonical text normalization: lowercase, strip non-alphanumerics,
+    * collapse whitespace. */
+  def normalized(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Document fingerprint = md5 of the normalized text: case/punctuation/
+    * spacing variants of the same content collide (the cheap near-dup
+    * tier before MinHash). */
+  def fingerprint(c: Column): Column = md5(normalized(c))
+
+  /** Word n-gram shingles joined with single spaces.
+    *
+    * NOTE for hot paths: pass an already-materialized token ARRAY column
+    * (via [[ngramsFromTokens]] over a separate projection) rather than the
+    * raw text — lambda bodies re-evaluate their argument expression per
+    * element, so shingling straight off `split(text)` re-runs the split
+    * once per shingle position. */
+  def wordNgrams(c: Column, n: Int): Column = ngramsFromTokens(tokens(c), n)
+
+  /** N-gram shingles from a token-array column. */
+  def ngramsFromTokens(ts: Column, n: Int): Column =
+    when(size(ts) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(ts) - (n - 1)),
+        i => array_join(slice(ts, i, lit(n)), " ")))
+
+  /** 64-bit SimHash over whitespace tokens: per-token xxhash64, ±1 vote per
+    * bit position, sign of the vote sum becomes the output bit. Entirely
+    * higher-order-function math — one pass over the token array per row.
+    */
+  def simhash64(c: Column): Column = {
+    // fold over the token HASHES, not the tokens — a lambda body referencing
+    // xxhash64(t) would recompute the hash once per bit position
+    def bitSigns(h: Column): Column = array((0 until 64).map { i =>
+      when(shiftrightunsigned(h, i).bitwiseAND(lit(1L)) === lit(1L), lit(1L))
+        .otherwise(lit(-1L))
+    }: _*)
+    val powers = array((0 until 64).map(i => lit(1L << i)): _*)
+    aggregate(
+      transform(tokens(c), t => xxhash64(t)),
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, bitSigns(h), (a, b) => a + b),
+      acc => aggregate(zip_with(acc, powers, (s, p) => when(s > 0, p).otherwise(lit(0L))),
+        lit(0L), (a, b) => a.bitwiseOR(b)))
+  }
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,228 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Tables, VerifiedQuery}
+import graft.functions.Text
+
+/** LLM-training-data pipeline operators over `documents` and `events`
+  * (north-star surface beyond the reference, SURVEY §2.10/§7.1): text
+  * statistics, quality scoring, language-ID, token counting, exact dedup,
+  * fingerprint near-dedup, token-set Jaccard, and gap-based sessionization.
+  *
+  * Scale design: every text operator is a per-row scalar (narrow, codegen'd,
+  * no shuffle); dedup is one hash-agg shuffle on the digest; sessionization
+  * is one shuffle on user_id with per-partition window evaluation. The
+  * LSH-bucketed near-dup and ANN operators live in [[Similarity]] (not
+  * SQL-expressible — scalatest-verified).
+  */
+object LlmData {
+
+  // ---------------------------------------------------------- text analysis
+
+  /** Per-document token/char/punctuation statistics: whitespace tokens,
+    * BPE-ish regex tokens, punctuation marks, mean token length. */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(
+      $"doc_id",
+      length($"text").as("n_chars"),
+      Text.tokenCount($"text").as("n_tokens"),
+      Text.regexTokenCount($"text").as("n_regex_tokens"),
+      Text.punctCount($"text").as("n_punct"),
+      (Text.tokenCharSum($"text") * lit(1.0) / Text.tokenCount($"text")).as("mean_token_len"))
+  }
+
+  private val textStatsSql =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_regex_tokens,
+      |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+      |  list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t))) * 1.0
+      |    / len(string_split_regex(trim(text), '\s+')) AS mean_token_len
+      |FROM documents""".stripMargin
+
+  /** Composite quality score from deterministic signals: stopword ratio,
+    * punctuation density, mean token length band, length band — the
+    * standard cheap pre-filter tier of a training-data pipeline. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stops = Text.occurrenceCount($"text", Seq("the", "a", "of", "and", "to", "in", "is"))
+    val nTok = Text.tokenCount($"text")
+    val stopRatio = stops * lit(1.0) / nTok
+    val punctRatio = Text.punctCount($"text") * lit(1.0) / length($"text")
+    val meanLen = Text.tokenCharSum($"text") * lit(1.0) / nTok
+    val lenOk = when(length($"text").between(100, 100000), lit(1.0)).otherwise(lit(0.0))
+    val meanLenOk = when(meanLen.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0))
+    Tables.documents(spark, dir).select(
+      $"doc_id",
+      stopRatio.as("stop_ratio"),
+      punctRatio.as("punct_ratio"),
+      lenOk.as("len_ok"),
+      meanLenOk.as("mean_len_ok"),
+      (stopRatio * lit(0.4) + (lit(1.0) - punctRatio) * lit(0.2) +
+        lenOk * lit(0.2) + meanLenOk * lit(0.2)).as("quality"))
+  }
+
+  private val qualityScoreSql =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    string_split_regex(trim(lower(text)), '\s+') AS toks,
+      |    string_split_regex(trim(text), '\s+') AS rawtoks
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id,
+      |    len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) * 1.0
+      |      / len(rawtoks) AS stop_ratio,
+      |    len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / length(text) AS punct_ratio,
+      |    CAST(CASE WHEN length(text) BETWEEN 100 AND 100000 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS len_ok,
+      |    CAST(CASE WHEN list_sum(list_transform(rawtoks, x -> length(x))) * 1.0 / len(rawtoks)
+      |              BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS mean_len_ok
+      |  FROM t)
+      |SELECT doc_id, stop_ratio, punct_ratio, len_ok, mean_len_ok,
+      |  stop_ratio * 0.4 + (1.0 - punct_ratio) * 0.2 + len_ok * 0.2 + mean_len_ok * 0.2 AS quality
+      |FROM s""".stripMargin
+
+  /** Language-ID confusion matrix: the marker-occurrence heuristic's
+    * prediction vs the labeled `lang`, aggregated. (The synthetic corpus
+    * draws text from one vocabulary regardless of label, so the matrix
+    * mostly demonstrates the computation, not accuracy.) */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"lang", Text.langPredict($"text").as("pred"))
+      .groupBy($"lang", $"pred").agg(count(lit(1)).as("n"))
+  }
+
+  private val langIdSql = {
+    val score = Text.langMarkers.map { case (l, ws) =>
+      val dict = ws.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> list_contains($dict, x))) AS s_$l"
+    }.mkString(",\n      |    ")
+    s"""WITH s AS (
+      |  SELECT lang,
+      |    $score
+      |  FROM documents)
+      |SELECT lang,
+      |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+      |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+      |       WHEN s_fr >= s_es THEN 'fr'
+      |       ELSE 'es' END AS pred,
+      |  COUNT(*) AS n
+      |FROM s GROUP BY 1, 2""".stripMargin
+  }
+
+  // ----------------------------------------------------------------- dedup
+
+  /** Exact deduplication: group by md5(text), keep the smallest doc_id per
+    * digest. One hash-agg shuffle on the digest — the canonical exact-dedup
+    * shape at any scale. Emits kept ids with their duplicate counts. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy(md5($"text").as("digest"))
+      .agg(min($"doc_id").as("kept_doc_id"), count(lit(1)).as("n_copies"))
+      .select($"kept_doc_id", $"n_copies")
+  }
+
+  private val exactDedupSql =
+    """SELECT MIN(doc_id) AS kept_doc_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  /** Fingerprint near-dedup tier: md5 over normalized text (lowercased,
+    * punctuation-stripped, whitespace-collapsed) so trivial formatting
+    * variants collide without any pairwise work. */
+  def fingerprintDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy(Text.fingerprint($"text").as("fp"))
+      .agg(min($"doc_id").as("kept_doc_id"), count(lit(1)).as("n_variants"))
+      .select($"kept_doc_id", $"n_variants")
+  }
+
+  private val fingerprintDedupSql =
+    """SELECT MIN(doc_id) AS kept_doc_id, COUNT(*) AS n_variants
+      |FROM documents
+      |GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))""".stripMargin
+
+  /** Token-set Jaccard similarity between adjacent doc_ids (a bounded,
+    * deterministic candidate set — the pairwise scorer that LSH bucketing
+    * feeds at scale; see [[Similarity.minhashDedup]] for the bucketed path).
+    */
+  def jaccardSim(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", array_distinct(Text.tokensLower($"text")).as("toks"))
+    val a = docs.as("a")
+    val b = docs.as("b")
+    a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (size(array_intersect($"a.toks", $"b.toks")) * lit(1.0) /
+          (size($"a.toks") + size($"b.toks") - size(array_intersect($"a.toks", $"b.toks"))))
+          .as("jaccard"))
+  }
+
+  private val jaccardSimSql =
+    """WITH t AS (
+      |  SELECT doc_id, list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS toks
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  len(list_filter(a.toks, x -> list_contains(b.toks, x))) * 1.0
+      |    / (len(a.toks) + len(b.toks) - len(list_filter(a.toks, x -> list_contains(b.toks, x)))) AS jaccard
+      |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1""".stripMargin
+
+  // --------------------------------------------------------- sessionization
+
+  /** Gap-based sessionization over the event stream: per user, a new
+    * session starts when the gap to the previous event exceeds 30 minutes;
+    * sessions aggregate to (n_events, span). lag + running-sum windows —
+    * one shuffle on user_id, then per-partition sorted evaluation. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // Order on (sec, event_id) — the second-truncated time plus a unique
+    // tie-break — so the window order is engine-independent (sub-second ts
+    // ordering would be invisible to the oracle).
+    val w = Window.partitionBy($"user_id").orderBy($"sec", $"event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("sec", unix_timestamp($"ts"))
+      .withColumn("gap", $"sec" - lag($"sec", 1).over(w))
+      .withColumn("is_new", when($"gap".isNull || $"gap" > 1800, 1L).otherwise(0L))
+      .withColumn("session_seq", sum($"is_new").over(wRun))
+      .groupBy($"user_id", $"session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min($"sec").as("start_s"), max($"sec").as("end_s"),
+        (max($"sec") - min($"sec")).as("span_s"))
+  }
+
+  private val sessionizeSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+      |), g AS (
+      |  SELECT user_id, event_id, sec,
+      |    CASE WHEN sec - lag(sec) OVER w IS NULL
+      |           OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+      |), s AS (
+      |  SELECT user_id, sec,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM g)
+      |SELECT user_id, session_seq, COUNT(*) AS n_events,
+      |  MIN(sec) AS start_s, MAX(sec) AS end_s, MAX(sec) - MIN(sec) AS span_s
+      |FROM s GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- registry
+
+  val all: Seq[VerifiedQuery] = Seq(
+    VerifiedQuery("q_text_stats", textStats, Some(textStatsSql)),
+    VerifiedQuery("q_quality_score", qualityScore, Some(qualityScoreSql)),
+    VerifiedQuery("q_lang_id", langId, Some(langIdSql)),
+    VerifiedQuery("q_exact_dedup", exactDedup, Some(exactDedupSql)),
+    VerifiedQuery("q_fingerprint_dedup", fingerprintDedup, Some(fingerprintDedupSql)),
+    VerifiedQuery("q_jaccard_sim", jaccardSim, Some(jaccardSimSql)),
+    VerifiedQuery("q_sessionize", sessionize, Some(sessionizeSql)),
+  )
+}

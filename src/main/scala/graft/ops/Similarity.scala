@@ -1,0 +1,197 @@
+package graft.ops
+
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, HashingTF, MinHashLSH}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Tables, VerifiedQuery}
+import graft.functions.{Text, Vectors => V}
+
+/** Near-duplicate detection and similarity search at scale (north-star
+  * surface): MinHash+LSH banded dedup, SimHash banded dedup, brute-force
+  * cosine top-k (the correctness baseline), and LSH-bucketed ANN (the scale
+  * path).
+  *
+  * Scale design rule: NOTHING here does an all-pairs join over the corpus.
+  * - MinHash/SimHash candidates come from hash-band buckets (join keyed on
+  *   band value — shuffle on the band key, pairs only within buckets).
+  * - ANN's brute-force variant broadcasts the (small) query set against the
+  *   corpus — linear, not quadratic — and the LSH variant buckets both
+  *   sides first.
+  */
+object Similarity {
+
+  // ----------------------------------------------------------- MinHash dedup
+
+  /** MinHash-LSH near-dup candidates over word-3-gram shingle sets:
+    * shingle → binary HashingTF (2^18 dims) → MinHashLSH(numHashTables) →
+    * approxSimilarityJoin (bucketed on the hash bands, never all-pairs) at
+    * the given Jaccard-distance threshold.
+    * Returns candidate pairs (doc_a < doc_b, jaccardDist).
+    */
+  def minhashCandidates(docs: DataFrame, threshold: Double = 0.6,
+                        numHashTables: Int = 5): DataFrame = {
+    // Tokenize in a SEPARATE projection: the shingling lambda would
+    // otherwise re-run split(text) once per shingle position (it references
+    // the token array 3×, which also keeps CollapseProject from inlining).
+    // Emptiness is filtered on the TOKEN count, not the shingle array —
+    // a filter on the computed shingle alias would be pushed below the
+    // projection and re-evaluate the entire shingle expression per row.
+    val toks = docs.select(col("doc_id"), Text.tokensLower(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val shingled = toks
+      .select(col("doc_id"), array_distinct(Text.ngramsFromTokens(col("toks"), 3)).as("shingles"))
+    val tf = new HashingTF()
+      .setInputCol("shingles").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    // cache: the vectorized side feeds BOTH sides of the self-join plus the
+    // LSH fit — without it the whole shingle+hash lineage runs three times.
+    val vecs = tf.transform(shingled).select(col("doc_id"), col("features")).cache()
+    val lsh = new MinHashLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numHashTables).setSeed(42)
+      .fit(vecs)
+    lsh.approxSimilarityJoin(vecs, vecs, threshold, "jaccard_dist")
+      .select(col("datasetA.doc_id").as("doc_a"),
+        col("datasetB.doc_id").as("doc_b"),
+        col("jaccard_dist"))
+      .filter(col("doc_a") < col("doc_b"))
+  }
+
+  /** Dedup by MinHash candidates: drop every doc that has a near-dup with a
+    * smaller id (single-linkage step, no transitive closure — at pipeline
+    * scale this runs per-batch and converges across passes). */
+  def minhashDedup(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val dropIds = minhashCandidates(docs, threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.join(dropIds, Seq("doc_id"), "left_anti")
+  }
+
+  /** Registered rows-only query: kept documents after MinHash dedup.
+    * The corpus is coalesced to a few fat partitions first — the LSH
+    * explode/self-join is per-bucket tiny at test SF, so task overhead
+    * dominates at 32 shuffle partitions; at 100 TB the same code runs with
+    * production partitioning (no coalesce) and the bucket join is the
+    * scalable path. */
+  def minhashDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    minhashDedup(Tables.documents(spark, dir).coalesce(8))
+      .select($"doc_id", $"source", $"n_chars")
+  }
+
+  // ----------------------------------------------------------- SimHash dedup
+
+  /** SimHash banded dedup candidates: 64-bit simhash per doc, banded into
+    * four 16-bit keys; docs sharing any band join within that bucket and
+    * survive if full Hamming distance <= maxHamming. Band count / width
+    * give the standard LSH guarantee for hamming<=3 within 64 bits.
+    */
+  def simhashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val hashed = docs.select(col("doc_id"), Text.simhash64(lower(col("text"))).as("sh"))
+    // cache: both sides of the band self-join read this — without it the
+    // 64-bit-vote simhash aggregate runs twice over the corpus
+    val banded = hashed.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.key"))
+      .cache()
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        Text.hamming64(col("a.sh"), col("b.sh")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  def simhashDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val dropIds = simhashCandidates(docs, maxHamming)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.join(dropIds, Seq("doc_id"), "left_anti")
+  }
+
+  /** Registered rows-only query: kept documents after SimHash dedup (same
+    * partition-sizing note as [[minhashDedupQuery]]). */
+  def simhashDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    simhashDedup(Tables.documents(spark, dir).coalesce(8))
+      .select($"doc_id", $"source", $"n_chars")
+  }
+
+  // ------------------------------------------------------------- ANN search
+
+  /** Brute-force cosine top-k (the exactness baseline): the query rows
+    * (vec_id < nQueries) broadcast against the corpus; dot products in
+    * sequential double precision; per-query window top-k with id
+    * tie-break. Linear in corpus size — the scan parallelizes perfectly;
+    * at 100 TB you cap nQueries or switch to [[lshTopK]].
+    */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int = 3, k: Int = 10): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), V.cosine(col("emb"), col("qemb")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  def bruteForceTopKQuery(spark: SparkSession, dir: String): DataFrame =
+    bruteForceTopK(Tables.embeddings(spark, dir))
+
+  private val bruteForceTopKSql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      |), q AS (
+      |  SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 3
+      |), s AS (
+      |  SELECT qid, vec_id,
+      |    list_dot_product(emb, qemb)
+      |      / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qemb, qemb))) AS cos
+      |  FROM e, q WHERE vec_id != qid)
+      |SELECT qid, vec_id, cos, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+      |  FROM s)
+      |WHERE rank <= 10""".stripMargin
+
+  /** LSH-bucketed ANN (the scale path): random-hyperplane bucketing via
+    * BucketedRandomProjectionLSH on the (unit-norm) embeddings — Euclidean
+    * distance is monotone in cosine on the unit sphere — then
+    * approxSimilarityJoin between queries and corpus, top-k per query.
+    * Candidates come only from matching buckets: per-bucket shuffle join,
+    * never all-pairs.
+    */
+  def lshTopK(emb: DataFrame, nQueries: Int = 3, k: Int = 10,
+              bucketLength: Double = 0.5, numHashTables: Int = 6): DataFrame = {
+    val e = emb.select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("features").as("qfeatures"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(42)
+      .fit(e)
+    val joined = lsh.approxSimilarityJoin(
+        e, q.withColumnRenamed("qfeatures", "features"), 2.0, "dist")
+      .select(col("datasetB.qid").as("qid"), col("datasetA.vec_id").as("vec_id"), col("dist"))
+      .filter(col("qid") =!= col("vec_id"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  def lshTopKQuery(spark: SparkSession, dir: String): DataFrame =
+    lshTopK(Tables.embeddings(spark, dir))
+
+  // ---------------------------------------------------------------- registry
+
+  val all: Seq[VerifiedQuery] = Seq(
+    VerifiedQuery("q_ann_cosine", bruteForceTopKQuery, Some(bruteForceTopKSql)),
+    VerifiedQuery("q_ann_lsh", lshTopKQuery, None),
+    VerifiedQuery("q_minhash_dedup", minhashDedupQuery, None),
+    VerifiedQuery("q_simhash_dedup", simhashDedupQuery, None),
+  )
+}

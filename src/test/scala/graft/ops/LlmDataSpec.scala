@@ -1,0 +1,153 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.{Text, Vectors => V}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis, dedup and similarity operators on fixtures with planted
+  * near-duplicates (the driver corpus has none).
+  */
+class LlmDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "spark table join filter window aggregate shuffle partition broadcast " +
+    "column row batch stream query plan codegen scan parquet hash sort merge"
+
+  /** 40 distinct docs + planted duplicates: 50=near-dup of 0 (one word
+    * changed), 51=formatting variant of 1, 52=exact copy of 2. */
+  private lazy val docs: DataFrame = {
+    // wide vocabulary so distinct docs share few tokens (a 20-word vocab
+    // makes every doc simhash-close — realistic for same-domain text, but a
+    // bad dedup fixture)
+    val words = (0 until 120).map(i => s"w$i")
+    val distinctDocs = (0 until 40).map { i =>
+      val r = new scala.util.Random(i)
+      (i.toLong, (0 until 30).map(_ => words(r.nextInt(words.length))).mkString(" "))
+    }
+    val d0 = distinctDocs(0)._2
+    val planted = Seq(
+      (50L, "zzz " + d0.split(" ").drop(1).mkString(" ")),
+      (51L, "  " + distinctDocs(1)._2.toUpperCase + "!!!  "),
+      (52L, distinctDocs(2)._2))
+    (distinctDocs ++ planted).toDF("doc_id", "text")
+  }
+
+  test("tokens / regexTokens / counts") {
+    val df = Seq("Hello, world! 42 times").toDF("text")
+    assert(df.select(Text.tokenCount($"text")).as[Int].head() == 4)
+    // letter runs: Hello, world, times; digit runs: 42; marks: , ! => 6
+    assert(df.select(Text.regexTokenCount($"text")).as[Int].head() == 6)
+    assert(df.select(Text.punctCount($"text")).as[Int].head() == 2)
+  }
+
+  test("occurrenceCount counts occurrences, not distinct") {
+    val df = Seq("the cat the dog THE bird").toDF("text")
+    assert(df.select(Text.occurrenceCount($"text", Seq("the"))).as[Int].head() == 3)
+  }
+
+  test("langPredict picks the max-marker language with deterministic ties") {
+    val df = Seq(
+      ("der das und ist der", "de"),
+      ("le la et des est", "fr"),
+      ("el los y es una", "es"),
+      ("the a of and", "en"),
+      ("xyzzy blorp", "en")) // all-zero scores → tie → first in marker order
+      .toDF("text", "expected")
+    val out = df.select(Text.langPredict($"text").as("pred"), $"expected")
+      .as[(String, String)].collect()
+    out.foreach { case (pred, exp) => assert(pred == exp, s"$pred != $exp") }
+  }
+
+  test("fingerprint collides case/punctuation/spacing variants, not distinct texts") {
+    val fps = docs.select($"doc_id", Text.fingerprint($"text").as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fps(51L) == fps(1L))   // formatting variant
+    assert(fps(52L) == fps(2L))   // exact copy
+    assert(fps(50L) != fps(0L))   // word substitution is NOT a fingerprint dup
+    assert(fps(0L) != fps(1L))
+  }
+
+  test("wordNgrams produces overlapping shingles; shorter-than-n gives empty") {
+    val df = Seq("a b c d").toDF("text")
+    assert(df.select(Text.wordNgrams($"text", 3)).as[Seq[String]].head() ==
+      Seq("a b c", "b c d"))
+    assert(Seq("a b").toDF("text").select(Text.wordNgrams($"text", 3)).as[Seq[String]].head().isEmpty)
+  }
+
+  test("simhash64: near-dup hamming << distinct-doc hamming") {
+    val sh = docs.select($"doc_id", Text.simhash64(lower($"text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(52L), sh(2L)) == 0)              // exact copy
+    assert(ham(sh(50L), sh(0L)) <= 10)             // one-word change stays close
+    val distinctPairs = for (i <- 0L until 10L; j <- (i + 1) until 10L) yield ham(sh(i), sh(j))
+    assert(distinctPairs.min > 10, s"distinct docs too close: ${distinctPairs.min}")
+  }
+
+  test("minhashDedup drops planted near-dups, keeps distinct docs") {
+    val kept = Similarity.minhashDedup(docs, threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!kept.contains(52L), "exact copy survived")
+    assert(!kept.contains(50L), "near-dup (1-word change) survived")
+    assert(kept.contains(0L) && kept.contains(1L) && kept.contains(2L))
+    assert((0L until 40L).toSet.subsetOf(kept), "a distinct doc was dropped")
+  }
+
+  test("simhashDedup drops exact + near copies via banded buckets, keeps distinct docs") {
+    val kept = Similarity.simhashDedup(docs, maxHamming = 10)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!kept.contains(52L))
+    assert((0L until 40L).toSet.subsetOf(kept))
+  }
+
+  test("sessionize splits on >30min gaps per user") {
+    import java.sql.Timestamp
+    def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    // user 1: events at 0,10,20 | gap | 60,65 → 2 sessions; user 2: one event
+    val ev = Seq(
+      (1L, 1L, t(0), "a", 1.0, "{}"), (2L, 1L, t(10), "a", 1.0, "{}"),
+      (3L, 1L, t(20), "a", 1.0, "{}"), (4L, 1L, t(60), "a", 1.0, "{}"),
+      (5L, 1L, t(65), "a", 1.0, "{}"), (6L, 2L, t(0), "a", 1.0, "{}"))
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    // mirror LlmData.sessionize's core on a fixture frame
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"sec", $"event_id")
+    val wRun = w.rowsBetween(Long.MinValue, 0)
+    val out = ev.withColumn("sec", unix_timestamp($"ts"))
+      .withColumn("gap", $"sec" - lag($"sec", 1).over(w))
+      .withColumn("is_new", when($"gap".isNull || $"gap" > 1800, 1L).otherwise(0L))
+      .withColumn("session_seq", sum($"is_new").over(wRun))
+      .groupBy($"user_id", $"session_seq").agg(count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 3L), (1L, 2L, 2L), (2L, 1L, 1L)))
+  }
+
+  test("vector math: cosine of identical = 1, orthogonal = 0; dot is sequential-exact") {
+    val df = Seq(
+      (Array(1.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)),
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+      (Array(3.0f, 4.0f, 0.0f), Array(3.0f, 4.0f, 0.0f)))
+      .toDF("a", "b")
+    val cos = df.select(V.cosine($"a", $"b")).as[Double].collect()
+    assert(cos(0) == 1.0 && cos(1) == 0.0 && cos(2) == 1.0)
+    assert(df.select(V.dot($"a", $"b")).as[Double].collect()(2) == 25.0)
+    assert(df.select(V.norm($"a")).as[Double].collect()(2) == 5.0)
+  }
+
+  test("bruteForceTopK is exact; lshTopK recall@10 >= 0.7 on real embeddings") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.bruteForceTopK(emb, nQueries = 3, k = 10)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(exact.size == 3 && exact.values.forall(_.size == 10))
+    val approx = Similarity.lshTopK(emb, nQueries = 3, k = 10)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, ids) =>
+      approx.get(q).map(a => a.intersect(ids).size / 10.0).getOrElse(0.0) }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, s"mean recall@10 = $mean")
+  }
+}
