@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Tables, VerifiedQuery}
+
+/** Multimodal column handling for training-data pipelines: image/audio/video
+  * as opaque `binary` columns plus typed metadata, with decode /
+  * feature-extract / frame-sample as per-partition batch operators over a
+  * typed Dataset (the Scala analogue of arrow-batched Python UDFs: one
+  * decoder instantiation per partition, streaming iterator over rows, no
+  * per-row setup cost).
+  *
+  * The decode step is STUBBED deterministically ([[StubDecoder]] — real
+  * image/audio codecs aren't in this container); everything Spark-side is
+  * real and oracle-tested: schema, the mapPartitions batch shape, the
+  * partition-iterator contract, and the derived features (byte statistics
+  * the DuckDB oracle reproduces from the source text).
+  */
+object Multimodal {
+
+  /** One media row: opaque payload + typed metadata. */
+  final case class MediaRecord(
+      media_id: Long, kind: String, bytes: Array[Byte],
+      width: Int, height: Int, format: String)
+
+  /** Decoded per-media features: byte stats + a 16-bin byte histogram (the
+    * stub's stand-in for real decoded-content features). */
+  final case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Long, byte_sum: Long,
+      histogram: Array[Long])
+
+  /** One sampled frame of a (stub-)video payload. */
+  final case class Frame(media_id: Long, frame_idx: Int, n_bytes: Long, byte_sum: Long)
+
+  /** Pluggable decoder boundary — swap in a real codec outside this
+    * container. Must be Serializable (instantiated once per partition on
+    * the executor). */
+  trait MediaDecoder extends Serializable {
+    def features(bytes: Array[Byte]): (Long, Array[Long])
+
+    /** Split a payload into `n` frames (stub: contiguous chunks). */
+    def frames(bytes: Array[Byte], n: Int): Seq[Array[Byte]]
+  }
+
+  /** Deterministic fake decode: byte sum + 16-bin byte histogram; frames =
+    * contiguous chunks. Replace with a real image/audio codec in
+    * production. */
+  object StubDecoder extends MediaDecoder {
+    def features(bytes: Array[Byte]): (Long, Array[Long]) = {
+      val hist = new Array[Long](16)
+      var sum = 0L
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xFF
+        sum += b
+        hist(b >> 4) += 1
+        i += 1
+      }
+      (sum, hist)
+    }
+    def frames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      val len = math.max(1, math.ceil(bytes.length.toDouble / n).toInt)
+      bytes.grouped(len).toSeq.take(n)
+    }
+  }
+
+  /** Synthesize a media table from `documents` (utf-8 payloads, kind/dims
+    * derived deterministically) — the corpus has no real binary column, and
+    * this keeps the oracle able to recompute the features from text. */
+  def mediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        encode(col("text"), "utf-8").as("bytes"),
+        (col("doc_id") % 640 + 1).cast("int").as("width"),
+        (col("doc_id") % 480 + 1).cast("int").as("height"),
+        lit("stub").as("format"))
+      .as[MediaRecord]
+  }
+
+  /** Decode + feature-extract, one decoder per partition, streaming over
+    * the partition iterator (never materializes a partition in memory). */
+  def extractFeatures(media: Dataset[MediaRecord],
+                      decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (sum, hist) = decoder.features(m.bytes)
+        MediaFeatures(m.media_id, m.kind, m.bytes.length.toLong, sum, hist)
+      }
+    }
+  }
+
+  /** Frame-sample the video payloads: n frames per video, one output row
+    * per frame (flatMap over partitions — batch shape preserved). */
+  def sampleFrames(media: Dataset[MediaRecord], n: Int,
+                   decoder: MediaDecoder = StubDecoder): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "video").mapPartitions { it =>
+      it.flatMap { m =>
+        decoder.frames(m.bytes, n).zipWithIndex.map { case (f, i) =>
+          val (sum, _) = decoder.features(f)
+          Frame(m.media_id, i, f.length.toLong, sum)
+        }
+      }
+    }
+  }
+
+  // --------------------------------------------------------------- queries
+
+  /** Oracled: the mapPartitions decode plumbing must produce exactly the
+    * byte statistics SQL derives from the source text (ASCII corpus ⇒
+    * byte values == codepoints), plus two histogram bins the oracle can
+    * reproduce with character-class regexes: bin 2 = 0x20–0x2F (space +
+    * punctuation) and bin 6 = 0x60–0x6F (backtick + a–o). */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extractFeatures(mediaFromDocuments(Tables.documents(spark, dir)))
+      .select($"media_id", $"kind", $"n_bytes", $"byte_sum",
+        element_at($"histogram", 3).as("hist_bin2"),
+        element_at($"histogram", 7).as("hist_bin6"))
+  }
+
+  private val multimodalFeaturesSql =
+    """SELECT doc_id AS media_id,
+      |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+      |  CAST(length(text) AS BIGINT) AS n_bytes,
+      |  CAST(list_sum(list_transform(regexp_extract_all(text, '.'), c -> ord(c))) AS BIGINT) AS byte_sum,
+      |  CAST(len(regexp_extract_all(text, '[\x20-\x2f]')) AS BIGINT) AS hist_bin2,
+      |  CAST(len(regexp_extract_all(text, '[\x60-\x6f]')) AS BIGINT) AS hist_bin6
+      |FROM documents""".stripMargin
+
+  /** Rows-only: per-video frame sampling (4 frames each). */
+  def frameSampleQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sampleFrames(mediaFromDocuments(Tables.documents(spark, dir)), n = 4)
+      .toDF()
+  }
+
+  val all: Seq[VerifiedQuery] = Seq(
+    VerifiedQuery("q_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
+    VerifiedQuery("q_frame_sample", frameSampleQuery, None),
+  )
+}

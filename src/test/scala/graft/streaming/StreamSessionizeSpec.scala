@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import graft.streaming.StreamSessionize._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class StreamSessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 10-minute-aligned epoch base so tumbling-window starts land on t(...)
+  private def t(min: Int) = new Timestamp(1700000400000L + min * 60000L)
+  private def ev(id: Long, user: Long, min: Int) = Event(id, user, t(min), "a", 1.0)
+
+  test("streaming sessionize: gap closes a session, watermark times out idle ones") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = sessionize(input.toDS(), gapSeconds = 1800, watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+
+    // batch 1: user 1 events at 0,10,20 min; user 2 at 5 min
+    input.addData(ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 20), ev(4, 2, 5))
+    query.processAllAvailable()
+    // batch 2: user 1 at 60 min → 40-min gap closes session (0–20);
+    // far-future event pushes the watermark for the NEXT batch
+    input.addData(ev(5, 1, 60), ev(6, 99, 500))
+    query.processAllAvailable()
+    // batch 3: watermark (499 min) now exceeds last+gap for users 1 and 2 →
+    // their idle sessions time out
+    input.addData(ev(7, 98, 501))
+    query.processAllAvailable()
+    query.stop()
+
+    val out = spark.table("sessions").as[SessionOut].collect()
+      .map(s => (s.user_id, s.n_events, s.closed_by_timeout)).toSet
+    assert(out.contains((1L, 3L, false)), s"gap-closed session missing: $out")
+    assert(out.contains((2L, 1L, true)), s"timeout-closed session missing: $out")
+    assert(out.contains((1L, 1L, true)), s"second user-1 session missing: $out")
+  }
+
+  test("windowed counts with watermark aggregate per 10-minute tumbling window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = windowedCounts(input.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("wcounts")
+      .outputMode("append").start()
+
+    input.addData(ev(1, 1, 0), ev(2, 1, 5), ev(3, 2, 12))
+    query.processAllAvailable()
+    // next batch's watermark (95 min) closes both windows above
+    input.addData(ev(4, 9, 100))
+    query.processAllAvailable()
+    // one more batch so the finalized windows are emitted under append mode
+    input.addData(ev(5, 9, 101))
+    query.processAllAvailable()
+    query.stop()
+
+    val out = spark.table("wcounts")
+      .select($"w_start", $"n").as[(Timestamp, Long)].collect().toMap
+    assert(out.get(t(0)).contains(2L), s"first window wrong: $out")   // events at 0,5
+    assert(out.get(t(10)).contains(1L), s"second window wrong: $out") // event at 12
+  }
+}
