@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Tables, VerifiedQuery}
+
+/** Extended scalar/aggregate SQL surface beyond the reference (SURVEY
+  * §2.10 "what the reference does NOT have"): string functions, array
+  * aggregation, JSON extraction, pivot, cube, and exact percentiles — each
+  * a narrow projection or a single hash-agg shuffle, all oracled.
+  */
+object Funcs {
+
+  /** String-function battery over customer names/segments. Only functions
+    * with engine-exact semantics on both sides (no locale-dependent or
+    * transcendental behavior). */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir).select(
+      $"c_custkey",
+      upper($"c_name").as("up"),
+      lower($"c_mktsegment").as("lo"),
+      substring($"c_name", 4, 5).as("sub"),
+      concat_ws("|", $"c_mktsegment", $"c_name").as("cat"),
+      lpad($"c_custkey".cast("string"), 8, "0").as("padded"),
+      regexp_replace($"c_name", "[0-9]", "#").as("masked"),
+      reverse($"c_name").as("rev"),
+      instr($"c_name", "1").as("pos1"),
+      length($"c_name").as("len"))
+  }
+
+  private val stringFuncsSql =
+    """SELECT c_custkey,
+      |  upper(c_name) AS up,
+      |  lower(c_mktsegment) AS lo,
+      |  substring(c_name, 4, 5) AS sub,
+      |  concat_ws('|', c_mktsegment, c_name) AS cat,
+      |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+      |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+      |  reverse(c_name) AS rev,
+      |  CAST(strpos(c_name, '1') AS INTEGER) AS pos1,
+      |  CAST(length(c_name) AS INTEGER) AS len
+      |FROM customer""".stripMargin
+
+  /** Array aggregation: per-source sorted distinct language list and token
+    * extremes (arrays rendered to strings so the compare is type-stable). */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"source")
+      .agg(
+        array_join(sort_array(collect_set($"lang")), ",").as("langs"),
+        count(lit(1)).as("n_docs"),
+        max($"n_chars").as("max_chars"))
+  }
+
+  private val arrayFuncsSql =
+    """SELECT source,
+      |  array_to_string(list_sort(list_distinct(list(lang))), ',') AS langs,
+      |  COUNT(*) AS n_docs,
+      |  MAX(n_chars) AS max_chars
+      |FROM documents GROUP BY source""".stripMargin
+
+  /** JSON extraction from the events props column. */
+  def jsonFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir).select(
+      $"event_id",
+      get_json_object($"props", "$.k").cast("int").as("k"),
+      (get_json_object($"props", "$.k").cast("int") % 7).as("k_mod"),
+      when(get_json_object($"props", "$.missing").isNull, "absent")
+        .otherwise("present").as("missing_state"))
+  }
+
+  private val jsonFuncsSql =
+    """SELECT event_id,
+      |  CAST(props->>'k' AS INTEGER) AS k,
+      |  CAST(props->>'k' AS INTEGER) % 7 AS k_mod,
+      |  CASE WHEN props->>'missing' IS NULL THEN 'absent' ELSE 'present' END AS missing_state
+      |FROM events""".stripMargin
+
+  /** Pivot: return-flag rows × line-status columns (fixed pivot values →
+    * deterministic schema; the oracle is the equivalent conditional-sum). */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum($"l_quantity"))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+  }
+
+  private val pivotAggSql =
+    """SELECT l_returnflag,
+      |  SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
+      |  SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** CUBE over two dimensions (completes the grouping-sets family next to
+    * the rollup query). */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"), $"n")
+  }
+
+  private val cubeAggSql =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** Exact percentiles (Spark `percentile`, not approx) per group — linear
+    * interpolation, matching DuckDB quantile_cont. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        percentile($"l_quantity", lit(0.25)).as("p25"),
+        percentile($"l_quantity", lit(0.5)).as("p50"),
+        percentile($"l_quantity", lit(0.75)).as("p75"))
+  }
+
+  private val percentilesSql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  val all: Seq[VerifiedQuery] = Seq(
+    VerifiedQuery("q_string_funcs", stringFuncs, Some(stringFuncsSql)),
+    VerifiedQuery("q_array_funcs", arrayFuncs, Some(arrayFuncsSql)),
+    VerifiedQuery("q_json_funcs", jsonFuncs, Some(jsonFuncsSql)),
+    VerifiedQuery("q_pivot", pivotAgg, Some(pivotAggSql)),
+    VerifiedQuery("q_cube", cubeAgg, Some(cubeAggSql)),
+    VerifiedQuery("q_percentiles", percentiles, Some(percentilesSql)),
+  )
+}

@@ -186,6 +186,42 @@ object Similarity {
   def lshTopKQuery(spark: SparkSession, dir: String): DataFrame =
     lshTopK(Tables.embeddings(spark, dir))
 
+  // ----------------------------------------------------- cosine near-dup
+
+  /** Embedding-cosine near-duplicate pairs, IVF-style: candidates are
+    * generated within a coarse-cluster block (here the `label` column — in
+    * production the assignment of a k-means coarse quantizer), then scored
+    * with the exact sequential-double cosine. Blocked candidate generation
+    * keeps the pair count at Σ(block²) instead of corpus², and the
+    * block-keyed self-join shuffles on the cluster id — the standard IVF
+    * trade: recall bounded by the quantizer, never an all-pairs join.
+    */
+  def cosineNearDupBlocked(emb: DataFrame, blockCol: String = "label",
+                           minCos: Double = 0.3): DataFrame = {
+    val e = emb.select(col("vec_id"), col(blockCol).as("block"),
+      col("embedding").cast("array<double>").as("emb"))
+    val a = e.as("a")
+    val b = e.as("b")
+    a.join(b, col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        V.cosine(col("a.emb"), col("b.emb")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  def cosineNearDupQuery(spark: SparkSession, dir: String): DataFrame =
+    cosineNearDupBlocked(Tables.embeddings(spark, dir))
+
+  private val cosineNearDupSql =
+    """WITH e AS (
+      |  SELECT vec_id, label AS block, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      |)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  list_dot_product(a.emb, b.emb)
+      |    / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+      |FROM e a JOIN e b ON a.block = b.block AND a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.emb, b.emb)
+      |    / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.3""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[VerifiedQuery] = Seq(
@@ -193,5 +229,6 @@ object Similarity {
     VerifiedQuery("q_ann_lsh", lshTopKQuery, None),
     VerifiedQuery("q_minhash_dedup", minhashDedupQuery, None),
     VerifiedQuery("q_simhash_dedup", simhashDedupQuery, None),
+    VerifiedQuery("q_cosine_neardup", cosineNearDupQuery, Some(cosineNearDupSql)),
   )
 }

@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.Timestamp
+import graft.etl.TaxiFeatures
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY §5 test plan item 3): scalacheck
+  * generators with pinned seeds (the scalatest-scalacheck bridge artifact
+  * isn't in the offline cache, so cases are drawn explicitly — same
+  * coverage, deterministic replay).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("time_period is a total partition of hours 0-23 into the 4 reference bins") {
+    val out = (0 to 23).toDF("hour")
+    val periods = TaxiFeatures.timePeriod(out).select($"time_period").as[String].collect()
+    assert(periods.length == 24)
+    assert(periods.toSet == Set("morning", "afternoon", "evening", "night"))
+    assert(periods.count(_ == "morning") == 6 && periods.count(_ == "afternoon") == 5)
+    assert(periods.count(_ == "evening") == 7 && periods.count(_ == "night") == 6)
+  }
+
+  test("is_holiday is binary and matches the weekend predicate for arbitrary timestamps") {
+    val millis = samples(Gen.choose(0L, 4102444800000L), 60)
+    val df = millis.map(m => Tuple1(new Timestamp(m))).toDF("tpep_pickup_datetime")
+    val out = TaxiFeatures.timeFeatures(df)
+      .select($"day_of_week", $"is_holiday").as[(Int, Int)].collect()
+    assert(out.length == 60)
+    out.foreach { case (dow, hol) =>
+      assert(hol == 0 || hol == 1)
+      assert((hol == 1) == (dow == 1 || dow == 7), s"dow=$dow hol=$hol")
+    }
+  }
+
+  test("normalized text is idempotent; fingerprint stable under formatting noise") {
+    val wordGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    val textGen = Gen.listOfN(8, wordGen).map(_.mkString(" "))
+    val texts = samples(textGen, 25)
+    val df = texts.map(t => (t, "  " + t.toUpperCase.replace(" ", "   ") + " !! "))
+      .toDF("a", "b")
+    val rows = df.select(
+      (Text.normalized(Text.normalized($"a")) === Text.normalized($"a")).as("idem"),
+      (Text.fingerprint($"a") === Text.fingerprint($"b")).as("stable"))
+      .as[(Boolean, Boolean)].collect()
+    rows.foreach { case (idem, stable) =>
+      assert(idem, "normalize not idempotent")
+      assert(stable, "fingerprint unstable under formatting noise")
+    }
+  }
+
+  test("token-set Jaccard is within [0,1] and reflexive = 1") {
+    val listGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e", "f"))
+    val pairs = samples(Gen.zip(listGen, listGen), 25)
+    val df = pairs.map { case (w1, w2) => (w1.mkString(" "), w2.mkString(" ")) }.toDF("x", "y")
+    def jac(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val ta = array_distinct(Text.tokensLower(a))
+      val tb = array_distinct(Text.tokensLower(b))
+      size(array_intersect(ta, tb)) * lit(1.0) /
+        (size(ta) + size(tb) - size(array_intersect(ta, tb)))
+    }
+    df.select(jac($"x", $"y"), jac($"x", $"x")).as[(Double, Double)].collect()
+      .foreach { case (j, jSelf) =>
+        assert(j >= 0.0 && j <= 1.0, s"jaccard $j out of range")
+        assert(jSelf == 1.0, s"self-jaccard $jSelf != 1")
+      }
+  }
+
+  test("histSpeedAgg join-back preserves row count and leaves no null speeds") {
+    val rowGen = Gen.zip(Gen.choose(0, 3), Gen.choose(1.0, 50.0), Gen.choose(1.0, 120.0))
+    (0 until 3).foreach { round =>
+      val rows = samples(rowGen, 30).zipWithIndex
+        .map { case ((k, d, dur), i) => (k + round, d + i, dur) }
+      val df = rows.toDF("PULocationID", "trip_distance", "duration_min")
+        .withColumn("DOLocationID", lit(0))
+        .withColumn("time_period", lit("morning"))
+        .withColumn("day_of_week", lit(2))
+      val out = TaxiFeatures.withHistAvgSpeed(df)
+      assert(out.count() == rows.size)
+      assert(out.filter($"avg_speed_time_period".isNull).count() == 0)
+    }
+  }
+
+  test("simhash is deterministic and order-insensitive (token-multiset function)") {
+    val listGen = Gen.nonEmptyListOf(Gen.oneOf("w1", "w2", "w3", "w4", "w5"))
+    val cases = samples(listGen, 20)
+    val rnd = new scala.util.Random(7)
+    val df = cases.map(ws => (ws.mkString(" "), rnd.shuffle(ws).mkString(" "))).toDF("a", "b")
+    df.select(Text.simhash64($"a"), Text.simhash64($"a"), Text.simhash64($"b"))
+      .as[(Long, Long, Long)].collect()
+      .foreach { case (h1, h1b, h2) =>
+        assert(h1 == h1b, "simhash not deterministic")
+        assert(h1 == h2, "simhash should depend on the token multiset, not order")
+      }
+  }
+}
