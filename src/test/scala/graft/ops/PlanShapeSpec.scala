@@ -49,6 +49,26 @@ class PlanShapeSpec extends SparkSpec {
       s"column pruning failed:\n$plan")
   }
 
+  test("bucketed fact-fact join plans with NO exchange on either side") {
+    import org.apache.spark.sql.functions.col
+    val (liName, ordName) = Scale.ensureBucketedTables(spark, dir)
+    val joined = spark.table(liName)
+      .join(spark.table(ordName), col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+  }
+
+  test("saltedAgg is a two-phase aggregate: partial on (key, salt), final on key") {
+    val plan = Scale.saltedAgg(spark, dir).queryExecution.optimizedPlan.toString
+    assert(plan.contains("salt"), plan)
+    // two nested Aggregates in the logical plan (salted partial + final)
+    val aggs = "Aggregate \\[".r.findAllIn(plan).size
+    assert(aggs == 2, s"expected 2 aggregate levels, got $aggs:\n$plan")
+  }
+
   test("sampleSplit: seed-pinned sample is stable; split is disjoint and covering") {
     import spark.implicits._
     val ord = graft.Tables.orders(spark, dir).select($"o_orderkey")
