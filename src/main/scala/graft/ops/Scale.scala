@@ -25,6 +25,23 @@ object Scale {
     val ordName = s"ord_bucketed_${tag(dir)}"
     val key = spark.hashCode() + ":" + dir
     if (warehouseTag.putIfAbsent(key, true) == null) {
+      // A fresh (in-memory) catalog knows nothing about a previous JVM's
+      // managed-table directories — remove orphaned locations or the
+      // CREATE fails with LOCATION_ALREADY_EXISTS.
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      Seq(liName, ordName).foreach { t =>
+        if (!spark.catalog.tableExists(t)) {
+          val loc = new java.io.File(warehouse, t)
+          if (loc.exists()) {
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory) f.listFiles().foreach(rm)
+              f.delete()
+            }
+            rm(loc)
+          }
+        }
+      }
       Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"), col("l_quantity"))
         .write.mode("overwrite")
