@@ -24,6 +24,17 @@ class TaxiFeaturesSpec extends SparkSpec {
     rows.toDF("tpep_pickup_datetime", "tpep_dropoff_datetime", "trip_distance",
       "congestion_surcharge", "PULocationID", "DOLocationID", "extra", "tolls_amount")
 
+  test("readTaxi: explicit 8-column schema over a parquet glob (S4)") {
+    val fixtureDir = "target/test-tmp/taxi_parquet"
+    val df = taxiDf(Seq(
+      row("2024-03-04 10:00:00", "2024-03-04 10:20:00"),
+      row("2024-03-05 11:00:00", "2024-03-05 11:30:00")))
+    df.write.mode("overwrite").parquet(fixtureDir)
+    val back = TaxiFeatures.readTaxi(spark, s"$fixtureDir/*.parquet")
+    assert(back.schema == TaxiFeatures.taxiSchema)
+    assert(back.count() == 2)
+  }
+
   test("timePeriod partitions all 24 hours into the reference's 4 bins") {
     val df = (0 until 24).map(h => (h, f"2024-03-04 $h%02d:30:00"))
       .toDF("h", "s").withColumn("t", to_timestamp($"s")).withColumn("hour", hour($"t"))
