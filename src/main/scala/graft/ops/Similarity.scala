@@ -198,13 +198,17 @@ object Similarity {
     */
   def cosineNearDupBlocked(emb: DataFrame, blockCol: String = "label",
                            minCos: Double = 0.3): DataFrame = {
+    // Norms are precomputed per ROW before the join — higher-order array
+    // expressions are CodegenFallback (interpreted, no CSE), so a norm
+    // inside the pair expression would be re-evaluated once per partner.
     val e = emb.select(col("vec_id"), col(blockCol).as("block"),
       col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", V.norm(col("emb")))
     val a = e.as("a")
     val b = e.as("b")
     a.join(b, col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        V.cosine(col("a.emb"), col("b.emb")).as("cos"))
+        (V.dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") >= minCos)
   }
 
@@ -213,14 +217,15 @@ object Similarity {
 
   private val cosineNearDupSql =
     """WITH e AS (
-      |  SELECT vec_id, label AS block, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      |  SELECT vec_id, label AS block, CAST(embedding AS DOUBLE[]) AS emb,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings
       |)
-      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |  list_dot_product(a.emb, b.emb)
-      |    / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cos
-      |FROM e a JOIN e b ON a.block = b.block AND a.vec_id < b.vec_id
-      |WHERE list_dot_product(a.emb, b.emb)
-      |    / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.3""".stripMargin
+      |SELECT vec_a, vec_b, cos FROM (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos
+      |  FROM e a JOIN e b ON a.block = b.block AND a.vec_id < b.vec_id)
+      |WHERE cos >= 0.3""".stripMargin
 
   // ---------------------------------------------------------------- registry
 
