@@ -113,4 +113,35 @@ object Text {
 
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  private val RollPrime = 2147483647L // 2^31 - 1
+  private val RollBase = 31L
+  private val RollSeed = 7L
+
+  /** Per-character codepoints of the input. */
+  private def charCodes(c: Column): Column =
+    transform(split(c, ""), ch => ascii(ch).cast("long"))
+
+  /** Polynomial (Rabin–Karp) rolling hash of the whole string:
+    * fold acc = (acc·31 + codepoint) mod (2³¹−1), seed 7 — pure integer
+    * math, identical in any engine. Empty input hashes to the seed. */
+  def rollingHash(c: Column): Column =
+    when(length(c) === 0, lit(RollSeed))
+      .otherwise(aggregate(charCodes(c), lit(RollSeed),
+        (acc, o) => (acc * RollBase + o) % RollPrime))
+
+  /** Rolling hashes of every k-length character window. */
+  def kgramHashes(c: Column, k: Int): Column =
+    when(length(c) < k, array().cast("array<bigint>"))
+      .otherwise(transform(
+        sequence(lit(1), length(c) - (k - 1)),
+        i => aggregate(charCodes(c.substr(i, lit(k))), lit(RollSeed),
+          (acc, o) => (acc * RollBase + o) % RollPrime)))
+
+  /** Winnowing-style fingerprint: the minimum k-gram rolling hash —
+    * overlapping content between documents yields matching fingerprints
+    * with probability rising in the overlap length. Null for inputs
+    * shorter than k. */
+  def winnowFingerprint(c: Column, k: Int = 8): Column =
+    array_min(kgramHashes(c, k))
 }

@@ -13,10 +13,21 @@ object Vectors {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Dot product in double precision. */
+  /** Dot product in double precision (portable higher-order-function
+    * form — works on any session; see [[dotNative]] for the fast path). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
       lit(0.0), (acc, v) => acc + v)
+
+  /** Codegen'd dot product via the native [[graft.plans.DotProduct]]
+    * expression — bit-identical results to [[dot]], ~2× faster (the HOF
+    * form is CodegenFallback). Requires the session to be built with
+    * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+  def dotNative(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
+  /** L2 norm on the native fast path. */
+  def normNative(c: Column): Column = sqrt(dotNative(c, c))
 
   /** L2 norm. */
   def norm(c: Column): Column = sqrt(dot(c, c))

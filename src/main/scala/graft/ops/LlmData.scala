@@ -173,6 +173,41 @@ object LlmData {
       |    / (len(a.toks) + len(b.toks) - len(list_filter(a.toks, x -> list_contains(b.toks, x)))) AS jaccard
       |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1""".stripMargin
 
+  /** Rolling-hash document fingerprints: full-document Rabin–Karp hash plus
+    * the winnowing-style minimum 8-gram hash (the overlap-detection
+    * primitive — shared substrings ⇒ shared minimum with high
+    * probability). Pure integer column math, fully oracled. */
+  def rollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // hash the NORMALIZED text in a separate projection — the k-gram lambda
+    // re-evaluates its input per window (same trap as shingling)
+    Tables.documents(spark, dir)
+      .select($"doc_id", Text.normalized($"text").as("norm"))
+      .select($"doc_id",
+        Text.rollingHash($"norm").as("roll_hash"),
+        Text.winnowFingerprint($"norm", 8).as("winnow_fp"))
+  }
+
+  private val rollingFingerprintSql =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN length(norm) = 0 THEN 7
+      |       ELSE list_reduce(
+      |         list_prepend(CAST(7 AS BIGINT),
+      |           list_transform(regexp_extract_all(norm, '.'), c -> CAST(ord(c) AS BIGINT))),
+      |         (a, b) -> (a * 31 + b) % 2147483647) END AS roll_hash,
+      |  CASE WHEN length(norm) < 8 THEN NULL
+      |       ELSE list_min(list_transform(range(1, length(norm) - 6),
+      |         i -> list_reduce(
+      |           list_prepend(CAST(7 AS BIGINT),
+      |             list_transform(regexp_extract_all(substring(norm, CAST(i AS INTEGER), 8), '.'),
+      |               c -> CAST(ord(c) AS BIGINT))),
+      |           (a, b) -> (a * 31 + b) % 2147483647))) END AS winnow_fp
+      |FROM n""".stripMargin
+
   // --------------------------------------------------------- sessionization
 
   /** Gap-based sessionization over the event stream: per user, a new
@@ -222,6 +257,7 @@ object LlmData {
     VerifiedQuery("q_lang_id", langId, Some(langIdSql)),
     VerifiedQuery("q_exact_dedup", exactDedup, Some(exactDedupSql)),
     VerifiedQuery("q_fingerprint_dedup", fingerprintDedup, Some(fingerprintDedupSql)),
+    VerifiedQuery("q_rolling_fp", rollingFingerprint, Some(rollingFingerprintSql)),
     VerifiedQuery("q_jaccard_sim", jaccardSim, Some(jaccardSimSql)),
     VerifiedQuery("q_sessionize", sessionize, Some(sessionizeSql)),
   )

@@ -136,7 +136,9 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), V.cosine(col("emb"), col("qemb")).as("cos"))
+      .select(col("qid"), col("vec_id"),
+        (V.dotNative(col("emb"), col("qemb")) /
+          (V.normNative(col("emb")) * V.normNative(col("qemb")))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -203,12 +205,12 @@ object Similarity {
     // inside the pair expression would be re-evaluated once per partner.
     val e = emb.select(col("vec_id"), col(blockCol).as("block"),
       col("embedding").cast("array<double>").as("emb"))
-      .withColumn("nrm", V.norm(col("emb")))
+      .withColumn("nrm", V.normNative(col("emb")))
     val a = e.as("a")
     val b = e.as("b")
     a.join(b, col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        (V.dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+        (V.dotNative(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") >= minCos)
   }
 

@@ -1,0 +1,29 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Session-extension entry point (enable with
+  * `spark.sql.extensions=graft.plans.GraftExtensions`): registers the
+  * engine's native expressions into the function registry so they are
+  * callable from both the Column API (`call_function("graft_dot", …)`)
+  * and SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit = {
+    extensions.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => {
+        // accept array<float>/array<int> inputs by upcasting here (the
+        // expression itself requires array<double>)
+        def asDouble(e: Expression): Expression = e.dataType match {
+          case ArrayType(DoubleType, _) => e
+          case _ => Cast(e, ArrayType(DoubleType))
+        }
+        DotProduct(asDouble(exprs.head), asDouble(exprs(1)))
+      }))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.functions.{Text, Vectors => V}
+import org.apache.spark.sql.functions._
+
+class DotProductSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = (0 until 50).map { i =>
+    val r = new scala.util.Random(i)
+    (i.toLong, Array.fill(64)(r.nextFloat() * 2 - 1), Array.fill(64)(r.nextFloat() * 2 - 1))
+  }.toDF("id", "a", "b")
+
+  test("graft_dot is registered via GraftExtensions and callable from SQL") {
+    vecs.createOrReplaceTempView("vecs_t")
+    val n = spark.sql("SELECT graft_dot(a, b) AS d FROM vecs_t").count()
+    assert(n == 50)
+  }
+
+  test("native dot is bit-identical to the higher-order-function fold") {
+    val rows = vecs.select(
+      V.dot($"a", $"b").as("hof"),
+      V.dotNative($"a", $"b").as("native"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (h, n) => assert(h == n, s"$h != $n") }
+  }
+
+  test("native dot handles float input via implicit cast, nulls, and length mismatch") {
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f)), Some(Array(3.0f, 4.0f))),
+      (None, Some(Array(1.0f))),
+      (Some(Array(1.0f, 2.0f, 9.9f)), Some(Array(10.0f, 10.0f))))
+      .toDF("a", "b")
+    val out = df.select(V.dotNative($"a", $"b")).as[Option[Double]].collect()
+    assert(out(0).contains(11.0))
+    assert(out(1).isEmpty)       // null array → null
+    assert(out(2).contains(30.0)) // min-length semantics
+  }
+
+  test("native dot stays inside WholeStageCodegen over a parquet scan") {
+    // needs a file-backed source — a local relation constant-folds into
+    // LocalTableScan before codegen is even considered
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = emb.select(V.dotNative($"embedding", $"embedding"))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    assert("\\*\\(\\d+\\) Project \\[graft_dot".r.findFirstIn(plan).isDefined,
+      s"graft_dot project not codegen'd:\n$plan")
+  }
+
+  test("rollingHash/winnowFingerprint: integer math, overlap detection, edge cases") {
+    val df = Seq(
+      ("abcdefghij", "abcdefghij"),          // identical
+      ("abcdefghij", "XYZabcdefghijXYZ"),    // containment
+      ("abcdefghij", "zzzzzzzzzz"),          // disjoint
+      ("short", "short"),                     // < k
+      ("", "")).toDF("x", "y")
+    val rows = df.select(
+      Text.rollingHash($"x"), Text.rollingHash($"y"),
+      Text.winnowFingerprint($"x", 8), Text.winnowFingerprint($"y", 8))
+      .as[(Long, Long, Option[Long], Option[Long])].collect()
+    assert(rows(0)._1 == rows(0)._2)                 // deterministic
+    assert(rows(0)._3 == rows(0)._4)
+    assert(rows(1)._3.isDefined && rows(1)._4.isDefined)
+    assert(rows(1)._3 == rows(1)._4 ||               // shared min 8-gram likely
+      rows(1)._4.get <= rows(1)._3.get)              // superset min can only be ≤
+    assert(rows(2)._3 != rows(2)._4)                 // disjoint content differs
+    assert(rows(3)._3.isEmpty)                       // < k → null
+    assert(rows(4)._1 == 7L)                         // empty → seed
+  }
+}
