@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Tables, VerifiedQuery}
+
+/** As-of (nearest-prior) join and range join — operators Spark lacks as
+  * primitives, composed Spark-first from existing operators (preference
+  * (a) in the custom-op ladder: no custom plan node needed, the
+  * composition is shuffle-optimal).
+  *
+  * As-of strategy: tag-and-union both sides, ONE shuffle on the key, then
+  * a per-key window carries the latest right-side value forward
+  * (`last(ignoreNulls)` over rows ≤ current). This is strictly better at
+  * 100 TB than a theta-join (which explodes to |L|·|R| per key before
+  * filtering): cost is one shuffle + one per-partition sort, the same as
+  * any keyed window.
+  */
+object AsOf {
+
+  /** Generic as-of join: for each left row, attach `valueCol` from the
+    * latest right row with the same key and time <= the left time.
+    * Right-side rows must be unique per (key, time) — pre-aggregate if
+    * not (ambiguous as-of is not a well-defined operator).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               key: String, time: String, valueCol: String): DataFrame = {
+    val l = left.withColumn("_tag", lit(1))
+      .withColumn("_v", lit(null).cast(right.schema(valueCol).dataType))
+    val r = right.select(col(key), col(time), lit(0).as("_tag"), col(valueCol).as("_v"))
+    val unioned = l.select(Seq(col(key), col(time), col("_tag"), col("_v")) ++
+      left.columns.filterNot(c => c == key || c == time).map(col): _*)
+      .unionByName(r, allowMissingColumns = true)
+    // right rows (_tag 0) sort before left rows at equal times → "<=" semantics
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn(valueCol, last(col("_v"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .drop("_tag", "_v")
+  }
+
+  /** Events as-of-joined to the latest prior order in their key bucket:
+    * value = that order's total price. */
+  def asofQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", (pmod($"user_id", lit(100))).as("k"), to_date($"ts").as("d"))
+    val ord = Tables.orders(spark, dir)
+      .select(pmod($"o_custkey", lit(100)).as("k"), to_date($"o_orderdate").as("d"),
+        round($"o_totalprice" * 100).cast("long").as("price_c"))
+      .groupBy($"k", $"d").agg(max($"price_c").as("price_c"))
+    asofJoin(ev, ord, "k", "d", "price_c")
+      .select($"event_id", $"k",
+        date_format($"d", "yyyy-MM-dd").as("event_date"),
+        (coalesce($"price_c", lit(-100L)) / lit(100.0)).as("asof_price"))
+  }
+
+  private val asofSql =
+    """WITH ev AS (
+      |  SELECT event_id, user_id % 100 AS k, CAST(ts AS DATE) AS d FROM events
+      |), ord AS (
+      |  SELECT o_custkey % 100 AS k, CAST(o_orderdate AS DATE) AS d,
+      |         MAX(CAST(round(o_totalprice*100) AS BIGINT)) AS price_c
+      |  FROM orders GROUP BY 1, 2
+      |)
+      |SELECT ev.event_id, ev.k, strftime(ev.d, '%Y-%m-%d') AS event_date,
+      |       COALESCE(ord.price_c, -100) / 100.0 AS asof_price
+      |FROM ev ASOF LEFT JOIN ord
+      |  ON ev.k = ord.k AND ord.d <= ev.d""".stripMargin
+
+  /** Range (non-equi interval) join: each event matched to its value band
+    * from a small broadcast dimension — the non-equi predicate runs as
+    * BroadcastNestedLoopJoin, which is exactly right when one side is
+    * O(bands): the big side streams once, no shuffle. */
+  def rangeJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("tiny", Double.NegativeInfinity, 50.0), ("small", 50.0, 150.0),
+      ("medium", 150.0, 300.0), ("large", 300.0, Double.PositiveInfinity))
+      .toDF("band", "lo", "hi")
+    val ev = Tables.events(spark, dir).select($"event_id", $"value")
+    ev.join(broadcast(bands), $"value" >= $"lo" && $"value" < $"hi", "left")
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n"),
+        (sum(round($"value" * 100).cast("long")) / lit(100.0)).as("sum_value"))
+  }
+
+  private val rangeJoinSql =
+    """WITH bands(band, lo, hi) AS (
+      |  VALUES ('tiny', CAST('-inf' AS DOUBLE), 50.0), ('small', 50.0, 150.0),
+      |         ('medium', 150.0, 300.0), ('large', 300.0, CAST('inf' AS DOUBLE))
+      |)
+      |SELECT band, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+      |FROM events LEFT JOIN bands ON value >= lo AND value < hi
+      |GROUP BY band""".stripMargin
+
+  val all: Seq[VerifiedQuery] = Seq(
+    VerifiedQuery("q_asof_join", asofQuery, Some(asofSql)),
+    VerifiedQuery("q_range_join", rangeJoinQuery, Some(rangeJoinSql)),
+  )
+}

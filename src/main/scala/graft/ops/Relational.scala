@@ -513,6 +513,42 @@ object Relational {
       |FROM (SELECT *, CAST(round(o_totalprice*100) AS BIGINT) AS price_c FROM orders)
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
 
+  /** Extended window surface: rank / dense_rank / ntile / lead /
+    * first_value and a RANGE frame — per-key partitions so evaluation
+    * stays distributed (one shuffle on the partition key). */
+  def windowExtra(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.orders(spark, dir)
+      .withColumn("price_c", cents($"o_totalprice"))
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"price_c".desc, $"o_orderkey")
+    val wRange = Window.partitionBy($"o_orderpriority").orderBy($"price_c")
+      .rangeBetween(-100000L, 0L)
+    base.select(
+        $"o_orderpriority", $"o_orderkey",
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        (coalesce(lead($"price_c", 1).over(w), lit(-100L)) / lit(100.0)).as("next_price"),
+        (first($"price_c").over(w) / lit(100.0)).as("top_price"),
+        count(lit(1)).over(wRange).as("n_within_1000"))
+      .filter($"rnk" <= 50)
+  }
+
+  private val windowExtraSql =
+    """SELECT o_orderpriority, o_orderkey, rnk, drnk, quartile, next_price, top_price, n_within_1000
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    rank() OVER w AS rnk,
+      |    dense_rank() OVER w AS drnk,
+      |    CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |    COALESCE(lead(price_c, 1) OVER w, -100)/100.0 AS next_price,
+      |    first_value(price_c) OVER w/100.0 AS top_price,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY price_c
+      |      RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW) AS n_within_1000
+      |  FROM (SELECT *, CAST(round(o_totalprice*100) AS BIGINT) AS price_c FROM orders)
+      |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY price_c DESC, o_orderkey))
+      |WHERE rnk <= 50""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[VerifiedQuery] = Seq(
@@ -533,5 +569,6 @@ object Relational {
     VerifiedQuery("q_topk", topK, Some(topKSql)),
     VerifiedQuery("q_set_ops", setOps, Some(setOpsSql)),
     VerifiedQuery("q_window_funcs", windowFuncs, Some(windowFuncsSql)),
+    VerifiedQuery("q_window_extra", windowExtra, Some(windowExtraSql)),
   )
 }

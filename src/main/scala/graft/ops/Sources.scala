@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Tables, VerifiedQuery}
+
+/** Additional source/sink formats beyond parquet/CSV: JSON-lines and ORC
+  * round-trips, each verified by reading back and aggregating against the
+  * origin table's oracle. Explicit schemas on read (no inference pass —
+  * at 100 TB schema inference is a full extra scan of the corpus).
+  */
+object Sources {
+
+  private val fixtureRoot = "/root/repo/target/qfixtures"
+  private def tag(dir: String): String = dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** JSON-lines sink + explicit-schema scan round-trip over a supplier
+    * projection. */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = s"$fixtureRoot/json_${tag(dir)}"
+    Tables.supplier(spark, dir)
+      .select($"s_suppkey", $"s_name", $"s_nationkey",
+        round($"s_acctbal" * 100).cast("long").as("bal_c"))
+      .write.mode("overwrite").json(path)
+    val schema = StructType(Seq(
+      StructField("s_suppkey", LongType), StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType), StructField("bal_c", LongType)))
+    spark.read.schema(schema).json(path)
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n"),
+        (sum($"bal_c") / lit(100.0)).as("sum_bal"),
+        min($"s_name").as("first_name"))
+  }
+
+  private val jsonRoundtripSql =
+    """SELECT s_nationkey, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(s_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_bal,
+      |  MIN(s_name) AS first_name
+      |FROM supplier GROUP BY s_nationkey""".stripMargin
+
+  /** ORC sink + scan round-trip over a part projection. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = s"$fixtureRoot/orc_${tag(dir)}"
+    Tables.part(spark, dir)
+      .select($"p_partkey", $"p_brand", round($"p_retailprice" * 100).cast("long").as("price_c"))
+      .write.mode("overwrite").orc(path)
+    spark.read.orc(path)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"),
+        (sum($"price_c") / lit(100.0)).as("sum_price"))
+  }
+
+  private val orcRoundtripSql =
+    """SELECT p_brand, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(p_retailprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_price
+      |FROM part GROUP BY p_brand""".stripMargin
+
+  val all: Seq[VerifiedQuery] = Seq(
+    VerifiedQuery("q_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
+    VerifiedQuery("q_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
+  )
+}
