@@ -73,6 +73,18 @@ object StreamSessionize {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Streaming exact dedup on a key column within the watermark horizon:
+    * the streaming tier of the dedup ladder (exact → fingerprint →
+    * MinHash). State holds one entry per key seen inside the watermark
+    * window and is evicted as the watermark advances — bounded state, the
+    * only viable exact-dedup shape on an unbounded stream. */
+  def dedupStream(events: DataFrame,
+                  keyCols: Seq[String] = Seq("event_id"),
+                  watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Watermarked tumbling-window counts per event type — the canonical
     * streaming aggregate (late data beyond the watermark dropped, state
     * evicted per closed window). */

@@ -69,6 +69,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(aggs == 2, s"expected 2 aggregate levels, got $aggs:\n$plan")
   }
 
+  test("asofJoin itself costs one keyed exchange and never a product join") {
+    val plan = AsOf.asofQuery(spark, dir).queryExecution.executedPlan.toString
+    // the as-of composition = union feeding ONE window exchange on the key
+    // alone; the other exchange in this query is the right side's
+    // uniqueness pre-aggregation on (k, d), which is input prep, not as-of
+    val windowExchanges = "Exchange hashpartitioning\\(k#\\d+L?, \\d+\\)".r.findAllIn(plan).size
+    assert(windowExchanges == 1, s"expected 1 single-key window exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("SortMergeJoin"), s"as-of planned as a join, not a window:\n$plan")
+  }
+
   test("sampleSplit: seed-pinned sample is stable; split is disjoint and covering") {
     import spark.implicits._
     val ord = graft.Tables.orders(spark, dir).select($"o_orderkey")

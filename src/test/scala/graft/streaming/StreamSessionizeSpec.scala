@@ -39,6 +39,19 @@ class StreamSessionizeSpec extends SparkSpec {
     assert(out.contains((1L, 1L, true)), s"second user-1 session missing: $out")
   }
 
+  test("streaming dedup drops duplicate keys within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = dedupStream(input.toDF(), Seq("event_id"), "5 minutes")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    input.addData(ev(1, 1, 0), ev(1, 1, 1), ev(2, 2, 2), ev(1, 1, 3), ev(3, 1, 4))
+    query.processAllAvailable()
+    query.stop()
+    val ids = spark.table("deduped").select($"event_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"dedup wrong: $ids")
+  }
+
   test("windowed counts with watermark aggregate per 10-minute tumbling window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
