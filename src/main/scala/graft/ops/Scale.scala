@@ -12,7 +12,7 @@ import graft.{Tables, VerifiedQuery}
   */
 object Scale {
 
-  private val warehouseTag = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private val created = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def tag(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
 
@@ -23,8 +23,8 @@ object Scale {
   def ensureBucketedTables(spark: SparkSession, dir: String, buckets: Int = 8): (String, String) = {
     val liName = s"li_bucketed_${tag(dir)}"
     val ordName = s"ord_bucketed_${tag(dir)}"
-    val key = spark.hashCode() + ":" + dir
-    if (warehouseTag.putIfAbsent(key, true) == null) {
+    val key = s"${spark.hashCode()}:$dir"
+    if (created.add(key)) {
       // A fresh (in-memory) catalog knows nothing about a previous JVM's
       // managed-table directories — remove orphaned locations or the
       // CREATE fails with LOCATION_ALREADY_EXISTS.
