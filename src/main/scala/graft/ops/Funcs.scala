@@ -133,7 +133,33 @@ object Funcs {
       |  quantile_cont(l_quantity, 0.75) AS p75
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** SQL string entry point (a surface the reference lacks, SURVEY §2.10):
+    * a correlated scalar subquery submitted as raw SQL over temp views —
+    * Catalyst decorrelates it into a left outer aggregate join (no
+    * per-row re-execution; scale-safe). max() is order-independent and
+    * exact on doubles, so no cents dance is needed. */
+  def sqlEntry(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT c.c_custkey, c.c_mktsegment,
+        |  (SELECT max(o.o_totalprice) FROM orders_v o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_price,
+        |  (SELECT count(*) FROM orders_v o
+        |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000) AS n_big
+        |FROM customer_v c""".stripMargin)
+  }
+
+  private val sqlEntrySql =
+    """SELECT c.c_custkey, c.c_mktsegment,
+      |  (SELECT max(o.o_totalprice) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS max_price,
+      |  (SELECT count(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000) AS n_big
+      |FROM customer c""".stripMargin
+
   val all: Seq[VerifiedQuery] = Seq(
+    VerifiedQuery("q_sql_entry", sqlEntry, Some(sqlEntrySql)),
     VerifiedQuery("q_string_funcs", stringFuncs, Some(stringFuncsSql)),
     VerifiedQuery("q_array_funcs", arrayFuncs, Some(arrayFuncsSql)),
     VerifiedQuery("q_json_funcs", jsonFuncs, Some(jsonFuncsSql)),
