@@ -158,8 +158,43 @@ object Funcs {
       |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000) AS n_big
       |FROM customer c""".stripMargin
 
+  /** Custom typed Aggregator (the udaf path): exact money sums per order
+    * status — identical results to the inline cents math under any
+    * partitioning, so it carries a full oracle. */
+  def customAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val moneySum = udaf(graft.functions.ExactMoneySum)
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderstatus")
+      .agg(moneySum($"o_totalprice").as("total_price"),
+        count(lit(1)).as("n"))
+  }
+
+  private val customAggSql =
+    """SELECT o_orderstatus,
+      |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_price,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  /** Sketch aggregates — the approximate tier for 100 TB cardinality /
+    * quantile questions: HyperLogLog++ distinct counts and approximate
+    * percentiles. Sketch internals differ engine to engine, so this is
+    * registered rows-only; scalatest bounds the relative error vs exact.
+    */
+  def sketchAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        approx_count_distinct($"l_suppkey", 0.01).as("approx_supps"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("approx_median"))
+  }
+
   val all: Seq[VerifiedQuery] = Seq(
     VerifiedQuery("q_sql_entry", sqlEntry, Some(sqlEntrySql)),
+    VerifiedQuery("q_custom_agg", customAgg, Some(customAggSql)),
+    VerifiedQuery("q_sketch_agg", sketchAgg, None),
     VerifiedQuery("q_string_funcs", stringFuncs, Some(stringFuncsSql)),
     VerifiedQuery("q_array_funcs", arrayFuncs, Some(arrayFuncsSql)),
     VerifiedQuery("q_json_funcs", jsonFuncs, Some(jsonFuncsSql)),
