@@ -136,15 +136,34 @@ object Multimodal {
       |  CAST(len(regexp_extract_all(text, '[\x60-\x6f]')) AS BIGINT) AS hist_bin6
       |FROM documents""".stripMargin
 
-  /** Rows-only: per-video frame sampling (4 frames each). */
+  /** Per-video frame sampling (4 frames each). Oracled: the stub's
+    * chunking is deterministic integer math — frame length
+    * ceil(len/4) (min 1), frames = contiguous substrings — which SQL
+    * reproduces with substring arithmetic over the source text. */
   def frameSampleQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     sampleFrames(mediaFromDocuments(Tables.documents(spark, dir)), n = 4)
       .toDF()
   }
 
+  private val frameSampleSql =
+    """WITH v AS (
+      |  SELECT doc_id, text, length(text) AS l,
+      |         GREATEST(1, CAST(ceil(length(text) / 4.0) AS INTEGER)) AS flen
+      |  FROM documents WHERE doc_id % 3 = 2
+      |), f AS (
+      |  SELECT doc_id, CAST(t.i AS INTEGER) AS frame_idx,
+      |         substring(text, CAST(t.i AS INTEGER) * flen + 1, flen) AS chunk
+      |  FROM v, range(4) t(i)
+      |  WHERE CAST(t.i AS INTEGER) < CAST(ceil(l * 1.0 / flen) AS INTEGER)
+      |)
+      |SELECT doc_id AS media_id, frame_idx,
+      |  CAST(length(chunk) AS BIGINT) AS n_bytes,
+      |  CAST(COALESCE(list_sum(list_transform(regexp_extract_all(chunk, '.'), c -> ord(c))), 0) AS BIGINT) AS byte_sum
+      |FROM f""".stripMargin
+
   val all: Seq[VerifiedQuery] = Seq(
     VerifiedQuery("q_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
-    VerifiedQuery("q_frame_sample", frameSampleQuery, None),
+    VerifiedQuery("q_frame_sample", frameSampleQuery, Some(frameSampleSql)),
   )
 }
