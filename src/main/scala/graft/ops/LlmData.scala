@@ -114,6 +114,25 @@ object LlmData {
       |FROM s GROUP BY 1, 2""".stripMargin
   }
 
+  /** Corpus vocabulary via the generator path: explode the token arrays
+    * (one shuffle to the count agg, TakeOrdered for the top-k) — the
+    * canonical distributed word count. */
+  def wordCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(explode(Text.tokensLower($"text")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token")
+      .limit(20)
+  }
+
+  private val wordCountSql =
+    """SELECT token, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      |      FROM documents)
+      |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+
   // ----------------------------------------------------------------- dedup
 
   /** Exact deduplication: group by md5(text), keep the smallest doc_id per
@@ -255,6 +274,7 @@ object LlmData {
     VerifiedQuery("q_text_stats", textStats, Some(textStatsSql)),
     VerifiedQuery("q_quality_score", qualityScore, Some(qualityScoreSql)),
     VerifiedQuery("q_lang_id", langId, Some(langIdSql)),
+    VerifiedQuery("q_word_count", wordCount, Some(wordCountSql)),
     VerifiedQuery("q_exact_dedup", exactDedup, Some(exactDedupSql)),
     VerifiedQuery("q_fingerprint_dedup", fingerprintDedup, Some(fingerprintDedupSql)),
     VerifiedQuery("q_rolling_fp", rollingFingerprint, Some(rollingFingerprintSql)),
