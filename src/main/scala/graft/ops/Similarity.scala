@@ -68,6 +68,55 @@ object Similarity {
     docs.join(dropIds, Seq("doc_id"), "left_anti")
   }
 
+  /** Connected components over a candidate edge set by iterative min-label
+    * propagation: each node adopts the smallest label among itself and its
+    * neighbors until fixpoint. Returns (doc_id, cluster) for every node
+    * that appears in an edge; the canonical keeper of a cluster is
+    * `cluster` (its minimum id).
+    *
+    * Single-linkage ("drop if a smaller direct neighbor exists") over-keeps
+    * on chains — edges 1–5, 5–3 keep {1, 3} though the component is
+    * {1,3,5}; the closure keeps only {1}. Scale: the edge set is LSH
+    * candidates (orders of magnitude smaller than the corpus), iterations
+    * are O(component diameter), each one keyed shuffle join; the per-round
+    * driver action reads only a change counter.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // symmetric edge list
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = sym.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = sym
+        .join(labels, sym("dst") === labels("doc_id"))
+        .groupBy(sym("src").as("doc_id"))
+        .agg(min(col("cluster")).as("nbr_min"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("doc_id"))
+        .filter(col("cluster") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Transitive-closure MinHash dedup: keep one doc (the min id) per
+    * connected component of the near-dup graph. */
+  def minhashDedupTransitive(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val comps = connectedComponents(minhashCandidates(docs, threshold))
+    val dropIds = comps.filter(col("doc_id") =!= col("cluster")).select(col("doc_id"))
+    docs.join(dropIds, Seq("doc_id"), "left_anti")
+  }
+
   /** Registered rows-only query: kept documents after MinHash dedup.
     * The corpus is coalesced to a few fat partitions first — the LSH
     * explode/self-join is per-bucket tiny at test SF, so task overhead

@@ -95,6 +95,23 @@ class LlmDataSpec extends SparkSpec {
     assert((0L until 40L).toSet.subsetOf(kept), "a distinct doc was dropped")
   }
 
+  test("connectedComponents collapses chains to the global minimum (closure vs single-linkage)") {
+    val edges = Seq((1L, 5L), (5L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val comps = Similarity.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comps(1L) == 1L && comps(5L) == 1L && comps(3L) == 1L,
+      s"chain not collapsed: $comps")
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+  }
+
+  test("minhashDedupTransitive keeps one doc per near-dup component") {
+    val kept = Similarity.minhashDedupTransitive(docs, threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!kept.contains(52L) && !kept.contains(50L))
+    assert(kept.contains(0L) && kept.contains(2L))
+    assert((0L until 40L).toSet.subsetOf(kept))
+  }
+
   test("simhashDedup drops exact + near copies via banded buckets, keeps distinct docs") {
     val kept = Similarity.simhashDedup(docs, maxHamming = 10)
       .select($"doc_id").as[Long].collect().toSet
