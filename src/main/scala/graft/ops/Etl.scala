@@ -197,11 +197,14 @@ object Etl {
   def sampleSplit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ord = Tables.orders(spark, dir).select($"o_orderkey")
-    val sampled = ord.sample(withReplacement = false, 0.3, seed = 42)
+    // cache: the three counts below are separate actions — uncached, each
+    // would re-scan orders and re-draw the Bernoulli sample from lineage
+    val sampled = ord.sample(withReplacement = false, 0.3, seed = 42).cache()
     val Array(train, test) = sampled.randomSplit(Array(0.8, 0.2), seed = 42)
     val nSampled = sampled.count()
     val nTrain = train.count()
     val nTest = test.count()
+    sampled.unpersist()
     Seq(("sampled", nSampled), ("train", nTrain), ("test", nTest))
       .toDF("split", "n_rows")
   }

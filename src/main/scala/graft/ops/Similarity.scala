@@ -69,19 +69,34 @@ object Similarity {
   }
 
   /** Connected components over a candidate edge set by iterative min-label
-    * propagation: each node adopts the smallest label among itself and its
-    * neighbors until fixpoint. Returns (doc_id, cluster) for every node
-    * that appears in an edge; the canonical keeper of a cluster is
-    * `cluster` (its minimum id).
+    * propagation WITH pointer jumping: each round a node adopts the
+    * smallest label among itself and its neighbors, then additionally the
+    * label OF that label (path-halving). The jump step compresses label
+    * chains geometrically, so convergence takes O(log diameter) rounds
+    * instead of O(diameter) — maxIter=20 covers components of diameter
+    * ~2^20, i.e. any graph that fits a cluster. Returns (doc_id, cluster)
+    * for every node that appears in an edge; the canonical keeper of a
+    * cluster is `cluster` (its minimum id).
     *
     * Single-linkage ("drop if a smaller direct neighbor exists") over-keeps
     * on chains — edges 1–5, 5–3 keep {1, 3} though the component is
     * {1,3,5}; the closure keeps only {1}. Scale: the edge set is LSH
-    * candidates (orders of magnitude smaller than the corpus), iterations
-    * are O(component diameter), each one keyed shuffle join; the per-round
-    * driver action reads only a change counter.
+    * candidates (orders of magnitude smaller than the corpus), each round
+    * is a keyed shuffle join, and the per-round driver action reads only a
+    * change counter. Lineage is BOUNDED: every `checkpointEvery` rounds the
+    * label frame is localCheckpoint'ed (plan depth never exceeds
+    * ~checkpointEvery rounds' worth), so analysis time stays flat and a
+    * lost executor replays at most the segment since the last checkpoint,
+    * not the whole iteration history.
+    *
+    * Throws IllegalStateException if the loop exits before fixpoint —
+    * returning non-converged labels would silently under-drop duplicates
+    * downstream ([[minhashDedupTransitive]]); with pointer jumping a
+    * non-convergence at maxIter=20 means something pathological, and loud
+    * beats wrong.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+                          checkpointEvery: Int = 5): DataFrame = {
     // symmetric edge list
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -95,10 +110,18 @@ object Similarity {
         .join(labels, sym("dst") === labels("doc_id"))
         .groupBy(sym("src").as("doc_id"))
         .agg(min(col("cluster")).as("nbr_min"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+      val prop = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
-        .cache()
+      // pointer jump: adopt the label of your label. Every cluster value is
+      // itself a node id present in `prop` (labels start as own ids and
+      // only ever take other nodes' ids), so the self-join is total.
+      val jumped = prop.as("c").join(prop.as("p"), col("c.cluster") === col("p.doc_id"))
+        .select(col("c.doc_id").as("doc_id"),
+          least(col("c.cluster"), col("p.cluster")).as("cluster"))
+      val next =
+        if ((i + 1) % checkpointEvery == 0) jumped.localCheckpoint(true)
+        else jumped.cache()
       val changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("doc_id"))
         .filter(col("cluster") =!= col("old")).count()
       labels.unpersist()
@@ -106,6 +129,10 @@ object Similarity {
       converged = changed == 0
       i += 1
     }
+    sym.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — labels would " +
+        "silently under-merge; raise maxIter (rounds needed ≈ log2(component diameter))")
     labels
   }
 

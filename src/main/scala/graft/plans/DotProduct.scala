@@ -19,8 +19,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Semantics match the sequential-fold definition exactly (same order of
   * additions → bit-identical doubles vs both the HOF version and DuckDB's
-  * list_dot_product). Null ARRAYS propagate null; null ELEMENTS are
-  * undefined (embedding columns are element-non-null).
+  * list_dot_product on well-formed input). Null ARRAYS propagate null;
+  * LENGTH-MISMATCHED arrays yield null — identical to the HOF form, where
+  * `zip_with` null-pads the shorter side and `acc + null` poisons the fold
+  * (DuckDB's list_dot_product instead errors; the oracled queries only
+  * ever dot same-length embeddings, so the engines never diverge). Null
+  * ELEMENTS are undefined (embedding columns are element-non-null).
   *
   * The registry builder ([[GraftExtensions]]) casts inputs to
   * `array<double>`, so `array<float>` embedding columns work directly.
@@ -39,19 +43,25 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // nullable even over non-null children: length mismatch yields null
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      acc += x.getDouble(i) * y.getDouble(i)
-      i += 1
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
+      acc
     }
-    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -60,12 +70,16 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

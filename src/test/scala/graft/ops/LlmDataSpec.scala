@@ -104,6 +104,17 @@ class LlmDataSpec extends SparkSpec {
     assert(comps(10L) == 10L && comps(11L) == 10L)
   }
 
+  test("connectedComponents converges on a deep path graph within the O(log d) round bound") {
+    // 200-node path: plain min-label propagation needs 199 rounds; pointer
+    // jumping must finish inside maxIter=20 (log2(200) ≈ 7.6 plus slack),
+    // crossing several localCheckpoint boundaries on the way.
+    val edges = (1L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comps = Similarity.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comps.size == 200)
+    assert(comps.values.forall(_ == 1L), s"path graph not fully merged")
+  }
+
   test("minhashDedupTransitive keeps one doc per near-dup component") {
     val kept = Similarity.minhashDedupTransitive(docs, threshold = 0.5)
       .select($"doc_id").as[Long].collect().toSet

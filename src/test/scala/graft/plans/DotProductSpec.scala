@@ -34,8 +34,8 @@ class DotProductSpec extends SparkSpec {
       .toDF("a", "b")
     val out = df.select(V.dotNative($"a", $"b")).as[Option[Double]].collect()
     assert(out(0).contains(11.0))
-    assert(out(1).isEmpty)       // null array → null
-    assert(out(2).contains(30.0)) // min-length semantics
+    assert(out(1).isEmpty) // null array → null
+    assert(out(2).isEmpty) // length mismatch → null, same as the HOF fold
   }
 
   test("native dot stays inside WholeStageCodegen over a parquet scan") {
