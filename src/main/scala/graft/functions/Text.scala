@@ -144,4 +144,21 @@ object Text {
     * shorter than k. */
   def winnowFingerprint(c: Column, k: Int = 8): Column =
     array_min(kgramHashes(c, k))
+
+  /** Deterministic minhash signature over a shingle-hash array: element j is
+    * min over shingles of the fixed affine mixer (a_j·h + b_j) mod (2³¹−1),
+    * a_j = 1 + j·1299721, b_j = 7 + j·104729. Unlike MLlib's seeded
+    * MinHashLSH this is pure integer math — any engine (the DuckDB oracle
+    * included) reproduces it bit-for-bit. No overflow: h < 2³¹ and
+    * a_j < 2²⁴ keep every product under 2⁵⁶.
+    *
+    * Pass a MATERIALIZED shingle-array column (separate projection) — the
+    * numHashes transform lambdas each reference it, so an inline expression
+    * would re-evaluate the whole shingle pipeline per hash function. */
+  def minhashSignatures(shingles: Column, numHashes: Int = 12): Column =
+    array((0 until numHashes).map { j =>
+      val a = 1L + j * 1299721L
+      val b = 7L + j * 104729L
+      array_min(transform(shingles, h => (h * a + b) % RollPrime))
+    }: _*)
 }

@@ -156,6 +156,107 @@ object Similarity {
       .select($"doc_id", $"source", $"n_chars")
   }
 
+  // ---------------------------------------- deterministic MinHash dedup (oracled)
+
+  /** Deterministic minhash signatures per document: 8-char-gram Rabin–Karp
+    * shingle hashes of the normalized text ([[Text.kgramHashes]]) through
+    * `numHashes` fixed affine mixers ([[Text.minhashSignatures]]). Documents
+    * whose normalized text is shorter than 8 chars have no shingles and are
+    * excluded (they can't near-dup anything at this granularity). */
+  def minhashDetSignatures(docs: DataFrame, numHashes: Int = 12): DataFrame =
+    docs.select(col("doc_id"), Text.normalized(col("text")).as("norm"))
+      // filter on norm length, not the shingle array: a filter on the
+      // computed shingle alias would push below the projection and
+      // re-evaluate the whole k-gram pipeline per row
+      .filter(length(col("norm")) >= 8)
+      .select(col("doc_id"), array_distinct(Text.kgramHashes(col("norm"), 8)).as("shingles"))
+      .select(col("doc_id"), Text.minhashSignatures(col("shingles"), numHashes).as("sig"))
+
+  /** Candidate near-dup pairs from the deterministic minhash, banded LSH:
+    * signatures split into numHashes/bandWidth bands; documents sharing any
+    * full band join within that bucket (shuffle keyed on the band value —
+    * never an all-pairs join), then survive if at least `minAgree` of the
+    * numHashes signature positions agree (agreement fraction estimates
+    * shingle Jaccard). Same algorithm shape as [[minhashCandidates]], but
+    * every number is engine-portable integer math, so the full dedup is
+    * DuckDB-oracled (row/schema/hash) instead of rows-only.
+    *
+    * Defaults tuned on the synthetic corpus: background pairs agree on ≤7
+    * of 12 positions, planted near-dups on ≥10 — minAgree=9 splits the
+    * bimodal gap (measured at sf0.001/0.01/0.1).
+    */
+  def minhashDetCandidates(docs: DataFrame, numHashes: Int = 12,
+                           bandWidth: Int = 2, minAgree: Int = 9): DataFrame = {
+    require(numHashes % bandWidth == 0, "bandWidth must divide numHashes")
+    // cache: feeds both sides of the band self-join
+    val sigs = minhashDetSignatures(docs, numHashes).cache()
+    val nBands = numHashes / bandWidth
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"),
+          slice(col("sig"), b * bandWidth + 1, bandWidth).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        aggregate(zip_with(col("a.sig"), col("b.sig"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).as("agree"))
+      .distinct()
+      .filter(col("agree") >= minAgree)
+  }
+
+  /** Dedup by deterministic-minhash candidates (single-linkage: drop every
+    * doc with a near-dup of smaller id — same policy as [[minhashDedup]]). */
+  def minhashDetDedup(docs: DataFrame, numHashes: Int = 12,
+                      bandWidth: Int = 2, minAgree: Int = 9): DataFrame = {
+    val dropIds = minhashDetCandidates(docs, numHashes, bandWidth, minAgree)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.join(dropIds, Seq("doc_id"), "left_anti")
+  }
+
+  /** Registered FULLY-ORACLED query: kept documents after deterministic
+    * MinHash banded dedup (same partition-sizing note as
+    * [[minhashDedupQuery]]). */
+  def minhashDetDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    minhashDetDedup(Tables.documents(spark, dir).coalesce(8))
+      .select($"doc_id", $"source", $"n_chars")
+  }
+
+  private val minhashDetDedupSql =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, length(norm) - 6),
+      |    i -> list_reduce(
+      |      list_prepend(CAST(7 AS BIGINT),
+      |        list_transform(regexp_extract_all(substring(norm, CAST(i AS INTEGER), 8), '.'),
+      |          c -> CAST(ord(c) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 2147483647))) AS shingles
+      |  FROM n WHERE length(norm) >= 8
+      |), sig AS (
+      |  SELECT doc_id, list_transform(range(0, 12),
+      |    j -> list_min(list_transform(shingles,
+      |      h -> (h * (1 + j * 1299721) + 7 + j * 104729) % 2147483647))) AS sig
+      |  FROM sh
+      |), bands AS (
+      |  SELECT doc_id, sig, band, sig[band*2+1] AS k1, sig[band*2+2] AS k2
+      |  FROM (SELECT doc_id, sig, unnest([0,1,2,3,4,5]) AS band FROM sig)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_filter(range(1, 13), i -> a.sig[i] = b.sig[i])) AS agree
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id
+      |), drops AS (
+      |  SELECT DISTINCT doc_b FROM cand WHERE agree >= 9)
+      |SELECT doc_id, source, n_chars FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_b FROM drops)""".stripMargin
+
   // ----------------------------------------------------------- SimHash dedup
 
   /** SimHash banded dedup candidates: 64-bit simhash per doc, banded into
@@ -311,6 +412,7 @@ object Similarity {
     VerifiedQuery("q_ann_cosine", bruteForceTopKQuery, Some(bruteForceTopKSql)),
     VerifiedQuery("q_ann_lsh", lshTopKQuery, None),
     VerifiedQuery("q_minhash_dedup", minhashDedupQuery, None),
+    VerifiedQuery("q_minhash_det_dedup", minhashDetDedupQuery, Some(minhashDetDedupSql)),
     VerifiedQuery("q_simhash_dedup", simhashDedupQuery, None),
     VerifiedQuery("q_cosine_neardup", cosineNearDupQuery, Some(cosineNearDupSql)),
   )

@@ -95,6 +95,26 @@ class LlmDataSpec extends SparkSpec {
     assert((0L until 40L).toSet.subsetOf(kept), "a distinct doc was dropped")
   }
 
+  test("minhashDetDedup drops planted near-dups via the deterministic banded signature") {
+    val kept = Similarity.minhashDetDedup(docs)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!kept.contains(52L), "exact copy survived")
+    assert(!kept.contains(51L), "formatting variant survived (normalization collapses it)")
+    assert(!kept.contains(50L), "near-dup (1-word change) survived")
+    assert((0L until 40L).toSet.subsetOf(kept), "a distinct doc was dropped")
+  }
+
+  test("minhashDetSignatures is stable and separates dups from distinct docs") {
+    val sigs = Similarity.minhashDetSignatures(docs)
+      .as[(Long, Seq[Long])].collect().toMap
+    def agree(a: Long, b: Long): Int = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }
+    assert(agree(2L, 52L) == 12) // identical text → identical signature
+    assert(agree(1L, 51L) == 12) // formatting variant → identical normalized text
+    assert(agree(0L, 50L) >= 9, s"near-dup agreement too low: ${agree(0L, 50L)}")
+    val background = for (i <- 0L until 10L; j <- (i + 1) until 10L) yield agree(i, j)
+    assert(background.max < 9, s"distinct docs agree too much: ${background.max}")
+  }
+
   test("connectedComponents collapses chains to the global minimum (closure vs single-linkage)") {
     val edges = Seq((1L, 5L), (5L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
     val comps = Similarity.connectedComponents(edges)
