@@ -280,5 +280,11 @@ object LlmData {
     VerifiedQuery("q_rolling_fp", rollingFingerprint, Some(rollingFingerprintSql)),
     VerifiedQuery("q_jaccard_sim", jaccardSim, Some(jaccardSimSql)),
     VerifiedQuery("q_sessionize", sessionize, Some(sessionizeSql)),
+    // the streaming twin under the SAME oracle: identical input events must
+    // sessionize identically whether batch-windowed or streamed through
+    // flatMapGroupsWithState (see StreamSessionize.availableNowSessionize)
+    VerifiedQuery("q_stream_sessionize",
+      (s, d) => graft.streaming.StreamSessionize.availableNowSessionize(s, d),
+      Some(sessionizeSql)),
   )
 }

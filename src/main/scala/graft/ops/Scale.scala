@@ -119,8 +119,46 @@ object Scale {
       |  MAX(l_quantity) AS max_qty
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Deliberately skewed join for AQE skew handling: 80% of lineitem rows
+    * map to nation key 0, the rest spread over keys 20–24, and the join is
+    * pinned to sort-merge (`SHUFFLE_MERGE` hint — a 25-row dim would
+    * otherwise broadcast and there'd be no shuffle to skew-split). At
+    * production scale AQE detects the hot partition at runtime
+    * (skewedPartitionFactor × median) and splits it across reducers —
+    * `skew=true` on the SMJ is plan-asserted in PlanShapeSpec with
+    * test-sized thresholds. Salting ([[saltedAgg]]) is the static
+    * counterpart for aggregation; this is the runtime path for joins.
+    */
+  def skewJoin(spark: SparkSession, dir: String): DataFrame =
+    skewJoinOn(Tables.lineitem(spark, dir), Tables.nation(spark, dir))
+
+  /** Frame-parameterized body of [[skewJoin]] so the plan test can feed a
+    * multi-file lineitem copy: AQE splits a skewed reducer partition along
+    * MAPPER boundaries, and the single-row-group test parquet is one
+    * mapper — indivisible — while a cluster scan has thousands. */
+  def skewJoinOn(lineitem: DataFrame, nation: DataFrame): DataFrame = {
+    val li = lineitem
+      .withColumn("nk",
+        when(pmod(col("l_orderkey"), lit(25)) < 20, lit(0L))
+          .otherwise(pmod(col("l_orderkey"), lit(25))))
+    li.join(nation.hint("shuffle_merge"), col("nk") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (sum(round(col("l_extendedprice") * 100).cast("long")) / lit(100.0)).as("sum_price"))
+  }
+
+  private val skewJoinSql =
+    """SELECT n_name, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_price
+      |FROM (SELECT CASE WHEN l_orderkey % 25 < 20 THEN 0 ELSE l_orderkey % 25 END AS nk,
+      |             l_extendedprice FROM lineitem) l
+      |JOIN nation ON l.nk = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
   val all: Seq[VerifiedQuery] = Seq(
     VerifiedQuery("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     VerifiedQuery("q_salted_agg", (s, d) => saltedAgg(s, d), Some(saltedAggSql)),
+    VerifiedQuery("q_skew_join", skewJoin, Some(skewJoinSql)),
   )
 }

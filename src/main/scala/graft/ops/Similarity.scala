@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, HashingTF, MinHashLSH}
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -376,13 +377,18 @@ object Similarity {
     * trade: recall bounded by the quantizer, never an all-pairs join.
     */
   def cosineNearDupBlocked(emb: DataFrame, blockCol: String = "label",
-                           minCos: Double = 0.3): DataFrame = {
+                           minCos: Double = 0.3): DataFrame =
+    cosinePairsInBlocks(emb.select(col("vec_id"), col(blockCol).as("block"),
+      col("embedding").cast("array<double>").as("emb")), minCos)
+
+  /** Shared IVF pair scorer: exact cosine over candidate pairs generated
+    * within a block (block-keyed self-join — Σ(block²) pairs, never
+    * corpus²). Input needs (vec_id, block, emb: array<double>). */
+  private def cosinePairsInBlocks(e0: DataFrame, minCos: Double): DataFrame = {
     // Norms are precomputed per ROW before the join — higher-order array
     // expressions are CodegenFallback (interpreted, no CSE), so a norm
     // inside the pair expression would be re-evaluated once per partner.
-    val e = emb.select(col("vec_id"), col(blockCol).as("block"),
-      col("embedding").cast("array<double>").as("emb"))
-      .withColumn("nrm", V.normNative(col("emb")))
+    val e = e0.withColumn("nrm", V.normNative(col("emb")))
     val a = e.as("a")
     val b = e.as("b")
     a.join(b, col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))
@@ -390,6 +396,33 @@ object Similarity {
         (V.dotNative(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") >= minCos)
   }
+
+  /** Learned coarse quantizer for the IVF path: spark.ml KMeans (seed
+    * pinned) fit on the embedding column; output = input plus a `block`
+    * column holding the cluster assignment. At 100 TB the fit runs over a
+    * sample and assignment is a narrow broadcast-centroid map — both
+    * linear, no shuffle beyond the fit's own aggregations. */
+  def kmeansBlocks(emb: DataFrame, k: Int, seed: Long = 42): DataFrame = {
+    val vecs = emb.withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans()
+      .setK(k).setSeed(seed).setFeaturesCol("features").setPredictionCol("block")
+      .fit(vecs)
+    model.transform(vecs).drop("features")
+  }
+
+  /** Embedding-cosine near-dup with the LEARNED quantizer (completes the
+    * IVF shape: [[cosineNearDupBlocked]] on `label` stays the oracled
+    * correctness query — KMeans centroids aren't SQL-reproducible, so this
+    * registers rows-only; recall vs ground truth is scalatest-asserted on
+    * a clustered fixture). */
+  def cosineNearDupKMeans(emb: DataFrame, k: Int = 16,
+                          minCos: Double = 0.3, seed: Long = 42): DataFrame =
+    cosinePairsInBlocks(
+      kmeansBlocks(emb, k, seed).select(col("vec_id"), col("block"),
+        col("embedding").cast("array<double>").as("emb")), minCos)
+
+  def cosineNearDupKMeansQuery(spark: SparkSession, dir: String): DataFrame =
+    cosineNearDupKMeans(Tables.embeddings(spark, dir))
 
   def cosineNearDupQuery(spark: SparkSession, dir: String): DataFrame =
     cosineNearDupBlocked(Tables.embeddings(spark, dir))
@@ -415,5 +448,6 @@ object Similarity {
     VerifiedQuery("q_minhash_det_dedup", minhashDetDedupQuery, Some(minhashDetDedupSql)),
     VerifiedQuery("q_simhash_dedup", simhashDedupQuery, None),
     VerifiedQuery("q_cosine_neardup", cosineNearDupQuery, Some(cosineNearDupSql)),
+    VerifiedQuery("q_cosine_neardup_kmeans", cosineNearDupKMeansQuery, None),
   )
 }

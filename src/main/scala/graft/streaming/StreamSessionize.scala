@@ -1,9 +1,9 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming surface (beyond-reference, SURVEY §2.10): the
   * streaming twin of [[graft.ops.LlmData.sessionize]] — gap-based sessions
@@ -84,6 +84,79 @@ object StreamSessionize {
     events
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** The streaming sessionizer run end-to-end as a REGISTERED BATCH QUERY
+    * (driver correctness gate): events land in a parquet file source, a
+    * `Trigger.AvailableNow` stream sessionizes them through
+    * flatMapGroupsWithState, and the emitted sessions are re-shaped to the
+    * exact schema of the batch [[graft.ops.LlmData.sessionize]] — identical
+    * input must yield identical sessions, so the batch DuckDB oracle
+    * applies unchanged.
+    *
+    * Flush mechanics: sessions still open when the data runs out only
+    * close via EVENT-TIME TIMEOUT, which needs the watermark to pass
+    * last+gap. A single sentinel event (user_id −1) stamped gap+1h past
+    * the corpus max drives the final watermark over every real session's
+    * timeout; the no-data micro-batch that AvailableNow runs after the
+    * last file then fires the timeouts and drains the state store. The
+    * sentinel's own session is filtered from the result.
+    *
+    * Timestamps are pre-truncated to seconds so the streaming gap
+    * arithmetic (millis) classifies boundaries exactly like the batch
+    * path's `unix_timestamp` seconds.
+    */
+  def availableNowSessionize(spark: SparkSession, dir: String,
+                             fixtureRoot: String = "/root/repo/target/qfixtures",
+                             gapSeconds: Long = 1800): DataFrame = {
+    import spark.implicits._
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val inDir = s"$fixtureRoot/stream_sess_in_$tag"
+    val ckpt = s"$fixtureRoot/stream_sess_ckpt_$tag"
+    // temp-view names reject dots (sf dirs contain them)
+    val sinkName = s"stream_sess_out_${tag.replace(".", "_")}"
+    // fresh input + checkpoint per run: a stale checkpoint would mark the
+    // input files already-processed and the memory sink would stay empty
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+      f.delete()
+    }
+    rm(new java.io.File(ckpt))
+    rm(new java.io.File(inDir))
+
+    val ev = graft.Tables.events(spark, dir)
+      .select($"event_id", $"user_id", date_trunc("second", $"ts").as("ts"),
+        $"event_type", $"value")
+    val maxTs = ev.agg(max($"ts")).as[Timestamp].head()
+    val sentinelTs = new Timestamp(maxTs.getTime + (gapSeconds + 3600) * 1000)
+    val sentinel = Seq((-1L, -1L, sentinelTs, "sentinel", 0.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    ev.unionByName(sentinel).coalesce(1).write.parquet(inDir)
+
+    val stream = spark.readStream.schema(ev.schema).parquet(inDir)
+      .as[Event]
+    val query = sessionize(stream, gapSeconds, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+
+    // shape to the batch sessionize schema; session_seq re-derived from the
+    // per-user session start order (sessions of one user are disjoint and
+    // strictly ordered in time, so this is the batch running-sum index)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"start_s")
+    spark.table(sinkName)
+      .filter($"user_id" >= 0)
+      .select($"user_id",
+        unix_timestamp($"start").as("start_s"),
+        unix_timestamp($"end").as("end_s"),
+        $"n_events")
+      .withColumn("session_seq", row_number().over(w).cast("long"))
+      .select($"user_id", $"session_seq", $"n_events", $"start_s", $"end_s",
+        ($"end_s" - $"start_s").as("span_s"))
+  }
 
   /** Watermarked tumbling-window counts per event type — the canonical
     * streaming aggregate (late data beyond the watermark dropped, state

@@ -150,6 +150,35 @@ class LlmDataSpec extends SparkSpec {
     assert((0L until 40L).toSet.subsetOf(kept))
   }
 
+  test("cosineNearDupKMeans: learned quantizer recalls >= 0.9 of true high-cos pairs") {
+    // 5 well-separated direction clusters × 40 points in 16 dims: noise is
+    // small, so cos >= 0.9 pairs are exactly the within-cluster ones — the
+    // shape a real embedding corpus with duplicate content has (the driver
+    // embeddings table is isotropic noise, useless for a quantizer test)
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(5)(Array.fill(16)(rnd.nextGaussian()))
+    val points = (0 until 200).map { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.zipWithIndex.map { case (v, _) => (v + rnd.nextGaussian() * 0.05).toFloat })
+    }
+    val emb = points.toDF("vec_id", "embedding")
+    // ground truth: exact all-pairs cosine on the driver (200 vecs, trivial)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val truth = (for {
+      i <- points.indices; j <- (i + 1) until points.size
+      if cos(points(i)._2, points(j)._2) >= 0.9
+    } yield (points(i)._1, points(j)._1)).toSet
+    assert(truth.size > 100, s"fixture degenerate: only ${truth.size} true pairs")
+    val found = Similarity.cosineNearDupKMeans(emb, k = 5, minCos = 0.9)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    val recall = found.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"quantizer recall $recall < 0.9 (${truth.size} true pairs)")
+    assert(found.subsetOf(truth), "blocked scorer produced a pair below the cos threshold")
+  }
+
   test("sessionize splits on >30min gaps per user") {
     import java.sql.Timestamp
     def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)

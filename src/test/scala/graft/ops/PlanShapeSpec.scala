@@ -80,6 +80,40 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("SortMergeJoin"), s"as-of planned as a join, not a window:\n$plan")
   }
 
+  test("skewJoin: AQE splits the hot partition (skew=true on the sort-merge join)") {
+    // production thresholds (256 MB) never fire at test SF — shrink them so
+    // the 80%-hot-key partition exceeds factor × median and gets split.
+    // The mapper count matters too: AQE splits a skewed reducer partition
+    // along MAPPER boundaries, and the single-row-group test parquet scans
+    // as ONE indivisible mapper — write a 16-file copy first so the scan
+    // has the many-mapper shape every cluster scan has.
+    val overrides = Seq(
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      // the post-join aggregate needs its own shuffle, which normally makes
+      // AQE reject the skew split (it would break the join's partitioning);
+      // force it — at 100 TB the extra-shuffle trade is exactly the point
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+    val saved = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val manyFiles = "target/test-tmp/lineitem_16f"
+      graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+        .repartition(16).write.mode("overwrite").parquet(manyFiles)
+      val df = Scale.skewJoinOn(spark.read.parquet(manyFiles),
+        graft.Tables.nation(spark, "/root/testdata/sf0.01"))
+      df.collect() // AQE finalizes the plan only on execution
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew-split join in final AQE plan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("sampleSplit: seed-pinned sample is stable; split is disjoint and covering") {
     import spark.implicits._
     val ord = graft.Tables.orders(spark, dir).select($"o_orderkey")

@@ -71,6 +71,17 @@ class StreamSessionizeSpec extends SparkSpec {
       Seq("w_start", "w_end", "event_type", "n", "sum_value"))
   }
 
+  test("availableNowSessionize equals the batch sessionize row-for-row") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = availableNowSessionize(spark, dir,
+      fixtureRoot = "target/test-tmp/stream_sess_fixture")
+    val batch = graft.ops.LlmData.sessionize(spark, dir)
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s.nonEmpty, "streaming sessionize emitted nothing (state not flushed?)")
+    assert(s == b, s"stream/batch diverge: only-stream=${(s -- b).take(5)} only-batch=${(b -- s).take(5)}")
+  }
+
   test("windowed counts with watermark aggregate per 10-minute tumbling window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
