@@ -145,6 +145,33 @@ object Text {
   def winnowFingerprint(c: Column, k: Int = 8): Column =
     array_min(kgramHashes(c, k))
 
+  /** Deterministic 62-bit SimHash from per-token Rabin–Karp hashes: two
+    * independent 31-bit vote lanes (the token hash pushed through two fixed
+    * affine diffusions mod 2³¹−1 — raw rolling hashes of short tokens
+    * underfill the high bits, which would degenerate the high LSH bands),
+    * concatenated as lane2 << 31 | lane1. Pure integer math — bit-identical
+    * in any engine — unlike [[simhash64]]'s xxhash64 votes, so dedup built
+    * on it is DuckDB-oracle-able. One fold pass over the token array. */
+  def simhashDet(c: Column): Column = {
+    def diffuse(h: Column, a: Long, b: Long): Column = (h * a + b) % RollPrime
+    def bitSigns(h: Column): Column = array((0 until 31).map { i =>
+      when(shiftrightunsigned(h, i).bitwiseAND(lit(1L)) === lit(1L), lit(1L))
+        .otherwise(lit(-1L))
+    }: _*)
+    val powers = array((0 until 62).map(i => lit(1L << i)): _*)
+    aggregate(
+      // fold over the token HASHES (h is the fold value — computed once per
+      // token); the two diffusions re-run per bit position but are 3 ops
+      transform(tokens(c), t => rollingHash(t)),
+      array_repeat(lit(0L), 62),
+      (acc, h) => zip_with(acc,
+        concat(bitSigns(diffuse(h, 1103515245L, 12345L)),
+          bitSigns(diffuse(h, 69069L, 362437L))),
+        (a, b) => a + b),
+      acc => aggregate(zip_with(acc, powers, (s, p) => when(s > 0, p).otherwise(lit(0L))),
+        lit(0L), (a, b) => a.bitwiseOR(b)))
+  }
+
   /** Deterministic minhash signature over a shingle-hash array: element j is
     * min over shingles of the fixed affine mixer (a_j·h + b_j) mod (2³¹−1),
     * a_j = 1 + j·1299721, b_j = 7 + j·104729. Unlike MLlib's seeded

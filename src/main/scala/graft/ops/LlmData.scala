@@ -199,8 +199,12 @@ object LlmData {
   def rollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // hash the NORMALIZED text in a separate projection — the k-gram lambda
-    // re-evaluates its input per window (same trap as shingling)
+    // re-evaluates its input per window (same trap as shingling).
+    // repartition: the per-row winnowing math dominates and the
+    // single-row-group test file scans as one task (a cluster scan is
+    // already thousands of tasks — there the repartition is removable).
     Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select($"doc_id", Text.normalized($"text").as("norm"))
       .select($"doc_id",
         Text.rollingHash($"norm").as("roll_hash"),

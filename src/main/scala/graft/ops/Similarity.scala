@@ -219,11 +219,16 @@ object Similarity {
   }
 
   /** Registered FULLY-ORACLED query: kept documents after deterministic
-    * MinHash banded dedup (same partition-sizing note as
-    * [[minhashDedupQuery]]). */
+    * MinHash banded dedup. Unlike the MLlib LSH queries (coalesced — their
+    * cost is bucket-join task overhead), the det pipeline's cost is the
+    * per-row shingle/signature math, and the single-row-group test file
+    * scans as ONE task — repartition to spread the scalar work across
+    * cores (at 100 TB the scan is already thousands of tasks and the
+    * repartition is a no-op to remove). */
   def minhashDetDedupQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    minhashDetDedup(Tables.documents(spark, dir).coalesce(8))
+    minhashDetDedup(Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism))
       .select($"doc_id", $"source", $"n_chars")
   }
 
@@ -298,6 +303,81 @@ object Similarity {
     simhashDedup(Tables.documents(spark, dir).coalesce(8))
       .select($"doc_id", $"source", $"n_chars")
   }
+
+  // ------------------------------- deterministic SimHash dedup (oracled)
+
+  /** SimHash banded dedup on the DETERMINISTIC 62-bit hash
+    * ([[Text.simhashDet]]): four 16-bit bands key the bucket self-join
+    * (hamming ≤ 3 over 62 bits guarantees at least one untouched band),
+    * full Hamming check inside buckets. Same algorithm as
+    * [[simhashCandidates]]; every number is engine-portable integer math,
+    * so the dedup carries a full DuckDB oracle. */
+  def simhashDetCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val hashed = docs.select(col("doc_id"), Text.simhashDet(lower(col("text"))).as("sh"))
+    // cache: both sides of the band self-join read this — without it the
+    // 62-bit-vote fold runs twice over the corpus
+    val banded = hashed.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.key"))
+      .cache()
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        Text.hamming64(col("a.sh"), col("b.sh")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  def simhashDetDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val dropIds = simhashDetCandidates(docs, maxHamming)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.join(dropIds, Seq("doc_id"), "left_anti")
+  }
+
+  /** Registered FULLY-ORACLED query: kept documents after deterministic
+    * SimHash banded dedup (same partition-sizing note as
+    * [[minhashDetDedupQuery]] — per-row vote math needs the repartition). */
+  def simhashDetDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    simhashDetDedup(Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism))
+      .select($"doc_id", $"source", $"n_chars")
+  }
+
+  private val simhashDetDedupSql =
+    """WITH t AS (
+      |  SELECT doc_id, list_transform(string_split_regex(trim(lower(text)), '\s+'),
+      |    w -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |           list_transform(regexp_extract_all(w, '.'), c -> CAST(ord(c) AS BIGINT))),
+      |         (a, b) -> (a * 31 + b) % 2147483647)) AS hs
+      |  FROM documents
+      |), sim AS (
+      |  SELECT doc_id,
+      |    list_sum(list_transform(range(0, 31), i ->
+      |      CASE WHEN list_sum(list_transform(hs,
+      |             h -> CASE WHEN (((1103515245 * h + 12345) % 2147483647) >> i) & 1 = 1
+      |                  THEN 1 ELSE -1 END)) > 0
+      |           THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))
+      |    + (list_sum(list_transform(range(0, 31), i ->
+      |      CASE WHEN list_sum(list_transform(hs,
+      |             h -> CASE WHEN (((69069 * h + 362437) % 2147483647) >> i) & 1 = 1
+      |                  THEN 1 ELSE -1 END)) > 0
+      |           THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) << 31) AS sh
+      |  FROM t
+      |), bands AS (
+      |  SELECT doc_id, sh, band, (sh >> (band * 16)) & 65535 AS key
+      |  FROM (SELECT doc_id, sh, unnest([0, 1, 2, 3]) AS band FROM sim)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      |  WHERE bit_count(CAST(xor(a.sh, b.sh) AS BIGINT)) <= 3)
+      |SELECT doc_id, source, n_chars FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_b FROM cand)""".stripMargin
 
   // ------------------------------------------------------------- ANN search
 
@@ -447,6 +527,7 @@ object Similarity {
     VerifiedQuery("q_minhash_dedup", minhashDedupQuery, None),
     VerifiedQuery("q_minhash_det_dedup", minhashDetDedupQuery, Some(minhashDetDedupSql)),
     VerifiedQuery("q_simhash_dedup", simhashDedupQuery, None),
+    VerifiedQuery("q_simhash_det_dedup", simhashDetDedupQuery, Some(simhashDetDedupSql)),
     VerifiedQuery("q_cosine_neardup", cosineNearDupQuery, Some(cosineNearDupSql)),
     VerifiedQuery("q_cosine_neardup_kmeans", cosineNearDupKMeansQuery, None),
   )

@@ -95,6 +95,20 @@ class LlmDataSpec extends SparkSpec {
     assert((0L until 40L).toSet.subsetOf(kept), "a distinct doc was dropped")
   }
 
+  test("simhashDet: exact/formatting dups collapse, distinct docs stay far in hamming") {
+    val sh = docs.select($"doc_id", Text.simhashDet(lower($"text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sh(a) ^ sh(b))
+    assert(ham(52L, 2L) == 0, "exact copy must hash identically")
+    assert(ham(50L, 0L) <= 12, s"one-word change drifted too far: ${ham(50L, 0L)}")
+    val distinctPairs = for (i <- 0L until 10L; j <- (i + 1) until 10L) yield ham(i, j)
+    assert(distinctPairs.min > 12, s"distinct docs too close: ${distinctPairs.min}")
+    val kept = Similarity.simhashDetDedup(docs)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!kept.contains(52L), "exact copy survived det-simhash dedup")
+    assert((0L until 40L).toSet.subsetOf(kept), "a distinct doc was dropped")
+  }
+
   test("minhashDetDedup drops planted near-dups via the deterministic banded signature") {
     val kept = Similarity.minhashDetDedup(docs)
       .select($"doc_id").as[Long].collect().toSet
