@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, HashingTF, MinHashLSH}
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Tables, VerifiedQuery}
@@ -446,6 +446,103 @@ object Similarity {
   def lshTopKQuery(spark: SparkSession, dir: String): DataFrame =
     lshTopK(Tables.embeddings(spark, dir))
 
+  // --------------------------------- deterministic hyperplane ANN (oracled)
+
+  /** Deterministic random-hyperplane LSH parameters: T tables × W sign
+    * bits over D=64 dims. Hyperplane components derive from a fixed LCG
+    * (pure integer math → the same IEEE double in any engine), so the
+    * whole bucket→candidate→exact-rerank pipeline is DuckDB-oracled —
+    * unlike the seeded MLlib [[lshTopK]].
+    *
+    * Honesty note on parameters: the synthetic embeddings are ISOTROPIC
+    * noise (measured), the adversarial case for hyperplane LSH — at these
+    * settings candidates run ~40-50% of the corpus for recall@10 ≈ 0.7.
+    * On a real (clustered) embedding corpus the same shape is far more
+    * selective; the SHAPE is what scales: signature build is linear,
+    * candidates come only from per-(table,key) buckets, rerank is exact
+    * cosine on candidates only. */
+  private val AnnTables = 16
+  private val AnnBits = 4
+  private val AnnDims = 64
+
+  /** Hyperplane component (t,w,d), identical formula to the oracle SQL. */
+  private def planeLit(t: Int, w: Int): Column = {
+    val vals = (0 until AnnDims).map { d =>
+      ((1103515245L * ((t.toLong * AnnBits + w) * AnnDims + d) + 12345L) % 2147483647L)
+        .toDouble / 2147483647.0 * 2 - 1
+    }
+    array(vals.map(lit): _*)
+  }
+
+  /** One row per (vec_id, table, key): key = W sign bits of the embedding
+    * against the table's hyperplanes (native [[graft.plans.DotProduct]] —
+    * bit-identical to DuckDB's list_dot_product). */
+  def hyperplaneSignatures(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .select(col("vec_id"), col("emb"), explode(array((0 until AnnTables).map { t =>
+        struct(lit(t).as("t"),
+          (0 until AnnBits).map { w =>
+            when(V.dotNative(col("emb"), planeLit(t, w)) > 0, lit(1L << w)).otherwise(lit(0L))
+          }.reduce(_ + _).as("key"))
+      }: _*)).as("tk"))
+      .select(col("vec_id"), col("emb"), col("tk.t"), col("tk.key"))
+
+  /** Deterministic-LSH ANN top-k: queries (vec_id < nQueries) match corpus
+    * vectors sharing any (table, key) bucket; candidates are exactly
+    * reranked by sequential-double cosine. Fully oracled. */
+  def lshDetTopK(emb: DataFrame, nQueries: Int = 3, k: Int = 10): DataFrame = {
+    // cache: query side, corpus side, and both rerank joins read the sigs
+    val sigs = hyperplaneSignatures(emb).cache()
+    val ids = sigs.select(col("vec_id"), col("t"), col("key"))
+    val qids = ids.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("t"), col("key"))
+    val cand = qids.join(ids, Seq("t", "key"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id")).distinct()
+    // rerank reads embeddings from the source frame (a distinct over the
+    // exploded sigs would shuffle the full array column for nothing)
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(e, Seq("vec_id"))
+      .join(e.select(col("vec_id").as("qid"), col("emb").as("qemb")), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        (V.dotNative(col("emb"), col("qemb")) /
+          (V.normNative(col("emb")) * V.normNative(col("qemb")))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  def lshDetTopKQuery(spark: SparkSession, dir: String): DataFrame =
+    lshDetTopK(Tables.embeddings(spark, dir))
+
+  private val lshDetTopKSql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      |), sig AS (
+      |  SELECT vec_id, emb, t.t,
+      |    list_sum(list_transform(range(0, 4), w ->
+      |      CASE WHEN list_dot_product(emb,
+      |        list_transform(range(0, 64), d ->
+      |          CAST((1103515245 * ((t.t * 4 + w) * 64 + d) + 12345) % 2147483647 AS DOUBLE)
+      |            / 2147483647.0 * 2 - 1)) > 0
+      |      THEN (CAST(1 AS BIGINT) << w) ELSE 0 END)) AS key
+      |  FROM e, (SELECT unnest(range(0, 16)) AS t) t
+      |), qs AS (
+      |  SELECT vec_id AS qid, t, key FROM sig WHERE vec_id < 3
+      |), cand AS (
+      |  SELECT DISTINCT qs.qid, s.vec_id
+      |  FROM qs JOIN sig s ON qs.t = s.t AND qs.key = s.key AND s.vec_id != qs.qid
+      |), scored AS (
+      |  SELECT c.qid, c.vec_id,
+      |    list_dot_product(v.emb, q.emb)
+      |      / (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(q.emb, q.emb))) AS cos
+      |  FROM cand c JOIN e v ON c.vec_id = v.vec_id JOIN e q ON c.qid = q.vec_id)
+      |SELECT qid, vec_id, cos, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+      |  FROM scored)
+      |WHERE rank <= 10""".stripMargin
+
   // ----------------------------------------------------- cosine near-dup
 
   /** Embedding-cosine near-duplicate pairs, IVF-style: candidates are
@@ -524,6 +621,7 @@ object Similarity {
   val all: Seq[VerifiedQuery] = Seq(
     VerifiedQuery("q_ann_cosine", bruteForceTopKQuery, Some(bruteForceTopKSql)),
     VerifiedQuery("q_ann_lsh", lshTopKQuery, None),
+    VerifiedQuery("q_ann_lsh_det", lshDetTopKQuery, Some(lshDetTopKSql)),
     VerifiedQuery("q_minhash_dedup", minhashDedupQuery, None),
     VerifiedQuery("q_minhash_det_dedup", minhashDetDedupQuery, Some(minhashDetDedupSql)),
     VerifiedQuery("q_simhash_dedup", simhashDedupQuery, None),

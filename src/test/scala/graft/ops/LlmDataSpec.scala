@@ -164,6 +164,26 @@ class LlmDataSpec extends SparkSpec {
     assert((0L until 40L).toSet.subsetOf(kept))
   }
 
+  test("lshDetTopK: deterministic hyperplane ANN — recall vs brute force, exact rerank cosines") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, dir)
+    val det = Similarity.lshDetTopK(emb)
+      .select($"qid", $"vec_id", $"cos").as[(Long, Long, Double)].collect()
+    val bf = Similarity.bruteForceTopK(emb)
+      .select($"qid", $"vec_id", $"cos").as[(Long, Long, Double)].collect()
+    val bfTop = bf.map(r => (r._1, r._2)).toSet
+    val hits = det.map(r => (r._1, r._2)).toSet.intersect(bfTop)
+    val recall = hits.size.toDouble / bfTop.size
+    // isotropic corpus = hyperplane-LSH-adversarial; 0.6 is the measured
+    // floor at T=16/W=4 (clustered corpora do far better at same params)
+    assert(recall >= 0.6, s"det-LSH recall@10 $recall < 0.6")
+    // candidate rerank must agree with brute force bit-for-bit on shared pairs
+    val bfCos = bf.map(r => (r._1, r._2) -> r._3).toMap
+    det.filter(r => bfCos.contains((r._1, r._2))).foreach { r =>
+      assert(r._3 == bfCos((r._1, r._2)), s"cosine drift on (${r._1},${r._2})")
+    }
+  }
+
   test("cosineNearDupKMeans: learned quantizer recalls >= 0.9 of true high-cos pairs") {
     // 5 well-separated direction clusters × 40 points in 16 dims: noise is
     // small, so cos >= 0.9 pairs are exactly the within-cluster ones — the
