@@ -218,6 +218,27 @@ object Similarity {
     docs.join(dropIds, Seq("doc_id"), "left_anti")
   }
 
+  /** Transitive-closure dedup over the DETERMINISTIC candidate graph: one
+    * kept doc (the component minimum) per connected component. Because the
+    * edge set is engine-portable ([[minhashDetCandidates]]) and closure is
+    * closure, this puts [[connectedComponents]] — pointer jumping,
+    * checkpointing and all — under the DuckDB oracle (recursive-CTE
+    * reachability on the oracle side). */
+  def minhashDetDedupTransitive(docs: DataFrame, numHashes: Int = 12,
+                                bandWidth: Int = 2, minAgree: Int = 9): DataFrame = {
+    val comps = connectedComponents(
+      minhashDetCandidates(docs, numHashes, bandWidth, minAgree))
+    val dropIds = comps.filter(col("doc_id") =!= col("cluster")).select(col("doc_id"))
+    docs.join(dropIds, Seq("doc_id"), "left_anti")
+  }
+
+  def minhashDetTransitiveQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    minhashDetDedupTransitive(Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism))
+      .select($"doc_id", $"source", $"n_chars")
+  }
+
   /** Registered FULLY-ORACLED query: kept documents after deterministic
     * MinHash banded dedup. Unlike the MLlib LSH queries (coalesced — their
     * cost is bucket-join task overhead), the det pipeline's cost is the
@@ -232,8 +253,11 @@ object Similarity {
       .select($"doc_id", $"source", $"n_chars")
   }
 
-  private val minhashDetDedupSql =
-    """WITH n AS (
+  /** Shared CTE chain of the deterministic-minhash candidate pipeline
+    * (normalize → 8-gram rolling hashes → 12 affine minhashes → 6×2 bands
+    * → bucket-join pairs with agreement counts). */
+  private val detCandCtes =
+    """n AS (
       |  SELECT doc_id,
       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
       |  FROM documents
@@ -258,10 +282,31 @@ object Similarity {
       |    len(list_filter(range(1, 13), i -> a.sig[i] = b.sig[i])) AS agree
       |  FROM bands a JOIN bands b
       |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id
-      |), drops AS (
+      |)""".stripMargin
+
+  private val minhashDetDedupSql =
+    s"""WITH $detCandCtes, drops AS (
       |  SELECT DISTINCT doc_b FROM cand WHERE agree >= 9)
       |SELECT doc_id, source, n_chars FROM documents
       |WHERE doc_id NOT IN (SELECT doc_b FROM drops)""".stripMargin
+
+  /** Closure on the oracle side = recursive-CTE reachability; a node's
+    * cluster is the minimum over itself and everything reachable. */
+  private val minhashDetTransitiveSql =
+    s"""WITH RECURSIVE $detCandCtes, edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM cand WHERE agree >= 9
+      |  UNION
+      |  SELECT doc_b AS src, doc_a AS dst FROM cand WHERE agree >= 9
+      |), reach AS (
+      |  SELECT src AS a, dst AS b FROM edges
+      |  UNION
+      |  SELECT r.a, e.dst AS b FROM reach r JOIN edges e ON r.b = e.src
+      |), labels AS (
+      |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a
+      |), drops AS (
+      |  SELECT doc_id FROM labels WHERE cluster < doc_id)
+      |SELECT doc_id, source, n_chars FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin
 
   // ----------------------------------------------------------- SimHash dedup
 
@@ -624,6 +669,7 @@ object Similarity {
     VerifiedQuery("q_ann_lsh_det", lshDetTopKQuery, Some(lshDetTopKSql)),
     VerifiedQuery("q_minhash_dedup", minhashDedupQuery, None),
     VerifiedQuery("q_minhash_det_dedup", minhashDetDedupQuery, Some(minhashDetDedupSql)),
+    VerifiedQuery("q_minhash_det_transitive", minhashDetTransitiveQuery, Some(minhashDetTransitiveSql)),
     VerifiedQuery("q_simhash_dedup", simhashDedupQuery, None),
     VerifiedQuery("q_simhash_det_dedup", simhashDetDedupQuery, Some(simhashDetDedupSql)),
     VerifiedQuery("q_cosine_neardup", cosineNearDupQuery, Some(cosineNearDupSql)),
