@@ -624,12 +624,18 @@ object Similarity {
     * column holding the cluster assignment. At 100 TB the fit runs over a
     * sample and assignment is a narrow broadcast-centroid map — both
     * linear, no shuffle beyond the fit's own aggregations. */
-  def kmeansBlocks(emb: DataFrame, k: Int, seed: Long = 42): DataFrame = {
+  def kmeansBlocks(emb: DataFrame, k: Int, seed: Long = 42): DataFrame =
+    kmeansAssign(emb, k, seed)._2
+
+  /** Fit + assign, also returning the learned centroids (driver-side:
+    * k × dims doubles — O(1) in corpus size). */
+  def kmeansAssign(emb: DataFrame, k: Int,
+                   seed: Long = 42): (Array[Array[Double]], DataFrame) = {
     val vecs = emb.withColumn("features", array_to_vector(col("embedding")))
     val model = new KMeans()
       .setK(k).setSeed(seed).setFeaturesCol("features").setPredictionCol("block")
       .fit(vecs)
-    model.transform(vecs).drop("features")
+    (model.clusterCenters.map(_.toArray), model.transform(vecs).drop("features"))
   }
 
   /** Embedding-cosine near-dup with the LEARNED quantizer (completes the
@@ -645,6 +651,52 @@ object Similarity {
 
   def cosineNearDupKMeansQuery(spark: SparkSession, dir: String): DataFrame =
     cosineNearDupKMeans(Tables.embeddings(spark, dir))
+
+  /** IVF top-k search — the standard billion-scale ANN shape: corpus rows
+    * are assigned to a KMeans coarse quantizer's cells once; each query
+    * probes its `nProbe` nearest centroids and exact-reranks only the rows
+    * in those cells. Cost per query = nlist centroid distances (tiny,
+    * broadcast) + |probed cells| exact cosines — corpus scan work scales
+    * with nProbe/nlist, not corpus size. Recall is tunable via nProbe
+    * (scalatest-asserted on a clustered fixture; rows-only registry entry
+    * since KMeans centroids aren't SQL-reproducible).
+    */
+  def ivfTopK(emb: DataFrame, nQueries: Int = 3, k: Int = 10,
+              nlist: Int = 16, nProbe: Int = 4, seed: Long = 42): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (centers, assignedRaw) = kmeansAssign(emb, nlist, seed)
+    // cache: feeds the query extraction and the rerank join
+    val assigned = assignedRaw
+      .select(col("vec_id"), col("block"), col("embedding").cast("array<double>").as("emb"))
+      .cache()
+    // the model's centroids as a tiny broadcast relation (nlist × dims)
+    val cents = centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("block", "centroid")
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    // probe: distance of each query to each centroid (nlist × nQueries rows)
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("block"))
+    val probed = q.crossJoin(broadcast(cents))
+      .select(col("qid"), col("qemb"), col("block"),
+        (V.dotNative(col("centroid"), col("centroid")) -
+          lit(2.0) * V.dotNative(col("qemb"), col("centroid"))).as("cdist"))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nProbe)
+      .select(col("qid"), col("qemb"), col("block"))
+    // rerank: exact cosine over the probed cells only
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    probed.join(assigned, Seq("block"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        (V.dotNative(col("emb"), col("qemb")) /
+          (V.normNative(col("emb")) * V.normNative(col("qemb")))).as("cos"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+  }
+
+  def ivfTopKQuery(spark: SparkSession, dir: String): DataFrame =
+    ivfTopK(Tables.embeddings(spark, dir))
 
   def cosineNearDupQuery(spark: SparkSession, dir: String): DataFrame =
     cosineNearDupBlocked(Tables.embeddings(spark, dir))
@@ -674,5 +726,6 @@ object Similarity {
     VerifiedQuery("q_simhash_det_dedup", simhashDetDedupQuery, Some(simhashDetDedupSql)),
     VerifiedQuery("q_cosine_neardup", cosineNearDupQuery, Some(cosineNearDupSql)),
     VerifiedQuery("q_cosine_neardup_kmeans", cosineNearDupKMeansQuery, None),
+    VerifiedQuery("q_ann_ivf", ivfTopKQuery, None),
   )
 }

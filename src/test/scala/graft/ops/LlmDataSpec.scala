@@ -213,6 +213,30 @@ class LlmDataSpec extends SparkSpec {
     assert(found.subsetOf(truth), "blocked scorer produced a pair below the cos threshold")
   }
 
+  test("ivfTopK: probed-cell search recalls the clustered neighbors; rerank is exact") {
+    // same clustered fixture shape as the quantizer test: queries' true
+    // top-k live in their own cluster, so probing nProbe=2 of 5 cells
+    // must recover nearly all of them
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(5)(Array.fill(16)(rnd.nextGaussian()))
+    val points = (0 until 200).map { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(v => (v + rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val emb = points.toDF("vec_id", "embedding")
+    val ivf = Similarity.ivfTopK(emb, nQueries = 3, k = 10, nlist = 5, nProbe = 2)
+      .select($"qid", $"vec_id", $"cos").as[(Long, Long, Double)].collect()
+    val bf = Similarity.bruteForceTopK(emb, nQueries = 3, k = 10)
+      .select($"qid", $"vec_id", $"cos").as[(Long, Long, Double)].collect()
+    val bfSet = bf.map(r => (r._1, r._2)).toSet
+    val recall = ivf.map(r => (r._1, r._2)).toSet.intersect(bfSet).size.toDouble / bfSet.size
+    assert(recall >= 0.9, s"IVF recall@10 $recall < 0.9")
+    val bfCos = bf.map(r => (r._1, r._2) -> r._3).toMap
+    ivf.filter(r => bfCos.contains((r._1, r._2))).foreach { r =>
+      assert(r._3 == bfCos((r._1, r._2)), s"IVF rerank cosine drift on (${r._1},${r._2})")
+    }
+  }
+
   test("sessionize splits on >30min gaps per user") {
     import java.sql.Timestamp
     def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
