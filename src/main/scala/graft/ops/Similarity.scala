@@ -105,6 +105,7 @@ object Similarity {
     var labels = sym.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id")).cache()
     var converged = false
+    var prevSum: Option[java.math.BigDecimal] = None
     var i = 0
     while (!converged && i < maxIter) {
       val neighborMin = sym
@@ -123,11 +124,18 @@ object Similarity {
       val next =
         if ((i + 1) % checkpointEvery == 0) jumped.localCheckpoint(true)
         else jumped.cache()
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("doc_id"))
-        .filter(col("cluster") =!= col("old")).count()
+      // convergence via Σcluster: labels only ever DECREASE per node
+      // (least), so the total is strictly monotone until fixpoint — one
+      // aggregate action per round instead of a join+filter+count.
+      // decimal(38,0) keeps the sum exact at any corpus size (a wrapped
+      // long sum could in principle alias a non-fixpoint as converged).
+      val sum = Option(next
+        .agg(org.apache.spark.sql.functions.sum(col("cluster").cast("decimal(38,0)")))
+        .first().get(0).asInstanceOf[java.math.BigDecimal])
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = sum == prevSum
+      prevSum = sum
       i += 1
     }
     sym.unpersist()

@@ -114,6 +114,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("lshDetTopK: candidate generation is keyed bucket joins, never a product join") {
+    val plan = Similarity.lshDetTopK(graft.Tables.embeddings(spark, dir))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in det-LSH plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in det-LSH plan:\n$plan")
+  }
+
+  test("ivfTopK: only the nlist-row centroid probe is non-equi; rerank joins are keyed") {
+    val plan = Similarity.ivfTopK(graft.Tables.embeddings(spark, dir), nlist = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in IVF plan:\n$plan")
+    // the query×centroid probe is a deliberate broadcast product over nlist
+    // rows (O(1) in corpus size) — anything more is a scale bug
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 1, s"expected at most the probe BNLJ, got $bnlj:\n$plan")
+  }
+
   test("sampleSplit: seed-pinned sample is stable; split is disjoint and covering") {
     import spark.implicits._
     val ord = graft.Tables.orders(spark, dir).select($"o_orderkey")
