@@ -272,6 +272,12 @@ object LlmData {
       |  MIN(sec) AS start_s, MAX(sec) AS end_s, MAX(sec) - MIN(sec) AS span_s
       |FROM s GROUP BY 1, 2""".stripMargin
 
+  private val streamWindowedSql =
+    """SELECT CAST(floor(epoch(ts)) AS BIGINT) // 600 * 600 AS w_start_s,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[VerifiedQuery] = Seq(
@@ -290,5 +296,10 @@ object LlmData {
     VerifiedQuery("q_stream_sessionize",
       (s, d) => graft.streaming.StreamSessionize.availableNowSessionize(s, d),
       Some(sessionizeSql)),
+    // watermarked tumbling-window aggregate under the same gate: epoch-
+    // aligned windows make the oracle a plain integer-bucket GROUP BY
+    VerifiedQuery("q_stream_windowed",
+      (s, d) => graft.streaming.StreamSessionize.availableNowWindowedCounts(s, d),
+      Some(streamWindowedSql)),
   )
 }

@@ -156,9 +156,38 @@ object Scale {
       |JOIN nation ON l.nk = n_nationkey
       |GROUP BY n_name""".stripMargin
 
+  /** Static SALTED join — the portable skew fix (works with AQE off, or
+    * where runtime splitting can't, e.g. feeding a co-partitioned
+    * aggregate): the fact side tags each row with salt = orderkey mod
+    * `salts`; the dimension side is exploded `salts`× so every
+    * (key, salt) pair matches. The hot key's rows spread over `salts`
+    * reducers instead of one; the dim grows by `salts`× (fine — it's a
+    * dimension). Result identical to the plain join — that's the oracle.
+    * [[skewJoin]] is the runtime (AQE) counterpart.
+    */
+  def saltedJoin(spark: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("nk",
+        when(pmod($"l_orderkey", lit(25)) < 20, lit(0L))
+          .otherwise(pmod($"l_orderkey", lit(25))))
+      .withColumn("salt", pmod($"l_orderkey", lit(salts)))
+    val dim = Tables.nation(spark, dir)
+      .withColumn("salt", explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+    li.join(dim.hint("shuffle_merge"),
+        $"nk" === $"n_nationkey" && li("salt") === dim("salt"))
+      .groupBy($"n_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (sum(round($"l_extendedprice" * 100).cast("long")) / lit(100.0)).as("sum_price"))
+  }
+
+  private val saltedJoinSql = skewJoinSql // identical semantics by design
+
   val all: Seq[VerifiedQuery] = Seq(
     VerifiedQuery("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     VerifiedQuery("q_salted_agg", (s, d) => saltedAgg(s, d), Some(saltedAggSql)),
     VerifiedQuery("q_skew_join", skewJoin, Some(skewJoinSql)),
+    VerifiedQuery("q_salted_join", (s, d) => saltedJoin(s, d), Some(saltedJoinSql)),
   )
 }

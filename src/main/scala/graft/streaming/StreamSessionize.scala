@@ -158,6 +158,58 @@ object StreamSessionize {
         ($"end_s" - $"start_s").as("span_s"))
   }
 
+  /** The watermarked tumbling-window aggregate as a REGISTERED BATCH QUERY
+    * (same sentinel-flush mechanics as [[availableNowSessionize]]): 10-min
+    * windows × event_type with count and an exact integer-cents sum
+    * (a raw double sum is accumulation-order-dependent and could never
+    * hash-match the oracle). Window starts align to the epoch origin, so
+    * the oracle is a plain `epoch // 600 * 600` GROUP BY. Append mode
+    * only emits a window once the watermark passes its end — the sentinel
+    * closes every real window in the final no-data batch. */
+  def availableNowWindowedCounts(spark: SparkSession, dir: String,
+                                 fixtureRoot: String = "/root/repo/target/qfixtures",
+                                 windowSeconds: Int = 600): DataFrame = {
+    import spark.implicits._
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val inDir = s"$fixtureRoot/stream_wc_in_$tag"
+    val ckpt = s"$fixtureRoot/stream_wc_ckpt_$tag"
+    val sinkName = s"stream_wc_out_${tag.replace(".", "_")}"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+      f.delete()
+    }
+    rm(new java.io.File(ckpt))
+    rm(new java.io.File(inDir))
+
+    val ev = graft.Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
+    val maxTs = ev.agg(max($"ts")).as[Timestamp].head()
+    val sentinelTs = new Timestamp(maxTs.getTime + (windowSeconds + 3600) * 1000L)
+    val sentinel = Seq((-1L, -1L, sentinelTs, "sentinel", 0.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    ev.unionByName(sentinel).coalesce(1).write.parquet(inDir)
+
+    val stream = spark.readStream.schema(ev.schema).parquet(inDir)
+    val query = stream
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), s"$windowSeconds seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_c"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value_c"))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+
+    spark.table(sinkName)
+      .filter(col("event_type") =!= "sentinel")
+      .select(unix_timestamp(col("w_start")).as("w_start_s"), col("event_type"),
+        col("n"), (col("sum_value_c") / lit(100.0)).as("sum_value"))
+  }
+
   /** Watermarked tumbling-window counts per event type — the canonical
     * streaming aggregate (late data beyond the watermark dropped, state
     * evicted per closed window). */

@@ -114,6 +114,13 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin: join keys carry the salt (hot key spread across reducers)") {
+    val plan = Scale.saltedJoin(spark, dir).queryExecution.optimizedPlan.toString
+    // the join condition must include BOTH the natural key and the salt
+    assert("Join.*salt".r.findFirstIn(plan.replaceAll("\n", " ")).isDefined,
+      s"salt missing from join keys:\n$plan")
+  }
+
   test("lshDetTopK: candidate generation is keyed bucket joins, never a product join") {
     val plan = Similarity.lshDetTopK(graft.Tables.embeddings(spark, dir))
       .queryExecution.executedPlan.toString
