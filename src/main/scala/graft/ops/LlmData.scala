@@ -231,6 +231,86 @@ object LlmData {
       |           (a, b) -> (a * 31 + b) % 2147483647))) END AS winnow_fp
       |FROM n""".stripMargin
 
+  // ------------------------------------------------- end-to-end prep pipeline
+
+  /** The flagship LLM-data-prep composition, one query: exact-dedup the
+    * corpus on the normalized fingerprint (keep the min doc_id per
+    * fingerprint), drop deterministic-minhash near-dups, keep documents
+    * whose quality score clears 0.5, and report per-source corpus stats.
+    * Every stage is an already-oracled operator ([[fingerprintDedup]],
+    * [[Similarity.minhashDetDedup]], [[qualityScore]]) — this registers
+    * their composition under the gate, the thing a real pipeline runs.
+    * Scale shape: two hash-agg shuffles (fingerprint group, final stats),
+    * one banded bucket join (near-dup), per-row scalars for quality —
+    * nothing quadratic, nothing driver-side. */
+  def llmPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    // stage 1: exact/formatting dedup — keep min doc_id per fingerprint
+    val fpKeep = docs
+      .groupBy(Text.fingerprint($"text").as("fp"))
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val afterFp = docs.join(fpKeep, Seq("doc_id"), "left_semi")
+    // stage 2: near-dup drops via the deterministic banded minhash —
+    // computed over the FULL corpus, not the fp-survivors: a survivor
+    // whose (smaller) near-dup partner was fp-dropped must still drop,
+    // and independent drop-sets keep the stages order-insensitive
+    val nearDrops = Similarity.minhashDetCandidates(docs)
+      .select($"doc_b".as("doc_id")).distinct()
+    val afterNear = afterFp.join(nearDrops, Seq("doc_id"), "left_anti")
+    // stage 3: quality gate + per-source stats
+    val nTok = Text.tokenCount($"text")
+    val stops = Text.occurrenceCount($"text", Seq("the", "a", "of", "and", "to", "in", "is"))
+    val stopRatio = stops * lit(1.0) / nTok
+    val punctRatio = Text.punctCount($"text") * lit(1.0) / length($"text")
+    val meanLen = Text.tokenCharSum($"text") * lit(1.0) / nTok
+    val lenOk = when(length($"text").between(100, 100000), lit(1.0)).otherwise(lit(0.0))
+    val meanLenOk = when(meanLen.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0))
+    val quality = stopRatio * lit(0.4) + (lit(1.0) - punctRatio) * lit(0.2) +
+      lenOk * lit(0.2) + meanLenOk * lit(0.2)
+    afterNear
+      .withColumn("quality", quality)
+      .withColumn("n_tokens", nTok.cast("long"))
+      .filter($"quality" >= 0.5)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("total_tokens"),
+        min($"doc_id").as("min_doc_id"),
+        max($"doc_id").as("max_doc_id"))
+  }
+
+  private val llmPipelineSql = {
+    val detCand = graft.ops.Similarity.detCandSqlCtes
+    s"""WITH $detCand, near_drops AS (
+      |  SELECT DISTINCT doc_b FROM cand WHERE agree >= 9
+      |), fp_keep AS (
+      |  SELECT MIN(doc_id) AS doc_id
+      |  FROM documents
+      |  GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))
+      |), kept AS (
+      |  SELECT d.* FROM documents d
+      |  JOIN fp_keep k ON d.doc_id = k.doc_id
+      |  WHERE d.doc_id NOT IN (SELECT doc_b FROM near_drops)
+      |), scored AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+      |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+      |        x -> list_contains(['the','a','of','and','to','in','is'], x))) * 1.0
+      |      / len(string_split_regex(trim(text), '\\s+')) * 0.4
+      |    + (1.0 - len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / length(text)) * 0.2
+      |    + CAST(CASE WHEN length(text) BETWEEN 100 AND 100000 THEN 1.0 ELSE 0.0 END AS DOUBLE) * 0.2
+      |    + CAST(CASE WHEN list_sum(list_transform(string_split_regex(trim(text), '\\s+'), x -> length(x))) * 1.0
+      |                     / len(string_split_regex(trim(text), '\\s+'))
+      |                BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END AS DOUBLE) * 0.2 AS quality
+      |  FROM kept)
+      |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+      |FROM scored WHERE quality >= 0.5
+      |GROUP BY source""".stripMargin
+  }
+
   // --------------------------------------------------------- sessionization
 
   /** Gap-based sessionization over the event stream: per user, a new
@@ -301,5 +381,6 @@ object LlmData {
     VerifiedQuery("q_stream_windowed",
       (s, d) => graft.streaming.StreamSessionize.availableNowWindowedCounts(s, d),
       Some(streamWindowedSql)),
+    VerifiedQuery("q_llm_pipeline", llmPipeline, Some(llmPipelineSql)),
   )
 }

@@ -263,8 +263,9 @@ object Similarity {
 
   /** Shared CTE chain of the deterministic-minhash candidate pipeline
     * (normalize → 8-gram rolling hashes → 12 affine minhashes → 6×2 bands
-    * → bucket-join pairs with agreement counts). */
-  private val detCandCtes =
+    * → bucket-join pairs with agreement counts). Shared with the composed
+    * [[LlmData.llmPipeline]] oracle. */
+  private[ops] val detCandSqlCtes =
     """n AS (
       |  SELECT doc_id,
       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
@@ -293,7 +294,7 @@ object Similarity {
       |)""".stripMargin
 
   private val minhashDetDedupSql =
-    s"""WITH $detCandCtes, drops AS (
+    s"""WITH $detCandSqlCtes, drops AS (
       |  SELECT DISTINCT doc_b FROM cand WHERE agree >= 9)
       |SELECT doc_id, source, n_chars FROM documents
       |WHERE doc_id NOT IN (SELECT doc_b FROM drops)""".stripMargin
@@ -301,7 +302,7 @@ object Similarity {
   /** Closure on the oracle side = recursive-CTE reachability; a node's
     * cluster is the minimum over itself and everything reachable. */
   private val minhashDetTransitiveSql =
-    s"""WITH RECURSIVE $detCandCtes, edges AS (
+    s"""WITH RECURSIVE $detCandSqlCtes, edges AS (
       |  SELECT doc_a AS src, doc_b AS dst FROM cand WHERE agree >= 9
       |  UNION
       |  SELECT doc_b AS src, doc_a AS dst FROM cand WHERE agree >= 9
