@@ -99,4 +99,45 @@ class PropertySpec extends SparkSpec {
         assert(h1 == h2, "simhash should depend on the token multiset, not order")
       }
   }
+
+  test("minhashSignatures is a set function: order- and duplicate-insensitive, in-range") {
+    val p = 2147483647L
+    val listGen = Gen.nonEmptyListOf(Gen.choose(0L, p - 1))
+    val cases = samples(listGen, 25)
+    val rnd = new scala.util.Random(13)
+    val df = cases.map(hs => (hs, rnd.shuffle(hs) ++ hs.take(3))).toDF("a", "b")
+    df.select(Text.minhashSignatures($"a", 12), Text.minhashSignatures($"b", 12))
+      .as[(Seq[Long], Seq[Long])].collect()
+      .foreach { case (sa, sb) =>
+        assert(sa == sb, "minhash signature must depend only on the shingle SET")
+        assert(sa.size == 12 && sa.forall(v => v >= 0 && v < p), s"out of range: $sa")
+      }
+  }
+
+  test("simhashDet stays within its 62-bit domain and is order-insensitive") {
+    val listGen = Gen.nonEmptyListOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "x9"))
+    val cases = samples(listGen, 20)
+    val rnd = new scala.util.Random(17)
+    val df = cases.map(ws => (ws.mkString(" "), rnd.shuffle(ws).mkString(" "))).toDF("a", "b")
+    df.select(Text.simhashDet($"a"), Text.simhashDet($"b"))
+      .as[(Long, Long)].collect()
+      .foreach { case (h1, h2) =>
+        assert(h1 == h2, "det simhash must be a token-multiset function")
+        assert((h1 >>> 62) == 0, s"bits above 61 set: $h1")
+        assert(h1 >= 0, "det simhash must be non-negative")
+      }
+  }
+
+  test("rollingHash and kgramHashes stay within [0, 2^31-1)") {
+    val p = 2147483647L
+    val strGen = Gen.listOfN(20, Gen.alphaNumChar).map(_.mkString)
+    val df = samples(strGen, 30).toDF("s")
+    df.select(Text.rollingHash($"s"), Text.kgramHashes($"s", 8))
+      .as[(Long, Seq[Long])].collect()
+      .foreach { case (h, ks) =>
+        assert(h >= 0 && h < p, s"rollingHash out of range: $h")
+        assert(ks.forall(k => k >= 0 && k < p), s"kgram hash out of range")
+        assert(ks.size == 13, s"20-char string must yield 13 8-grams, got ${ks.size}")
+      }
+  }
 }
