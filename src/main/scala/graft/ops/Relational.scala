@@ -205,17 +205,26 @@ object Relational {
     li.agg(
         count(lit(1)).as("n"),
         sum($"price_c").as("sum_price_c"),
-        sum(($"price_c" * $"price_c").cast(DecimalType(38, 0))).cast("double").as("sumsq_price_c"),
+        sum(($"price_c" * $"price_c").cast(DecimalType(38, 0))).as("sumsq_dec"),
         (min($"price_c") / lit(100.0)).as("min_price"),
         (max($"price_c") / lit(100.0)).as("max_price"),
         sum($"l_quantity").as("sum_qty"),
         sum($"l_quantity" * $"l_quantity").as("sumsq_qty"),
         min($"l_quantity").as("min_qty"),
         max($"l_quantity").as("max_qty"))
+      // The exact decimal Σprice² exceeds 2^53, and engines DISAGREE on
+      // big-int→double rounding (DuckDB's int128 cast truncates, JVM
+      // BigDecimal rounds to nearest — measured 1-ulp drift at sf0.1).
+      // Split it exactly into hi·2^32 + lo and rebuild the double with
+      // the SAME two IEEE ops on both sides → bit-identical at any SF.
+      .withColumn("sumsq_hi", floor($"sumsq_dec" / lit(4294967296L)).cast("long"))
+      .withColumn("sumsq_d",
+        $"sumsq_hi".cast("double") * lit(4294967296.0) +
+          ($"sumsq_dec" - $"sumsq_hi".cast(DecimalType(38, 0)) * lit(4294967296L)).cast("double"))
       .select(
         $"n",
         ($"sum_price_c" / lit(100.0) / $"n").as("mean_price"),
-        (sqrt(($"sumsq_price_c" - $"sum_price_c".cast("double") * $"sum_price_c" / $"n") / ($"n" - 1)) / lit(100.0)).as("std_price"),
+        (sqrt(($"sumsq_d" - $"sum_price_c".cast("double") * $"sum_price_c" / $"n") / ($"n" - 1)) / lit(100.0)).as("std_price"),
         $"min_price", $"max_price",
         ($"sum_qty" / $"n").as("mean_qty"),
         sqrt(($"sumsq_qty" - $"sum_qty" * $"sum_qty" / $"n") / ($"n" - 1)).as("std_qty"),
@@ -229,19 +238,24 @@ object Relational {
       |), a AS (
       |  SELECT COUNT(*) AS n,
       |    CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
-      |    CAST(SUM(CAST(price_c AS HUGEINT)*price_c) AS DOUBLE) AS sumsq_price_c,
+      |    SUM(CAST(price_c AS HUGEINT)*price_c) AS sumsq_h,
       |    MIN(price_c)/100.0 AS min_price, MAX(price_c)/100.0 AS max_price,
       |    SUM(l_quantity) AS sum_qty, SUM(l_quantity*l_quantity) AS sumsq_qty,
       |    MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
-      |  FROM c)
+      |  FROM c
+      |), b AS (
+      |  SELECT a.*,
+      |    CAST(CAST(sumsq_h // 4294967296 AS BIGINT) AS DOUBLE) * 4294967296.0
+      |      + CAST(CAST(sumsq_h % 4294967296 AS BIGINT) AS DOUBLE) AS sumsq_d
+      |  FROM a)
       |SELECT n,
       |  sum_price_c/100.0/n AS mean_price,
-      |  sqrt((sumsq_price_c - CAST(sum_price_c AS DOUBLE)*sum_price_c/n)/(n-1))/100.0 AS std_price,
+      |  sqrt((sumsq_d - CAST(sum_price_c AS DOUBLE)*sum_price_c/n)/(n-1))/100.0 AS std_price,
       |  min_price, max_price,
       |  sum_qty/n AS mean_qty,
       |  sqrt((sumsq_qty - sum_qty*sum_qty/n)/(n-1)) AS std_qty,
       |  min_qty, max_qty
-      |FROM a""".stripMargin
+      |FROM b""".stripMargin
 
   /** ROLLUP hierarchy aggregate (beyond-reference; grouping-sets family). */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
