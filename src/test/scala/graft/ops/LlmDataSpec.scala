@@ -138,6 +138,14 @@ class LlmDataSpec extends SparkSpec {
     assert(comps(10L) == 10L && comps(11L) == 10L)
   }
 
+  test("connectedComponents fails loudly instead of returning non-converged labels") {
+    // a 30-node path cannot converge in 1 round even with pointer jumping
+    val edges = (1L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Similarity.connectedComponents(edges, maxIter = 1)
+    }
+  }
+
   test("connectedComponents converges on a deep path graph within the O(log d) round bound") {
     // 200-node path: plain min-label propagation needs 199 rounds; pointer
     // jumping must finish inside maxIter=20 (log2(200) ≈ 7.6 plus slack),

@@ -38,6 +38,14 @@ class DotProductSpec extends SparkSpec {
     assert(out(2).isEmpty) // length mismatch → null, same as the HOF fold
   }
 
+  test("graft_dot rejects wrong arity with an AnalysisException, not an internal error") {
+    vecs.createOrReplaceTempView("vecs_arity_t")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_dot(a) FROM vecs_arity_t").collect()
+    }
+    assert(e.getMessage.contains("graft_dot"), e.getMessage)
+  }
+
   test("native dot stays inside WholeStageCodegen over a parquet scan") {
     // needs a file-backed source — a local relation constant-folds into
     // LocalTableScan before codegen is even considered
