@@ -130,7 +130,9 @@ object Text {
       .otherwise(aggregate(charCodes(c), lit(RollSeed),
         (acc, o) => (acc * RollBase + o) % RollPrime))
 
-  /** Rolling hashes of every k-length character window. */
+  /** Rolling hashes of every k-length character window (portable
+    * higher-order form — O(len·k) interpreted; see [[kgramHashesNative]]
+    * for the O(len) codegen'd fast path with identical values). */
   def kgramHashes(c: Column, k: Int): Column =
     when(length(c) < k, array().cast("array<bigint>"))
       .otherwise(transform(
@@ -138,12 +140,23 @@ object Text {
         i => aggregate(charCodes(c.substr(i, lit(k))), lit(RollSeed),
           (acc, o) => (acc * RollBase + o) % RollPrime)))
 
+  /** Codegen'd sliding-window k-gram hashes via the native
+    * [[graft.plans.KgramHashes]] expression — bit-identical to
+    * [[kgramHashes]], O(len) instead of O(len·k). Requires the session to
+    * be built with `spark.sql.extensions=graft.plans.GraftExtensions`. */
+  def kgramHashesNative(c: Column, k: Int): Column =
+    call_function("graft_kgrams", c, lit(k))
+
   /** Winnowing-style fingerprint: the minimum k-gram rolling hash —
     * overlapping content between documents yields matching fingerprints
     * with probability rising in the overlap length. Null for inputs
     * shorter than k. */
   def winnowFingerprint(c: Column, k: Int = 8): Column =
     array_min(kgramHashes(c, k))
+
+  /** [[winnowFingerprint]] on the native k-gram fast path. */
+  def winnowFingerprintNative(c: Column, k: Int = 8): Column =
+    array_min(kgramHashesNative(c, k))
 
   /** Deterministic 62-bit SimHash from per-token Rabin–Karp hashes: two
     * independent 31-bit vote lanes (the token hash pushed through two fixed

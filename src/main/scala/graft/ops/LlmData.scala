@@ -208,7 +208,7 @@ object LlmData {
       .select($"doc_id", Text.normalized($"text").as("norm"))
       .select($"doc_id",
         Text.rollingHash($"norm").as("roll_hash"),
-        Text.winnowFingerprint($"norm", 8).as("winnow_fp"))
+        Text.winnowFingerprintNative($"norm", 8).as("winnow_fp"))
   }
 
   private val rollingFingerprintSql =

@@ -178,7 +178,8 @@ object Similarity {
       // computed shingle alias would push below the projection and
       // re-evaluate the whole k-gram pipeline per row
       .filter(length(col("norm")) >= 8)
-      .select(col("doc_id"), array_distinct(Text.kgramHashes(col("norm"), 8)).as("shingles"))
+      // native O(len) sliding-window hashes (bit-identical to the HOF form)
+      .select(col("doc_id"), array_distinct(Text.kgramHashesNative(col("norm"), 8)).as("shingles"))
       .select(col("doc_id"), Text.minhashSignatures(col("shingles"), numHashes).as("sig"))
 
   /** Candidate near-dup pairs from the deterministic minhash, banded LSH:

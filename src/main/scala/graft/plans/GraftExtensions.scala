@@ -34,5 +34,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         DotProduct(asDouble(exprs.head), asDouble(exprs(1)))
       }))
+    extensions.injectFunction((
+      new FunctionIdentifier("graft_kgrams"),
+      new ExpressionInfo(classOf[KgramHashes].getName, "graft_kgrams"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) {
+          throw new AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_kgrams`",
+              "expectedNum" -> "2",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        }
+        KgramHashes(exprs.head, exprs(1))
+      }))
   }
 }

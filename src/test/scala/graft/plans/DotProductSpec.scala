@@ -57,6 +57,33 @@ class DotProductSpec extends SparkSpec {
       s"graft_dot project not codegen'd:\n$plan")
   }
 
+  test("graft_kgrams sliding-window hashes are bit-identical to the HOF fold") {
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abcdefghij0123456789 .,;"
+    val strs = (0 until 40).map { i =>
+      val n = rnd.nextInt(60) // includes < k and empty
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    } :+ "" :+ "short" :+ "exactly8" :+ "ü unicode bmp çhars here"
+    val df = strs.toDF("s")
+    val rows = df.select(
+      Text.kgramHashes($"s", 8).as("hof"),
+      Text.kgramHashesNative($"s", 8).as("native"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (h, n) => assert(h == n, s"kgram mismatch: $h vs $n") }
+    // null input → null, matching the HOF's null propagation
+    val nulls = Seq[Option[String]](None).toDF("s")
+      .select(Text.kgramHashesNative($"s", 8)).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
+  test("graft_kgrams stays inside WholeStageCodegen over a parquet scan") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = docs.select(Text.kgramHashesNative($"text", 8))
+      .queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project \\[graft_kgrams".r.findFirstIn(plan).isDefined,
+      s"graft_kgrams project not codegen'd:\n$plan")
+  }
+
   test("rollingHash/winnowFingerprint: integer math, overlap detection, edge cases") {
     val df = Seq(
       ("abcdefghij", "abcdefghij"),          // identical
