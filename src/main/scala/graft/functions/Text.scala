@@ -185,6 +185,12 @@ object Text {
         lit(0L), (a, b) => a.bitwiseOR(b)))
   }
 
+  /** [[simhashDet]] on the native codegen'd fast path
+    * ([[graft.plans.SimhashDet]]) — bit-identical values, one tight loop
+    * per row instead of the interpreted 62-vote fold. Requires
+    * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+  def simhashDetNative(c: Column): Column = call_function("graft_simhash", c)
+
   /** Deterministic minhash signature over a shingle-hash array: element j is
     * min over shingles of the fixed affine mixer (a_j·h + b_j) mod (2³¹−1),
     * a_j = 1 + j·1299721, b_j = 7 + j·104729. Unlike MLlib's seeded

@@ -368,7 +368,8 @@ object Similarity {
     * [[simhashCandidates]]; every number is engine-portable integer math,
     * so the dedup carries a full DuckDB oracle. */
   def simhashDetCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val hashed = docs.select(col("doc_id"), Text.simhashDet(lower(col("text"))).as("sh"))
+    // native codegen'd hash (bit-identical to Text.simhashDet)
+    val hashed = docs.select(col("doc_id"), Text.simhashDetNative(lower(col("text"))).as("sh"))
     // cache: both sides of the band self-join read this — without it the
     // 62-bit-vote fold runs twice over the corpus
     val banded = hashed.select(col("doc_id"), col("sh"),

@@ -49,5 +49,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         KgramHashes(exprs.head, exprs(1))
       }))
+    extensions.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimhashDet].getName, "graft_simhash"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1) {
+          throw new AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_simhash`",
+              "expectedNum" -> "1",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        }
+        SimhashDet(exprs.head)
+      }))
   }
 }

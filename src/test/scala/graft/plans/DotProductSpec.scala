@@ -84,6 +84,29 @@ class DotProductSpec extends SparkSpec {
       s"graft_kgrams project not codegen'd:\n$plan")
   }
 
+  test("graft_simhash is bit-identical to the HOF simhashDet, incl. whitespace edge cases") {
+    val rnd = new scala.util.Random(31)
+    val words = Array("alpha", "beta", "Gamma7", "x", "09", ".,;")
+    val strs = (0 until 30).map { _ =>
+      (0 until rnd.nextInt(12)).map(_ => words(rnd.nextInt(words.length)))
+        .mkString(if (rnd.nextBoolean()) " " else "  ")
+    } ++ Seq(
+      "",            // empty → single empty token (hash = seed)
+      "   ",         // all spaces → trim → empty token
+      "\ta b",       // leading tab survives Spark trim → leading empty token
+      "a b\t",       // trailing tab → trailing empty token (split limit −1)
+      "a\nb\t c",    // mixed whitespace separators
+      "ü çhars here")
+    val df = strs.toDF("s")
+    val rows = df.select(
+      Text.simhashDet($"s").as("hof"),
+      Text.simhashDetNative($"s").as("native"))
+      .as[(Long, Long)].collect()
+    rows.zip(strs).foreach { case ((h, n), s) =>
+      assert(h == n, s"simhash mismatch on ${s.replace("\n", "\\n").replace("\t", "\\t")}: $h vs $n")
+    }
+  }
+
   test("rollingHash/winnowFingerprint: integer math, overlap detection, edge cases") {
     val df = Seq(
       ("abcdefghij", "abcdefghij"),          // identical
