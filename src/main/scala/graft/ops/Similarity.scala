@@ -95,13 +95,50 @@ object Similarity {
     * downstream ([[minhashDedupTransitive]]); with pointer jumping a
     * non-convergence at maxIter=20 means something pathological, and loud
     * beats wrong.
+    *
+    * Graphs of at most `localThreshold` edges skip the loop entirely and
+    * run a driver union-find (one collect of a bounded, NON-data-sized
+    * edge list) — equivalence with the distributed path is test-asserted.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
-                          checkpointEvery: Int = 5): DataFrame = {
+                          checkpointEvery: Int = 5,
+                          localThreshold: Long = 1000000L): DataFrame = {
     // symmetric edge list
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
+    // Small-graph fast path: LSH candidate graphs are orders of magnitude
+    // smaller than the corpus by construction, and the distributed loop
+    // pays several jobs PER ROUND. Up to `localThreshold` edges (~16 MB)
+    // a driver union-find answers in one collect + one local relation —
+    // bounded memory, same (doc_id, min-id cluster) output. Above the
+    // threshold the iterative keyed-join loop below is the scale path
+    // (tests pin it by passing localThreshold = 0).
+    val edgeCount = sym.count()
+    if (edgeCount <= localThreshold) {
+      val spark = sym.sparkSession
+      import spark.implicits._
+      val es = sym.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val ra = find(a)
+        val rb = find(b)
+        // union toward the smaller root → final root = component minimum
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val out = parent.keysIterator.map(k => (k, find(k))).toSeq.toDF("doc_id", "cluster")
+      sym.unpersist()
+      return out
+    }
     var labels = sym.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id")).cache()
     var converged = false

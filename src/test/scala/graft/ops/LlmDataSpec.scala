@@ -140,9 +140,10 @@ class LlmDataSpec extends SparkSpec {
 
   test("connectedComponents fails loudly instead of returning non-converged labels") {
     // a 30-node path cannot converge in 1 round even with pointer jumping
+    // (localThreshold = 0 forces the distributed loop)
     val edges = (1L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     intercept[IllegalStateException] {
-      Similarity.connectedComponents(edges, maxIter = 1)
+      Similarity.connectedComponents(edges, maxIter = 1, localThreshold = 0L)
     }
   }
 
@@ -150,11 +151,25 @@ class LlmDataSpec extends SparkSpec {
     // 200-node path: plain min-label propagation needs 199 rounds; pointer
     // jumping must finish inside maxIter=20 (log2(200) ≈ 7.6 plus slack),
     // crossing several localCheckpoint boundaries on the way.
+    // localThreshold = 0 forces the distributed loop (the code under test).
     val edges = (1L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val comps = Similarity.connectedComponents(edges)
+    val comps = Similarity.connectedComponents(edges, localThreshold = 0L)
       .as[(Long, Long)].collect().toMap
     assert(comps.size == 200)
     assert(comps.values.forall(_ == 1L), s"path graph not fully merged")
+  }
+
+  test("connectedComponents: driver union-find and distributed loop agree on random graphs") {
+    val rnd = new scala.util.Random(41)
+    val edges = (0 until 60).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("doc_a", "doc_b")
+    val local = Similarity.connectedComponents(edges)
+      .as[(Long, Long)].collect().toSet
+    val dist = Similarity.connectedComponents(edges, localThreshold = 0L)
+      .as[(Long, Long)].collect().toSet
+    assert(local == dist, s"paths diverge: only-local=${(local -- dist).take(5)} only-dist=${(dist -- local).take(5)}")
   }
 
   test("minhashDedupTransitive keeps one doc per near-dup component") {
