@@ -678,10 +678,14 @@ object Similarity {
   /** Fit + assign, also returning the learned centroids (driver-side:
     * k × dims doubles — O(1) in corpus size). */
   def kmeansAssign(emb: DataFrame, k: Int,
-                   seed: Long = 42): (Array[Array[Double]], DataFrame) = {
+                   seed: Long = 42, maxIter: Int = 10): (Array[Array[Double]], DataFrame) = {
     val vecs = emb.withColumn("features", array_to_vector(col("embedding")))
+    // maxIter 10 (not MLlib's 20): a coarse quantizer only needs stable
+    // cells, not converged centroids — block assignment quality plateaus
+    // well before the default budget and the fit dominates query cost
     val model = new KMeans()
-      .setK(k).setSeed(seed).setFeaturesCol("features").setPredictionCol("block")
+      .setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features").setPredictionCol("block")
       .fit(vecs)
     (model.clusterCenters.map(_.toArray), model.transform(vecs).drop("features"))
   }
