@@ -231,6 +231,78 @@ object LlmData {
       |           (a, b) -> (a * 31 + b) % 2147483647))) END AS winnow_fp
       |FROM n""".stripMargin
 
+  // --------------------------------------------------------- decontamination
+
+  /** Benchmark decontamination — the standard "is my training corpus
+    * contaminated with eval data?" check: character-8-gram hash overlap
+    * between each corpus document and a benchmark set (here the docs with
+    * doc_id < `benchmarkIds`, standing in for an eval suite). Emits, per
+    * contaminated corpus doc, how many distinct grams it shares and with
+    * how many benchmark docs.
+    *
+    * Contamination is judged by the FRACTION of the doc's own distinct
+    * grams found anywhere in the benchmark union — an eval dup shares
+    * nearly all of them. (The synthetic corpus's tiny vocabulary gives a
+    * 0.6–0.7 background fraction; 0.85 isolates the genuine planted
+    * eval-dups. On a real corpus the background sits near zero and the
+    * same threshold applies with far more margin.)
+    *
+    * Scale shape: grams explode to (hash, doc) pairs; the benchmark side
+    * is small by construction (eval suites are tiny vs a corpus) so the
+    * hash join broadcasts it; one hash-agg shuffle for the per-doc counts.
+    * Never all-pairs, never a driver collect. */
+  def decontaminate(spark: SparkSession, dir: String,
+                    benchmarkIds: Long = 20, minFrac: Double = 0.85): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select($"doc_id", Text.normalized($"text").as("norm"))
+      .filter(length($"norm") >= 8)
+      .select($"doc_id", explode(array_distinct(Text.kgramHashesNative($"norm", 8))).as("g"))
+    // cache: feeds the benchmark slice, the corpus slice, and the totals
+    grams.cache()
+    val bench = grams.filter($"doc_id" < benchmarkIds)
+      .select($"doc_id".as("bench_id"), $"g")
+    val corpus = grams.filter($"doc_id" >= benchmarkIds)
+    val totals = corpus.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+    corpus.join(broadcast(bench), Seq("g"))
+      .groupBy($"doc_id")
+      .agg(count_distinct($"g").as("n_shared_grams"),
+        count_distinct($"bench_id").as("n_bench_docs"))
+      .join(totals, Seq("doc_id"))
+      .withColumn("share_frac", $"n_shared_grams" * lit(1.0) / $"n_grams")
+      .filter($"share_frac" >= minFrac)
+      .select($"doc_id", $"n_shared_grams", $"n_bench_docs", $"n_grams", $"share_frac")
+  }
+
+  private val decontaminateSql =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, length(norm) - 6),
+      |    i -> list_reduce(
+      |      list_prepend(CAST(7 AS BIGINT),
+      |        list_transform(regexp_extract_all(substring(norm, CAST(i AS INTEGER), 8), '.'),
+      |          c -> CAST(ord(c) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 2147483647)))) AS gram
+      |  FROM n WHERE length(norm) >= 8
+      |)
+      |, tot AS (
+      |  SELECT doc_id, COUNT(*) AS n_grams FROM g WHERE doc_id >= 20 GROUP BY doc_id
+      |), s AS (
+      |  SELECT c.doc_id,
+      |    COUNT(DISTINCT c.gram) AS n_shared_grams,
+      |    COUNT(DISTINCT b.doc_id) AS n_bench_docs
+      |  FROM g c JOIN g b ON c.gram = b.gram
+      |  WHERE c.doc_id >= 20 AND b.doc_id < 20
+      |  GROUP BY c.doc_id)
+      |SELECT doc_id, n_shared_grams, n_bench_docs, n_grams,
+      |  n_shared_grams * 1.0 / n_grams AS share_frac
+      |FROM s JOIN tot USING (doc_id)
+      |WHERE n_shared_grams * 1.0 / n_grams >= 0.85""".stripMargin
+
   // ------------------------------------------------- end-to-end prep pipeline
 
   /** The flagship LLM-data-prep composition, one query: exact-dedup the
@@ -382,5 +454,6 @@ object LlmData {
       (s, d) => graft.streaming.StreamSessionize.availableNowWindowedCounts(s, d),
       Some(streamWindowedSql)),
     VerifiedQuery("q_llm_pipeline", llmPipeline, Some(llmPipelineSql)),
+    VerifiedQuery("q_decontaminate", (s, d) => decontaminate(s, d), Some(decontaminateSql)),
   )
 }

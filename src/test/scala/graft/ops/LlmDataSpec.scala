@@ -260,6 +260,31 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate flags docs whose gram set is inside the benchmark union") {
+    // fixture: docs 0..39 distinct, 50≈0, 51≈1, 52=2. With benchmark =
+    // ids < 10, the planted copies of benchmark members must flag at
+    // share_frac ≈ 1.0 and the distinct docs must not.
+    docs.createOrReplaceTempView("decon_docs_t")
+    import org.apache.spark.sql.functions._
+    val grams = docs
+      .select($"doc_id", Text.normalized($"text").as("norm"))
+      .filter(length($"norm") >= 8)
+      .select($"doc_id", explode(array_distinct(Text.kgramHashesNative($"norm", 8))).as("g"))
+    val bench = grams.filter($"doc_id" < 10).select($"doc_id".as("bench_id"), $"g")
+    val corpus = grams.filter($"doc_id" >= 10)
+    val totals = corpus.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+    val flagged = corpus.join(broadcast(bench), Seq("g"))
+      .groupBy($"doc_id").agg(countDistinct($"g").as("sh"))
+      .join(totals, Seq("doc_id"))
+      .filter($"sh" * 1.0 / $"n_grams" >= 0.85)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(flagged.contains(52L), "exact copy of a benchmark doc not flagged")
+    assert(flagged.contains(51L), "formatting variant of a benchmark doc not flagged")
+    assert(flagged.contains(50L), "near-dup of a benchmark doc not flagged")
+    assert(flagged.intersect((10L until 40L).toSet).isEmpty,
+      s"distinct docs falsely flagged: ${flagged.intersect((10L until 40L).toSet)}")
+  }
+
   test("sessionize splits on >30min gaps per user") {
     import java.sql.Timestamp
     def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
