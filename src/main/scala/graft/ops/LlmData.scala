@@ -231,6 +231,46 @@ object LlmData {
       |           (a, b) -> (a * 31 + b) % 2147483647))) END AS winnow_fp
       |FROM n""".stripMargin
 
+  /** Within-document repetition ratio (the Gopher-style quality rule):
+    * 1 − distinct/total character-8-grams — templated or looping text
+    * duplicates its own k-grams. Per-row scalar over the native k-gram
+    * hashes; emits the docs above the repetition threshold with their
+    * ratios. */
+  def repetition(spark: SparkSession, dir: String,
+                 minRatio: Double = 0.12): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select($"doc_id", Text.normalized($"text").as("norm"))
+      .filter(length($"norm") >= 8)
+      .select($"doc_id", Text.kgramHashesNative($"norm", 8).as("grams"))
+      .select($"doc_id",
+        size($"grams").cast("long").as("n_grams"),
+        size(array_distinct($"grams")).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio", lit(1.0) - $"n_distinct" * lit(1.0) / $"n_grams")
+      .filter($"rep_ratio" >= minRatio)
+  }
+
+  private val repetitionSql =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, list_transform(range(1, length(norm) - 6),
+      |    i -> list_reduce(
+      |      list_prepend(CAST(7 AS BIGINT),
+      |        list_transform(regexp_extract_all(substring(norm, CAST(i AS INTEGER), 8), '.'),
+      |          c -> CAST(ord(c) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 2147483647)) AS grams
+      |  FROM n WHERE length(norm) >= 8
+      |)
+      |SELECT doc_id, n_grams, n_distinct, 1.0 - n_distinct * 1.0 / n_grams AS rep_ratio
+      |FROM (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+      |             CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct
+      |      FROM g)
+      |WHERE 1.0 - n_distinct * 1.0 / n_grams >= 0.12""".stripMargin
+
   // --------------------------------------------------------- decontamination
 
   /** Benchmark decontamination — the standard "is my training corpus
@@ -455,5 +495,6 @@ object LlmData {
       Some(streamWindowedSql)),
     VerifiedQuery("q_llm_pipeline", llmPipeline, Some(llmPipelineSql)),
     VerifiedQuery("q_decontaminate", (s, d) => decontaminate(s, d), Some(decontaminateSql)),
+    VerifiedQuery("q_repetition", (s, d) => repetition(s, d), Some(repetitionSql)),
   )
 }

@@ -260,6 +260,21 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("repetition ratio separates looping text from normal prose") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "a perfectly ordinary sentence with distinct and varied wording here"))
+      .toDF("doc_id", "text")
+    val r = df
+      .select($"doc_id", Text.normalized($"text").as("norm"))
+      .select($"doc_id", Text.kgramHashesNative($"norm", 8).as("g"))
+      .select($"doc_id",
+        (lit(1.0) - size(array_distinct($"g")) * lit(1.0) / size($"g")).as("rr"))
+      .as[(Long, Double)].collect().toMap
+    assert(r(1L) > 0.5, s"looping text ratio too low: ${r(1L)}")
+    assert(r(2L) < 0.1, s"normal prose ratio too high: ${r(2L)}")
+  }
+
   test("decontaminate flags docs whose gram set is inside the benchmark union") {
     // fixture: docs 0..39 distinct, 50≈0, 51≈1, 52=2. With benchmark =
     // ids < 10, the planted copies of benchmark members must flag at
