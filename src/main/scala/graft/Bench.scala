@@ -9,12 +9,22 @@ object Bench {
     * (regex/string/array work) would be timed without ever running their
     * expressions. The checksum aggregate hashes every row's full struct —
     * one codegen'd pass, nothing escapes evaluation, and the driver
-    * receives a single long. Falls back to a row-wise materialization for
-    * output types xxhash64 can't digest (e.g. VectorUDT). */
-  private def force(df: DataFrame): Unit =
-    try df.select(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)).as("h"))
-      .agg(sum(col("h"))).collect()
-    catch { case _: Exception => df.foreach(_ => ()) }
+    * receives a single long. `bit_xor` (not `sum`) because summing uniform
+    * 64-bit hashes overflows a partial sum within a few rows under Spark 4's
+    * ANSI mode, aborting the job and silently re-evaluating the query via a
+    * fallback — doubling its timed cost. XOR is order-independent and cannot
+    * overflow. The row-wise fallback exists ONLY for output types xxhash64
+    * rejects at analysis time (e.g. VectorUDT); genuine runtime failures
+    * propagate to the timing loop and are reported, never swallowed. */
+  private def force(df: DataFrame): Unit = {
+    val checksummed =
+      try Some(df.select(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)).as("h")))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    checksummed match {
+      case Some(h) => h.agg(expr("bit_xor(h)")).collect()
+      case None    => df.foreach(_ => ())
+    }
+  }
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -33,9 +43,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config(Tuning.Key, "true")  // test-SF partition sizing (see graft.Tuning)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Reliable-checkpoint store for iterative operators (HDFS/S3 on a cluster)
+    spark.sparkContext.setCheckpointDir("/root/repo/target/checkpoints")
     // Untimed warmup: JVM/codegen/parquet-reader startup shouldn't be
     // charged to whichever query happens to run first.
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -49,25 +62,51 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     val perQuery = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
+    // name -> error message from the LAST failing iteration. A failing query
+    // still gets timed (time-to-failure) so the bench completes, but the
+    // failure is reported in the JSON and via exit code — never silently
+    // recorded as a healthy number.
+    val failures = scala.collection.mutable.Map[String, String]()
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    // Per-iteration load average: host contention on a shared box hits some
+    // iterations and not others; raw per-iteration rows (below) plus the
+    // load trace make a contaminated run self-diagnosing without a re-run.
+    val iterLoadAvg = scala.collection.mutable.ArrayBuffer[Double]()
     val iterTotals = (1 to iters).map { _ =>
       spark.catalog.clearCache()
-      queries.map { case (name, fn) =>
+      val t = queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+        try force(fn(spark, sfDir))
+        catch { case e: Throwable =>
+          failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(1).mkString.take(300)
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         perQuery(name) = perQuery(name) :+ dt
         dt
       }.sum
+      iterLoadAvg += osBean.getSystemLoadAverage
+      t
     }
+    def jStr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val medians = queries.map { case (name, _) => name -> median(perQuery(name)) }
-    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = medians.map { case (k, v) => jStr(k) + ":" + v }
       .mkString("{", ",", "}")
+    val perIter = queries.map { case (name, _) =>
+      jStr(name) + ":" + perQuery(name).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val failJson = failures.toSeq.sortBy(_._1)
+      .map { case (k, v) => jStr(k) + ":" + jStr(v) }.mkString("{", ",", "}")
     val total = medians.map(_._2).sum
     val itJson = iterTotals.mkString("[", ",", "]")
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    val loadAvg = osBean.getSystemLoadAverage
+    val loadJson = iterLoadAvg.mkString("[", ",", "]")
     val nCpus = Runtime.getRuntime.availableProcessors
-    println(s"""{"metric":"total_median","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"iter_totals":$itJson,"host_cpus":$nCpus,"load_avg_start_of_report":$loadAvg,"spark_cpus":$cpus}""")
+    println(s"""{"metric":"total_median","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"iter_totals":$itJson,"per_query_iters":$perIter,"iter_load_avg":$loadJson,"failed_queries":$failJson,"host_cpus":$nCpus,"load_avg_start_of_report":${osBean.getSystemLoadAverage},"spark_cpus":$cpus}""")
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(s"BENCH: ${failures.size} quer${if (failures.size == 1) "y" else "ies"} FAILED: ${failures.keys.toSeq.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -14,9 +14,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config(Tuning.Key, "true")  // test-SF partition sizing (see graft.Tuning)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Reliable-checkpoint store for iterative operators (connectedComponents
+    // checkpoints every few rounds; on a cluster this would be HDFS/S3)
+    spark.sparkContext.setCheckpointDir("/root/repo/target/checkpoints")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

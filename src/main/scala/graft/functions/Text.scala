@@ -144,8 +144,13 @@ object Text {
     * [[graft.plans.KgramHashes]] expression — bit-identical to
     * [[kgramHashes]], O(len) instead of O(len·k). Requires the session to
     * be built with `spark.sql.extensions=graft.plans.GraftExtensions`. */
-  def kgramHashesNative(c: Column, k: Int): Column =
+  def kgramHashesNative(c: Column, k: Int): Column = {
+    // bit-identity with the HOF form is only defined for k > 0 (at k = 0
+    // the HOF's `length < k` guard never fires and it yields len+1
+    // seed-fold hashes, while the native loop yields an empty array)
+    require(k > 0, s"graft_kgrams requires k > 0, got $k")
     call_function("graft_kgrams", c, lit(k))
+  }
 
   /** Winnowing-style fingerprint: the minimum k-gram rolling hash —
     * overlapping content between documents yields matching fingerprints

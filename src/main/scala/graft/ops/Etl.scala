@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Tables, VerifiedQuery}
 import graft.etl.{TaxiFeatures, WeatherClean}
@@ -209,6 +209,49 @@ object Etl {
       .toDF("split", "n_rows")
   }
 
+  // ------------------------------------------------- deterministic hash sample
+
+  /** Affine hash bucket in [0, buckets): `((key mod p)·a + b) mod p mod
+    * buckets` with p = 2^31−1 and LCG constants — pure 64-bit integer math
+    * any engine computes identically (the `key mod p` pre-reduction keeps
+    * the product under 2^63 for arbitrary BIGINT keys). */
+  def hashBucket(key: Column, buckets: Int = 100): Column =
+    ((key % lit(2147483647L)) * lit(1103515245L) + lit(12345L)) %
+      lit(2147483647L) % lit(buckets.toLong)
+
+  /** X1/X2 production variant (reference's seeded Bernoulli sample/split:
+    * nyc_taxi_final.py:744, 808): deterministic hash-bucket sampling.
+    * `sample(fraction, seed)` depends on partition layout — re-reading the
+    * same data with different file splits draws a different sample, and no
+    * external engine can reproduce it. Bucketing each row by an affine hash
+    * of its key gives the sample a 100 TB pipeline wants: stable under
+    * repartitioning, reproducible in any engine (hence fully oracled),
+    * and consistent across runs — a row is in `train` forever. Sample =
+    * buckets 0–29 (30%), split 24/6 → 80/20 train/test; emits per-split
+    * count + integer-cents revenue so the oracle hash-checks the exact
+    * membership, not just sizes. Narrow scalar math + one hash agg. */
+  def hashSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .withColumn("bucket", hashBucket($"o_orderkey"))
+      .filter($"bucket" < 30)
+      .withColumn("split", when($"bucket" < 24, lit("train")).otherwise(lit("test")))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(cents($"o_totalprice")) / lit(100.0)).as("sum_price"))
+  }
+
+  private val hashSampleSql =
+    """SELECT CASE WHEN bucket < 24 THEN 'train' ELSE 'test' END AS split,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_price
+      |FROM (
+      |  SELECT o_totalprice,
+      |    ((o_orderkey % 2147483647) * 1103515245 + 12345) % 2147483647 % 100 AS bucket
+      |  FROM orders)
+      |WHERE bucket < 30
+      |GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[VerifiedQuery] = Seq(
@@ -216,5 +259,6 @@ object Etl {
     VerifiedQuery("q_weather_csv", weatherCsv, Some(weatherCsvSql)),
     VerifiedQuery("q_parquet_sink", parquetSink, Some(parquetSinkSql)),
     VerifiedQuery("q_sample_split", sampleSplit, None),
+    VerifiedQuery("q_hash_sample", hashSample, Some(hashSampleSql)),
   )
 }

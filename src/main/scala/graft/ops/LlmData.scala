@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.{Tables, VerifiedQuery}
+import graft.{Tables, Tuning, VerifiedQuery}
 import graft.functions.Text
 
 /** LLM-training-data pipeline operators over `documents` and `events`
@@ -203,8 +203,7 @@ object LlmData {
     // repartition: the per-row winnowing math dominates and the
     // single-row-group test file scans as one task (a cluster scan is
     // already thousands of tasks — there the repartition is removable).
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    Tuning.spread(Tables.documents(spark, dir))
       .select($"doc_id", Text.normalized($"text").as("norm"))
       .select($"doc_id",
         Text.rollingHash($"norm").as("roll_hash"),
@@ -239,8 +238,7 @@ object LlmData {
   def repetition(spark: SparkSession, dir: String,
                  minRatio: Double = 0.12): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    Tuning.spread(Tables.documents(spark, dir))
       .select($"doc_id", Text.normalized($"text").as("norm"))
       .filter(length($"norm") >= 8)
       .select($"doc_id", Text.kgramHashesNative($"norm", 8).as("grams"))
@@ -287,29 +285,34 @@ object LlmData {
     * eval-dups. On a real corpus the background sits near zero and the
     * same threshold applies with far more margin.)
     *
-    * Scale shape: grams explode to (hash, doc) pairs; the benchmark side
-    * is small by construction (eval suites are tiny vs a corpus) so the
-    * hash join broadcasts it; one hash-agg shuffle for the per-doc counts.
-    * Never all-pairs, never a driver collect. */
+    * Scale shape: the benchmark side is small by construction (eval suites
+    * are tiny vs a corpus) and its parquet scan prunes on `doc_id <
+    * benchmarkIds`, so it broadcasts; the corpus grams are streamed ONCE
+    * through a broadcast LEFT join and a single per-doc hash aggregation
+    * computes totals, shared counts, and touched-benchmark-doc counts
+    * together — no data-sized cache, no second corpus scan. Never
+    * all-pairs, never a driver collect. */
   def decontaminate(spark: SparkSession, dir: String,
                     benchmarkIds: Long = 20, minFrac: Double = 0.85): DataFrame = {
     import spark.implicits._
-    val grams = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    def grams(df: DataFrame): DataFrame = df
       .select($"doc_id", Text.normalized($"text").as("norm"))
       .filter(length($"norm") >= 8)
       .select($"doc_id", explode(array_distinct(Text.kgramHashesNative($"norm", 8))).as("g"))
-    // cache: feeds the benchmark slice, the corpus slice, and the totals
-    grams.cache()
-    val bench = grams.filter($"doc_id" < benchmarkIds)
+    val docs = Tables.documents(spark, dir)
+    val bench = grams(docs.filter($"doc_id" < benchmarkIds))
       .select($"doc_id".as("bench_id"), $"g")
-    val corpus = grams.filter($"doc_id" >= benchmarkIds)
-    val totals = corpus.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
-    corpus.join(broadcast(bench), Seq("g"))
+    val corpus = grams(Tuning.spread(docs.filter($"doc_id" >= benchmarkIds)))
+    // Left join keeps every corpus gram (bench_id null when unmatched), so
+    // one aggregation sees totals and matches at once. Grams are distinct
+    // per doc before the join; the join can only fan a gram out across the
+    // bench docs that contain it, so count_distinct(g) is the true total.
+    corpus.join(broadcast(bench), Seq("g"), "left")
       .groupBy($"doc_id")
-      .agg(count_distinct($"g").as("n_shared_grams"),
+      .agg(
+        count_distinct($"g").as("n_grams"),
+        count_distinct(when($"bench_id".isNotNull, $"g")).as("n_shared_grams"),
         count_distinct($"bench_id").as("n_bench_docs"))
-      .join(totals, Seq("doc_id"))
       .withColumn("share_frac", $"n_shared_grams" * lit(1.0) / $"n_grams")
       .filter($"share_frac" >= minFrac)
       .select($"doc_id", $"n_shared_grams", $"n_bench_docs", $"n_grams", $"share_frac")
@@ -357,8 +360,7 @@ object LlmData {
     * nothing quadratic, nothing driver-side. */
   def llmPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    val docs = Tuning.spread(Tables.documents(spark, dir))
     // stage 1: exact/formatting dedup — keep min doc_id per fingerprint
     val fpKeep = docs
       .groupBy(Text.fingerprint($"text").as("fp"))

@@ -11,11 +11,14 @@ import graft.{Tables, VerifiedQuery}
   * decoder instantiation per partition, streaming iterator over rows, no
   * per-row setup cost).
   *
-  * The decode step is STUBBED deterministically ([[StubDecoder]] — real
-  * image/audio codecs aren't in this container); everything Spark-side is
-  * real and oracle-tested: schema, the mapPartitions batch shape, the
-  * partition-iterator contract, and the derived features (byte statistics
-  * the DuckDB oracle reproduces from the source text).
+  * Decoders: [[ImageIoDecoder]] is a REAL image codec path (the JDK's
+  * built-in `javax.imageio` — PNG/BMP/JPEG, no extra dependencies) used by
+  * the oracled [[imageFeatures]] query; [[StubDecoder]] remains the
+  * deterministic byte-stat stand-in for media the JDK can't decode
+  * (audio/video codecs aren't in this container) and keeps those queries
+  * oracle-reproducible from the source text. Everything Spark-side is real
+  * and oracle-tested either way: schema, the mapPartitions batch shape,
+  * the partition-iterator contract, and the derived features.
   */
 object Multimodal {
 
@@ -65,6 +68,58 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode via the JDK's built-in `javax.imageio` (PNG/BMP/
+    * JPEG readers ship with the JRE — zero new dependencies).
+    * `features` = (sum of per-pixel gray values, 16-bin gray histogram):
+    * gray = (r+g+b)/3 integer division, exact for grayscale sources where
+    * r=g=b. `frames` = n horizontal bands re-encoded as PNG (lossless, so
+    * chained decode→features stays exact). */
+  object ImageIoDecoder extends MediaDecoder {
+    private def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "payload is not a decodable image")
+      img
+    }
+    def features(bytes: Array[Byte]): (Long, Array[Long]) = {
+      val img = decode(bytes)
+      // Raw RASTER samples, not getRGB: getRGB converts TYPE_BYTE_GRAY
+      // through a linear-gray→sRGB color transform (gamma), silently
+      // shifting every pixel value — raster samples are the stored codec
+      // output, exact for the lossless PNG path.
+      val raster = img.getRaster
+      val bands = raster.getNumBands
+      val hist = new Array[Long](16)
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val v =
+            if (bands >= 3)
+              (raster.getSample(x, y, 0) + raster.getSample(x, y, 1) +
+                raster.getSample(x, y, 2)) / 3
+            else raster.getSample(x, y, 0)
+          sum += v
+          hist(math.min(15, v >> 4)) += 1
+          x += 1
+        }
+        y += 1
+      }
+      (sum, hist)
+    }
+    def frames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      val img = decode(bytes)
+      val bandH = math.max(1, math.ceil(img.getHeight.toDouble / n).toInt)
+      (0 until img.getHeight by bandH).take(n).map { y0 =>
+        val band = img.getSubimage(0, y0, img.getWidth,
+          math.min(bandH, img.getHeight - y0))
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(band, "png", bos)
+        bos.toByteArray
+      }
+    }
+  }
+
   /** Synthesize a media table from `documents` (utf-8 payloads, kind/dims
     * derived deterministically) — the corpus has no real binary column, and
     * this keeps the oracle able to recompute the features from text. */
@@ -108,6 +163,37 @@ object Multimodal {
           val (sum, _) = decoder.features(f)
           Frame(m.media_id, i, f.length.toLong, sum)
         }
+      }
+    }
+  }
+
+  /** Deterministic REAL-image table: one small grayscale PNG per document,
+    * pixel (x,y) = (doc_id·31 + x·7 + y·13) mod 256, width = doc_id mod 16
+    * + 8, height = doc_id mod 12 + 8. PNG is lossless and the formula is
+    * pure integer math, so the whole encode→decode→pixel-stats pipeline is
+    * reproducible in SQL — a full hash oracle over a REAL codec path. */
+  def imagesFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (id % 16 + 8).toInt
+        val h = (id % 12 + 8).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, ((id * 31 + x * 7 + y * 13) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRecord(id, "image", bos.toByteArray, w, h, "png")
       }
     }
   }
@@ -162,8 +248,39 @@ object Multimodal {
       |  CAST(COALESCE(list_sum(list_transform(regexp_extract_all(chunk, '.'), c -> ord(c))), 0) AS BIGINT) AS byte_sum
       |FROM f""".stripMargin
 
+  /** Oracled REAL-codec query: PNG-encode a deterministic image per doc
+    * ([[imagesFromDocuments]]), decode with the JDK's ImageIO
+    * ([[ImageIoDecoder]]), and emit pixel statistics. The PNG byte length
+    * is encoder-dependent (NOT portable) and deliberately excluded; the
+    * decoded pixel sums/histogram bins are exact integer math the oracle
+    * recomputes from the generator formula — so a wrong decode (stride,
+    * channel order, color model) hash-fails. */
+  def imageFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extractFeatures(
+        imagesFromDocuments(graft.Tuning.spread(Tables.documents(spark, dir))),
+        ImageIoDecoder)
+      .select($"media_id",
+        $"byte_sum".as("pixel_sum"),
+        element_at($"histogram", 1).as("hist_bin0"),
+        element_at($"histogram", 16).as("hist_bin15"))
+  }
+
+  private val imageFeaturesSql =
+    """WITH px AS (
+      |  SELECT d.doc_id, (d.doc_id * 31 + x.i * 7 + y.i * 13) % 256 AS v
+      |  FROM documents d, range(23) x(i), range(19) y(i)
+      |  WHERE x.i < d.doc_id % 16 + 8 AND y.i < d.doc_id % 12 + 8
+      |)
+      |SELECT doc_id AS media_id,
+      |  CAST(SUM(v) AS BIGINT) AS pixel_sum,
+      |  CAST(COUNT(*) FILTER (WHERE v < 16) AS BIGINT) AS hist_bin0,
+      |  CAST(COUNT(*) FILTER (WHERE v >= 240) AS BIGINT) AS hist_bin15
+      |FROM px GROUP BY doc_id""".stripMargin
+
   val all: Seq[VerifiedQuery] = Seq(
     VerifiedQuery("q_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
     VerifiedQuery("q_frame_sample", frameSampleQuery, Some(frameSampleSql)),
+    VerifiedQuery("q_image_features", imageFeatures, Some(imageFeaturesSql)),
   )
 }

@@ -6,7 +6,7 @@ import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.{Tables, VerifiedQuery}
+import graft.{Tables, Tuning, VerifiedQuery}
 import graft.functions.{Text, Vectors => V}
 
 /** Near-duplicate detection and similarity search at scale (north-star
@@ -85,10 +85,15 @@ object Similarity {
     * candidates (orders of magnitude smaller than the corpus), each round
     * is a keyed shuffle join, and the per-round driver action reads only a
     * change counter. Lineage is BOUNDED: every `checkpointEvery` rounds the
-    * label frame is localCheckpoint'ed (plan depth never exceeds
-    * ~checkpointEvery rounds' worth), so analysis time stays flat and a
-    * lost executor replays at most the segment since the last checkpoint,
-    * not the whole iteration history.
+    * label frame is checkpointed (plan depth never exceeds
+    * ~checkpointEvery rounds' worth), so analysis time stays flat. When the
+    * session has a checkpoint dir configured (`setCheckpointDir` — Verify
+    * and Bench set one), this is a RELIABLE checkpoint: blocks live on the
+    * fault-tolerant store, so a lost executor re-reads them and the job
+    * survives. Without a checkpoint dir it falls back to
+    * `localCheckpoint`, which truncates lineage but keeps blocks only on
+    * executors — an executor loss then FAILS the job (it cannot replay:
+    * the lineage is gone). On a real cluster, always set a checkpoint dir.
     *
     * Throws IllegalStateException if the loop exits before fixpoint —
     * returning non-converged labels would silently under-drop duplicates
@@ -159,8 +164,11 @@ object Similarity {
         .select(col("c.doc_id").as("doc_id"),
           least(col("c.cluster"), col("p.cluster")).as("cluster"))
       val next =
-        if ((i + 1) % checkpointEvery == 0) jumped.localCheckpoint(true)
-        else jumped.cache()
+        if ((i + 1) % checkpointEvery == 0) {
+          if (sym.sparkSession.sparkContext.getCheckpointDir.isDefined)
+            jumped.checkpoint(true)
+          else jumped.localCheckpoint(true)
+        } else jumped.cache()
       // convergence via Σcluster: labels only ever DECREASE per node
       // (least), so the total is strictly monotone until fixpoint — one
       // aggregate action per round instead of a join+filter+count.
@@ -184,9 +192,20 @@ object Similarity {
 
   /** Transitive-closure MinHash dedup: keep one doc (the min id) per
     * connected component of the near-dup graph. */
-  def minhashDedupTransitive(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
-    val comps = connectedComponents(minhashCandidates(docs, threshold))
-    val dropIds = comps.filter(col("doc_id") =!= col("cluster")).select(col("doc_id"))
+  def minhashDedupTransitive(docs: DataFrame, threshold: Double = 0.6): DataFrame =
+    dropNonMinima(docs, connectedComponents(minhashCandidates(docs, threshold)))
+
+  /** Anti-join `docs` against the non-minimum members of each component,
+    * releasing the component-label frame the iterative
+    * [[connectedComponents]] loop left cached: the (candidate-graph-sized)
+    * drop set is materialized eagerly, the labels are unpersisted, and the
+    * returned kept-docs frame depends only on the small drop set — no
+    * session-lifetime cache of the label frame (ADVICE r3). */
+  private def dropNonMinima(docs: DataFrame, comps: DataFrame): DataFrame = {
+    val dropIds = comps.filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id")).cache()
+    dropIds.count()
+    comps.unpersist()
     docs.join(dropIds, Seq("doc_id"), "left_anti")
   }
 
@@ -198,7 +217,7 @@ object Similarity {
     * scalable path. */
   def minhashDedupQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    minhashDedup(Tables.documents(spark, dir).coalesce(8))
+    minhashDedup(Tuning.compact(Tables.documents(spark, dir)))
       .select($"doc_id", $"source", $"n_chars")
   }
 
@@ -235,8 +254,12 @@ object Similarity {
   def minhashDetCandidates(docs: DataFrame, numHashes: Int = 12,
                            bandWidth: Int = 2, minAgree: Int = 9): DataFrame = {
     require(numHashes % bandWidth == 0, "bandWidth must divide numHashes")
-    // cache: feeds both sides of the band self-join
-    val sigs = minhashDetSignatures(docs, numHashes).cache()
+    // No cache: both sides of the band self-join shuffle on (band, key)
+    // over the identical child plan, so ReuseExchange materializes the
+    // signature computation ONCE in the shuffle files — the same
+    // single-evaluation guarantee a cache gave, with nothing left pinned
+    // in storage for the rest of the session (ADVICE r3).
+    val sigs = minhashDetSignatures(docs, numHashes)
     val nBands = numHashes / bandWidth
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until nBands).map(b =>
@@ -271,17 +294,29 @@ object Similarity {
     * checkpointing and all — under the DuckDB oracle (recursive-CTE
     * reachability on the oracle side). */
   def minhashDetDedupTransitive(docs: DataFrame, numHashes: Int = 12,
-                                bandWidth: Int = 2, minAgree: Int = 9): DataFrame = {
-    val comps = connectedComponents(
-      minhashDetCandidates(docs, numHashes, bandWidth, minAgree))
-    val dropIds = comps.filter(col("doc_id") =!= col("cluster")).select(col("doc_id"))
-    docs.join(dropIds, Seq("doc_id"), "left_anti")
-  }
+                                bandWidth: Int = 2, minAgree: Int = 9,
+                                localThreshold: Long = 1000000L): DataFrame =
+    dropNonMinima(docs, connectedComponents(
+      minhashDetCandidates(docs, numHashes, bandWidth, minAgree),
+      localThreshold = localThreshold))
 
   def minhashDetTransitiveQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    minhashDetDedupTransitive(Tables.documents(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism))
+    minhashDetDedupTransitive(Tuning.spread(Tables.documents(spark, dir)))
+      .select($"doc_id", $"source", $"n_chars")
+  }
+
+  /** Same dedup, `localThreshold = 0`: the candidate graph at test SF
+    * always fits the driver union-find fast path, so without this entry
+    * the DISTRIBUTED pointer-jumping loop (the 100 TB path — keyed joins,
+    * checkpointing, Σcluster convergence) would only ever run inside
+    * scalatest. Registering it with the identical recursive-CTE oracle
+    * keeps the scale path continuously timed by Bench and hash-verified
+    * by the driver (r3 verdict #7). */
+  def minhashDetTransitiveDistQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    minhashDetDedupTransitive(Tuning.spread(Tables.documents(spark, dir)),
+        localThreshold = 0L)
       .select($"doc_id", $"source", $"n_chars")
   }
 
@@ -294,8 +329,7 @@ object Similarity {
     * repartition is a no-op to remove). */
   def minhashDetDedupQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    minhashDetDedup(Tables.documents(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism))
+    minhashDetDedup(Tuning.spread(Tables.documents(spark, dir)))
       .select($"doc_id", $"source", $"n_chars")
   }
 
@@ -364,14 +398,15 @@ object Similarity {
     */
   def simhashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val hashed = docs.select(col("doc_id"), Text.simhash64(lower(col("text"))).as("sh"))
-    // cache: both sides of the band self-join read this — without it the
-    // 64-bit-vote simhash aggregate runs twice over the corpus
+    // No cache: the band self-join's two shuffles on (band, key) share an
+    // identical child plan, so ReuseExchange evaluates the 64-bit-vote
+    // simhash once and both sides read the same shuffle files (ADVICE r3:
+    // a cache here stayed pinned for the session).
     val banded = hashed.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.key"))
-      .cache()
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -392,7 +427,7 @@ object Similarity {
     * partition-sizing note as [[minhashDedupQuery]]). */
   def simhashDedupQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    simhashDedup(Tables.documents(spark, dir).coalesce(8))
+    simhashDedup(Tuning.compact(Tables.documents(spark, dir)))
       .select($"doc_id", $"source", $"n_chars")
   }
 
@@ -407,14 +442,13 @@ object Similarity {
   def simhashDetCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     // native codegen'd hash (bit-identical to Text.simhashDet)
     val hashed = docs.select(col("doc_id"), Text.simhashDetNative(lower(col("text"))).as("sh"))
-    // cache: both sides of the band self-join read this — without it the
-    // 62-bit-vote fold runs twice over the corpus
+    // No cache: identical-child shuffles on (band, key) → ReuseExchange
+    // evaluates the 62-bit-vote fold once for both join sides (ADVICE r3).
     val banded = hashed.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.key"))
-      .cache()
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -436,8 +470,7 @@ object Similarity {
     * [[minhashDetDedupQuery]] — per-row vote math needs the repartition). */
   def simhashDetDedupQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    simhashDetDedup(Tables.documents(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism))
+    simhashDetDedup(Tuning.spread(Tables.documents(spark, dir)))
       .select($"doc_id", $"source", $"n_chars")
   }
 
@@ -584,8 +617,11 @@ object Similarity {
     * vectors sharing any (table, key) bucket; candidates are exactly
     * reranked by sequential-double cosine. Fully oracled. */
   def lshDetTopK(emb: DataFrame, nQueries: Int = 3, k: Int = 10): DataFrame = {
-    // cache: query side, corpus side, and both rerank joins read the sigs
-    val sigs = hyperplaneSignatures(emb).cache()
+    // No cache: the query side's vec_id filter pushes below the signature
+    // projection, so it recomputes hyperplane signatures for nQueries rows
+    // only (O(1) in corpus size); the corpus side evaluates once into the
+    // bucket join's shuffle. Nothing stays pinned in storage (ADVICE r3).
+    val sigs = hyperplaneSignatures(emb)
     val ids = sigs.select(col("vec_id"), col("t"), col("key"))
     val qids = ids.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("t"), col("key"))
@@ -718,15 +754,17 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val (centers, assignedRaw) = kmeansAssign(emb, nlist, seed)
-    // cache: feeds the query extraction and the rerank join
+    // No cache: the rerank join is `assigned`'s ONLY consumer — the query
+    // vectors come straight from the source frame below (they don't need a
+    // cell assignment), so nothing evaluates the KMeans transform twice
+    // and nothing stays pinned in storage (ADVICE r3).
     val assigned = assignedRaw
       .select(col("vec_id"), col("block"), col("embedding").cast("array<double>").as("emb"))
-      .cache()
     // the model's centroids as a tiny broadcast relation (nlist × dims)
     val cents = centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("block", "centroid")
-    val q = assigned.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qemb"))
     // probe: distance of each query to each centroid (nlist × nQueries rows)
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("block"))
     val probed = q.crossJoin(broadcast(cents))
@@ -774,6 +812,7 @@ object Similarity {
     VerifiedQuery("q_minhash_dedup", minhashDedupQuery, None),
     VerifiedQuery("q_minhash_det_dedup", minhashDetDedupQuery, Some(minhashDetDedupSql)),
     VerifiedQuery("q_minhash_det_transitive", minhashDetTransitiveQuery, Some(minhashDetTransitiveSql)),
+    VerifiedQuery("q_minhash_det_transitive_dist", minhashDetTransitiveDistQuery, Some(minhashDetTransitiveSql)),
     VerifiedQuery("q_simhash_dedup", simhashDedupQuery, None),
     VerifiedQuery("q_simhash_det_dedup", simhashDetDedupQuery, Some(simhashDetDedupSql)),
     VerifiedQuery("q_cosine_neardup", cosineNearDupQuery, Some(cosineNearDupSql)),

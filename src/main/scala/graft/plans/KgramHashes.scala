@@ -26,7 +26,17 @@ case class KgramHashes(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (StringType, IntegerType) =>
+        // k ≤ 0 would silently diverge from the HOF twin (which yields
+        // len+1 seed-fold hashes at k = 0 where this yields []): reject a
+        // non-positive foldable k at analysis time rather than diverge
+        if (right.foldable) {
+          val k = right.eval()
+          if (k == null || k.asInstanceOf[Int] <= 0)
+            TypeCheckResult.TypeCheckFailure(
+              s"graft_kgrams requires a positive k, got $k")
+          else TypeCheckResult.TypeCheckSuccess
+        } else TypeCheckResult.TypeCheckSuccess
       case (l, r) =>
         TypeCheckResult.TypeCheckFailure(
           s"graft_kgrams requires (string, int) inputs, got $l and $r")

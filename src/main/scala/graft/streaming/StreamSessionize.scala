@@ -18,6 +18,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamSessionize {
 
+  /** Scratch root for the AvailableNow fixtures (input files + stream
+    * checkpoints): under the JVM temp dir with a per-PROCESS unique
+    * suffix, so two sessions (e.g. a Verify and a Bench running
+    * concurrently) never delete each other's in-flight input or
+    * checkpoint dirs. Within one JVM repeated calls reuse the root — the
+    * per-call rm-then-rewrite below is single-process-safe. Tests can
+    * still override via the `fixtureRoot` parameter. */
+  private lazy val defaultFixtureRoot: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-stream-").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
   final case class Event(event_id: Long, user_id: Long, ts: Timestamp,
                          event_type: String, value: Double)
   final case class SessionState(start: Timestamp, last: Timestamp, n: Long)
@@ -106,7 +119,7 @@ object StreamSessionize {
     * path's `unix_timestamp` seconds.
     */
   def availableNowSessionize(spark: SparkSession, dir: String,
-                             fixtureRoot: String = "/root/repo/target/qfixtures",
+                             fixtureRoot: String = defaultFixtureRoot,
                              gapSeconds: Long = 1800): DataFrame = {
     import spark.implicits._
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -167,7 +180,7 @@ object StreamSessionize {
     * only emits a window once the watermark passes its end — the sentinel
     * closes every real window in the final no-data batch. */
   def availableNowWindowedCounts(spark: SparkSession, dir: String,
-                                 fixtureRoot: String = "/root/repo/target/qfixtures",
+                                 fixtureRoot: String = defaultFixtureRoot,
                                  windowSeconds: Int = 600): DataFrame = {
     import spark.implicits._
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")

@@ -11,13 +11,20 @@ trait SparkSpec extends AnyFunSuite {
 }
 
 object SparkSpec {
-  lazy val session: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.warehouse.dir", "target/spark-warehouse")
-    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-    .getOrCreate()
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", "target/spark-warehouse")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config(Tuning.Key, "true")  // test-SF partition sizing (see graft.Tuning)
+      .getOrCreate()
+    // reliable-checkpoint store: lets suites exercise the same checkpoint
+    // path connectedComponents takes under Verify/Bench
+    s.sparkContext.setCheckpointDir("target/checkpoints")
+    s
+  }
 }

@@ -51,6 +51,48 @@ class MultimodalSpec extends SparkSpec {
     assert(calls.value < 5, s"decoder ran ${calls.value} times for take(1) over 5 rows")
   }
 
+  test("ImageIoDecoder: decodes a generated PNG to exact pixel stats") {
+    // hand-built 3×2 grayscale PNG with known pixel values
+    val img = new java.awt.image.BufferedImage(
+      3, 2, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val px = Array(Array(0, 15, 16), Array(255, 100, 240))
+    for (y <- 0 until 2; x <- 0 until 3) img.getRaster.setSample(x, y, 0, px(y)(x))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (sum, hist) = ImageIoDecoder.features(bos.toByteArray)
+    assert(sum == 0 + 15 + 16 + 255 + 100 + 240)
+    assert(hist.sum == 6)
+    assert(hist(0) == 2)  // 0, 15
+    assert(hist(1) == 1)  // 16
+    assert(hist(6) == 1)  // 100
+    assert(hist(15) == 2) // 240, 255
+  }
+
+  test("ImageIoDecoder frames: horizontal PNG bands, stats add up to the whole") {
+    val img = new java.awt.image.BufferedImage(
+      4, 6, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 6; x <- 0 until 4) img.getRaster.setSample(x, y, 0, y * 40 + x)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val whole = ImageIoDecoder.features(bos.toByteArray)._1
+    val bands = ImageIoDecoder.frames(bos.toByteArray, 3)
+    assert(bands.length == 3)
+    assert(bands.map(b => ImageIoDecoder.features(b)._1).sum == whole)
+  }
+
+  test("imagesFromDocuments → ImageIoDecoder round-trip matches the generator formula") {
+    val feats = extractFeatures(imagesFromDocuments(
+        Seq((7L, "t")).toDF("doc_id", "text")), ImageIoDecoder)
+      .collect()
+    assert(feats.length == 1)
+    val w = 7 % 16 + 8
+    val h = 7 % 12 + 8
+    val expected = (for (x <- 0 until w; y <- 0 until h)
+      yield (7L * 31 + x * 7 + y * 13) % 256).sum
+    assert(feats(0).byte_sum == expected)
+    assert(feats(0).histogram.sum == w.toLong * h)
+  }
+
   test("sampleFrames: only videos, n frames, frames partition the payload") {
     val frames = sampleFrames(media, n = 4).collect().groupBy(_.media_id)
     assert(frames.keySet == Set(2L)) // only doc 2 is video

@@ -115,10 +115,18 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("saltedJoin: join keys carry the salt (hot key spread across reducers)") {
-    val plan = Scale.saltedJoin(spark, dir).queryExecution.optimizedPlan.toString
-    // the join condition must include BOTH the natural key and the salt
-    assert("Join.*salt".r.findFirstIn(plan.replaceAll("\n", " ")).isDefined,
-      s"salt missing from join keys:\n$plan")
+    // Walk the optimized plan to the Join node and assert its CONDITION
+    // carries both the natural key and the salt equality — a substring
+    // match over the flattened plan would pass even if the salt were
+    // dropped from the keys and only survived in a project list.
+    val plan = Scale.saltedJoin(spark, dir).queryExecution.optimizedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty, s"no Join node in optimized plan:\n$plan")
+    val conds = joins.flatMap(_.condition).map(_.sql)
+    assert(conds.exists(c => c.contains("n_nationkey") && c.contains("salt")),
+      s"join condition lacks natural key + salt equalities: $conds\n$plan")
   }
 
   test("lshDetTopK: candidate generation is keyed bucket joins, never a product join") {
