@@ -76,6 +76,10 @@ object Multimodal {
     * chained decode→features stays exact). */
   object ImageIoDecoder extends MediaDecoder {
     private def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      // in-memory stream cache: ImageIO's default writes a temp FILE per
+      // image — per-row disk I/O that collapses under contended storage
+      // (measured 4× on the bench) and is absurd at corpus scale
+      javax.imageio.ImageIO.setUseCache(false)
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       require(img != null, "payload is not a decodable image")
       img
@@ -176,6 +180,7 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no per-image temp files
       it.map { id =>
         val w = (id % 16 + 8).toInt
         val h = (id % 12 + 8).toInt

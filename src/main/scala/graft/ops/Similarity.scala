@@ -32,7 +32,16 @@ object Similarity {
     * Returns candidate pairs (doc_a < doc_b, jaccardDist).
     */
   def minhashCandidates(docs: DataFrame, threshold: Double = 0.6,
-                        numHashTables: Int = 5): DataFrame = {
+                        numHashTables: Int = 5): DataFrame =
+    minhashCandidatesWithRelease(docs, threshold, numHashTables)._1
+
+  /** [[minhashCandidates]] plus a release hook that unpersists the cached
+    * vectorized side; callers that materialize their result (the dedup
+    * operators) invoke it after the consuming action so the corpus-sized
+    * cache doesn't outlive the query (ADVICE r3). */
+  private[ops] def minhashCandidatesWithRelease(
+      docs: DataFrame, threshold: Double = 0.6,
+      numHashTables: Int = 5): (DataFrame, () => Unit) = {
     // Tokenize in a SEPARATE projection: the shingling lambda would
     // otherwise re-run split(text) once per shingle position (it references
     // the token array 3×, which also keeps CollapseProject from inlining).
@@ -53,20 +62,33 @@ object Similarity {
       .setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numHashTables).setSeed(42)
       .fit(vecs)
-    lsh.approxSimilarityJoin(vecs, vecs, threshold, "jaccard_dist")
+    val cand = lsh.approxSimilarityJoin(vecs, vecs, threshold, "jaccard_dist")
       .select(col("datasetA.doc_id").as("doc_a"),
         col("datasetB.doc_id").as("doc_b"),
         col("jaccard_dist"))
       .filter(col("doc_a") < col("doc_b"))
+    (cand, () => { vecs.unpersist(); () })
+  }
+
+  /** Materialize the (candidate-graph-sized, small) drop-id set eagerly,
+    * invoke `release` to free the heavy upstream cache it consumed, and
+    * anti-join. The returned frame depends only on the small cached drop
+    * set, so nothing data-sized stays pinned for the session (ADVICE r3:
+    * unpersist after the consuming action). */
+  private[ops] def dropByIds(docs: DataFrame, ids: DataFrame,
+                             release: () => Unit): DataFrame = {
+    val dropIds = ids.cache()
+    dropIds.count()
+    release()
+    docs.join(dropIds, Seq("doc_id"), "left_anti")
   }
 
   /** Dedup by MinHash candidates: drop every doc that has a near-dup with a
     * smaller id (single-linkage step, no transitive closure — at pipeline
     * scale this runs per-batch and converges across passes). */
   def minhashDedup(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
-    val dropIds = minhashCandidates(docs, threshold)
-      .select(col("doc_b").as("doc_id")).distinct()
-    docs.join(dropIds, Seq("doc_id"), "left_anti")
+    val (cand, release) = minhashCandidatesWithRelease(docs, threshold)
+    dropByIds(docs, cand.select(col("doc_b").as("doc_id")).distinct(), release)
   }
 
   /** Connected components over a candidate edge set by iterative min-label
@@ -192,8 +214,14 @@ object Similarity {
 
   /** Transitive-closure MinHash dedup: keep one doc (the min id) per
     * connected component of the near-dup graph. */
-  def minhashDedupTransitive(docs: DataFrame, threshold: Double = 0.6): DataFrame =
-    dropNonMinima(docs, connectedComponents(minhashCandidates(docs, threshold)))
+  def minhashDedupTransitive(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val (cand, release) = minhashCandidatesWithRelease(docs, threshold)
+    val comps = connectedComponents(cand)
+    // connectedComponents materialized the edge set eagerly — the
+    // candidate pipeline's cache has served its consumers
+    release()
+    dropNonMinima(docs, comps)
+  }
 
   /** Anti-join `docs` against the non-minimum members of each component,
     * releasing the component-label frame the iterative
@@ -252,14 +280,25 @@ object Similarity {
     * bimodal gap (measured at sf0.001/0.01/0.1).
     */
   def minhashDetCandidates(docs: DataFrame, numHashes: Int = 12,
-                           bandWidth: Int = 2, minAgree: Int = 9): DataFrame = {
+                           bandWidth: Int = 2, minAgree: Int = 9): DataFrame =
+    minhashDetCandidatesWithRelease(docs, numHashes, bandWidth, minAgree)._1
+
+  /** [[minhashDetCandidates]] plus a release hook for the signature cache.
+    *
+    * Why the cache is load-bearing (measured, not guessed): at test SF the
+    * planner broadcasts one side of the band self-join, so ReuseExchange
+    * never dedupes the two sides, AND the join's inferred
+    * `isnotnull(band key)` constraint pushes the whole signature
+    * computation down into each side's scan FILTER — without the cache the
+    * per-row signature work ran up to 4× (q_simhash-class queries doubled
+    * in the r4 bench). The cache evaluates it once; the dedup operators
+    * materialize their small drop set and then invoke the release hook, so
+    * the corpus-sized cache doesn't outlive the query (ADVICE r3). */
+  private[ops] def minhashDetCandidatesWithRelease(
+      docs: DataFrame, numHashes: Int = 12,
+      bandWidth: Int = 2, minAgree: Int = 9): (DataFrame, () => Unit) = {
     require(numHashes % bandWidth == 0, "bandWidth must divide numHashes")
-    // No cache: both sides of the band self-join shuffle on (band, key)
-    // over the identical child plan, so ReuseExchange materializes the
-    // signature computation ONCE in the shuffle files — the same
-    // single-evaluation guarantee a cache gave, with nothing left pinned
-    // in storage for the rest of the session (ADVICE r3).
-    val sigs = minhashDetSignatures(docs, numHashes)
+    val sigs = minhashDetSignatures(docs, numHashes).cache()
     val nBands = numHashes / bandWidth
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until nBands).map(b =>
@@ -268,7 +307,7 @@ object Similarity {
       .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
     val a = banded.as("a")
     val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+    val cand = a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         aggregate(zip_with(col("a.sig"), col("b.sig"),
@@ -276,15 +315,16 @@ object Similarity {
           lit(0), (acc, v) => acc + v).as("agree"))
       .distinct()
       .filter(col("agree") >= minAgree)
+    (cand, () => { sigs.unpersist(); () })
   }
 
   /** Dedup by deterministic-minhash candidates (single-linkage: drop every
     * doc with a near-dup of smaller id — same policy as [[minhashDedup]]). */
   def minhashDetDedup(docs: DataFrame, numHashes: Int = 12,
                       bandWidth: Int = 2, minAgree: Int = 9): DataFrame = {
-    val dropIds = minhashDetCandidates(docs, numHashes, bandWidth, minAgree)
-      .select(col("doc_b").as("doc_id")).distinct()
-    docs.join(dropIds, Seq("doc_id"), "left_anti")
+    val (cand, release) =
+      minhashDetCandidatesWithRelease(docs, numHashes, bandWidth, minAgree)
+    dropByIds(docs, cand.select(col("doc_b").as("doc_id")).distinct(), release)
   }
 
   /** Transitive-closure dedup over the DETERMINISTIC candidate graph: one
@@ -295,10 +335,13 @@ object Similarity {
     * reachability on the oracle side). */
   def minhashDetDedupTransitive(docs: DataFrame, numHashes: Int = 12,
                                 bandWidth: Int = 2, minAgree: Int = 9,
-                                localThreshold: Long = 1000000L): DataFrame =
-    dropNonMinima(docs, connectedComponents(
-      minhashDetCandidates(docs, numHashes, bandWidth, minAgree),
-      localThreshold = localThreshold))
+                                localThreshold: Long = 1000000L): DataFrame = {
+    val (cand, release) =
+      minhashDetCandidatesWithRelease(docs, numHashes, bandWidth, minAgree)
+    val comps = connectedComponents(cand, localThreshold = localThreshold)
+    release() // connectedComponents materialized the edge set eagerly
+    dropNonMinima(docs, comps)
+  }
 
   def minhashDetTransitiveQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -396,31 +439,38 @@ object Similarity {
     * survive if full Hamming distance <= maxHamming. Band count / width
     * give the standard LSH guarantee for hamming<=3 within 64 bits.
     */
-  def simhashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashCandidatesWithRelease(docs, maxHamming)._1
+
+  /** [[simhashCandidates]] plus a release hook for the banded-hash cache
+    * (same rationale as [[minhashDetCandidatesWithRelease]]: without the
+    * cache the interpreted 64-bit-vote fold ran up to 4× per row — twice
+    * per join side via the scan-pushed isnotnull(key) constraint — and the
+    * bench query doubled; with it, one evaluation, released by the caller
+    * after the consuming action). */
+  private[ops] def simhashCandidatesWithRelease(
+      docs: DataFrame, maxHamming: Int = 3): (DataFrame, () => Unit) = {
     val hashed = docs.select(col("doc_id"), Text.simhash64(lower(col("text"))).as("sh"))
-    // No cache: the band self-join's two shuffles on (band, key) share an
-    // identical child plan, so ReuseExchange evaluates the 64-bit-vote
-    // simhash once and both sides read the same shuffle files (ADVICE r3:
-    // a cache here stayed pinned for the session).
     val banded = hashed.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.key"))
+      .cache()
     val a = banded.as("a")
     val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+    val cand = a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         Text.hamming64(col("a.sh"), col("b.sh")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    (cand, () => { banded.unpersist(); () })
   }
 
   def simhashDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val dropIds = simhashCandidates(docs, maxHamming)
-      .select(col("doc_b").as("doc_id")).distinct()
-    docs.join(dropIds, Seq("doc_id"), "left_anti")
+    val (cand, release) = simhashCandidatesWithRelease(docs, maxHamming)
+    dropByIds(docs, cand.select(col("doc_b").as("doc_id")).distinct(), release)
   }
 
   /** Registered rows-only query: kept documents after SimHash dedup (same
@@ -439,30 +489,37 @@ object Similarity {
     * full Hamming check inside buckets. Same algorithm as
     * [[simhashCandidates]]; every number is engine-portable integer math,
     * so the dedup carries a full DuckDB oracle. */
-  def simhashDetCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashDetCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashDetCandidatesWithRelease(docs, maxHamming)._1
+
+  /** [[simhashDetCandidates]] plus a release hook for the banded-hash
+    * cache (rationale at [[minhashDetCandidatesWithRelease]]; the native
+    * codegen'd hash is cheaper than the HOF fold but still corpus-wide
+    * per-row work worth evaluating exactly once). */
+  private[ops] def simhashDetCandidatesWithRelease(
+      docs: DataFrame, maxHamming: Int = 3): (DataFrame, () => Unit) = {
     // native codegen'd hash (bit-identical to Text.simhashDet)
     val hashed = docs.select(col("doc_id"), Text.simhashDetNative(lower(col("text"))).as("sh"))
-    // No cache: identical-child shuffles on (band, key) → ReuseExchange
-    // evaluates the 62-bit-vote fold once for both join sides (ADVICE r3).
     val banded = hashed.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.key"))
+      .cache()
     val a = banded.as("a")
     val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+    val cand = a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         Text.hamming64(col("a.sh"), col("b.sh")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    (cand, () => { banded.unpersist(); () })
   }
 
   def simhashDetDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val dropIds = simhashDetCandidates(docs, maxHamming)
-      .select(col("doc_b").as("doc_id")).distinct()
-    docs.join(dropIds, Seq("doc_id"), "left_anti")
+    val (cand, release) = simhashDetCandidatesWithRelease(docs, maxHamming)
+    dropByIds(docs, cand.select(col("doc_b").as("doc_id")).distinct(), release)
   }
 
   /** Registered FULLY-ORACLED query: kept documents after deterministic
