@@ -476,6 +476,16 @@ object LlmData {
 
   // ---------------------------------------------------------------- registry
 
+  /** Oracle for the streaming dedup: aggregate of the ORIGINAL (distinct)
+    * events — the stream saw every row twice. */
+  private val streamDedupSql =
+    """SELECT event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value,
+      |  MIN(event_id) AS min_event_id,
+      |  MAX(event_id) AS max_event_id
+      |FROM events GROUP BY 1""".stripMargin
+
   val all: Seq[VerifiedQuery] = Seq(
     VerifiedQuery("q_text_stats", textStats, Some(textStatsSql)),
     VerifiedQuery("q_quality_score", qualityScore, Some(qualityScoreSql)),
@@ -497,6 +507,13 @@ object LlmData {
     VerifiedQuery("q_stream_windowed",
       (s, d) => graft.streaming.StreamSessionize.availableNowWindowedCounts(s, d),
       Some(streamWindowedSql)),
+    // streaming exact dedup (dropDuplicatesWithinWatermark) over an
+    // at-least-once source: the corpus arrives twice, the oracle is a
+    // plain aggregate over the ORIGINAL events — any leaked or over-
+    // dropped duplicate fails the hash
+    VerifiedQuery("q_stream_dedup",
+      (s, d) => graft.streaming.StreamSessionize.availableNowDedup(s, d),
+      Some(streamDedupSql)),
     VerifiedQuery("q_llm_pipeline", llmPipeline, Some(llmPipelineSql)),
     VerifiedQuery("q_decontaminate", (s, d) => decontaminate(s, d), Some(decontaminateSql)),
     VerifiedQuery("q_repetition", (s, d) => repetition(s, d), Some(repetitionSql)),

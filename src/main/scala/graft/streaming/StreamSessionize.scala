@@ -223,6 +223,54 @@ object StreamSessionize {
         col("n"), (col("sum_value_c") / lit(100.0)).as("sum_value"))
   }
 
+  /** [[dedupStream]] run end-to-end as a REGISTERED BATCH QUERY: the
+    * corpus lands in the file source TWICE (two parquet files — the
+    * at-least-once delivery a real ingest pipeline sees), the stream
+    * drops duplicate event_ids within the watermark horizon, and the
+    * deduped stream is aggregated per event_type with an exact
+    * integer-cents value sum. If dedup under-drops (a duplicate leaks) or
+    * over-drops, every count/sum/hash in the oracle — a plain aggregate
+    * over the ORIGINAL events — fails. Duplicate rows are bit-identical
+    * copies, so the result is independent of WHICH arrival the state
+    * store keeps. */
+  def availableNowDedup(spark: SparkSession, dir: String,
+                        fixtureRoot: String = defaultFixtureRoot): DataFrame = {
+    import spark.implicits._
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val inDir = s"$fixtureRoot/stream_dedup_in_$tag"
+    val ckpt = s"$fixtureRoot/stream_dedup_ckpt_$tag"
+    val sinkName = s"stream_dedup_out_${tag.replace(".", "_")}"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+      f.delete()
+    }
+    rm(new java.io.File(ckpt))
+    rm(new java.io.File(inDir))
+
+    val ev = graft.Tables.events(spark, dir)
+      .select($"event_id", $"user_id", date_trunc("second", $"ts").as("ts"),
+        $"event_type", $"value")
+    // at-least-once delivery: the full corpus arrives twice
+    ev.coalesce(1).write.parquet(inDir)
+    ev.coalesce(1).write.mode("append").parquet(inDir)
+
+    val stream = spark.readStream.schema(ev.schema).parquet(inDir)
+    val query = dedupStream(stream, Seq("event_id"), watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+
+    spark.table(sinkName)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round($"value" * 100).cast("long")) / lit(100.0)).as("sum_value"),
+        min($"event_id").as("min_event_id"),
+        max($"event_id").as("max_event_id"))
+  }
+
   /** Watermarked tumbling-window counts per event type — the canonical
     * streaming aggregate (late data beyond the watermark dropped, state
     * evicted per closed window). */

@@ -129,6 +129,25 @@ class PlanShapeSpec extends SparkSpec {
       s"join condition lacks natural key + salt equalities: $conds\n$plan")
   }
 
+  test("decontaminate: one corpus-gram scan, broadcast bench side, no data-sized cache") {
+    val df = LlmData.decontaminate(spark, dir)
+    df.collect() // AQE finalizes the plan
+    // the adaptive plan string repeats everything under "== Initial Plan =="
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // r3 verdict #3 done-criteria: the corpus grams stream ONCE (the only
+    // full-corpus text scans are one per join side: corpus + the pruned
+    // bench slice), the bench side broadcasts, and no InMemoryRelation
+    // holds the exploded gram table for the session
+    assert(!plan.contains("InMemoryRelation") && !plan.contains("InMemoryTableScan"),
+      s"decontaminate caches a frame:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"bench side not broadcast:\n$plan")
+    val corpusScans = "documents\\.parquet".r.findAllIn(plan).size
+    assert(corpusScans <= 2, s"expected <=2 documents scans (corpus + pruned bench), got $corpusScans:\n$plan")
+    // the bench-side scan carries the doc_id pushdown so parquet prunes it
+    assert(plan.contains("LessThan(doc_id") || plan.contains("LessThan(`doc_id`"),
+      s"bench-slice filter not pushed to the scan:\n$plan")
+  }
+
   test("lshDetTopK: candidate generation is keyed bucket joins, never a product join") {
     val plan = Similarity.lshDetTopK(graft.Tables.embeddings(spark, dir))
       .queryExecution.executedPlan.toString

@@ -82,6 +82,23 @@ class StreamSessionizeSpec extends SparkSpec {
     assert(s == b, s"stream/batch diverge: only-stream=${(s -- b).take(5)} only-batch=${(b -- s).take(5)}")
   }
 
+  test("availableNowDedup over a doubled corpus equals the batch aggregate of the original") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val streamed = availableNowDedup(spark, dir,
+      fixtureRoot = "target/test-tmp/stream_dedup_fixture")
+    val batch = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast("long")) / lit(100.0)).as("sum_value"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s.nonEmpty, "streaming dedup emitted nothing")
+    assert(s == b, s"duplicates leaked or over-dropped: only-stream=${(s -- b).take(3)} only-batch=${(b -- s).take(3)}")
+  }
+
   test("windowed counts with watermark aggregate per 10-minute tumbling window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
