@@ -476,6 +476,145 @@ object LlmData {
 
   // ---------------------------------------------------------------- registry
 
+  // ------------------------------------------------- mixture / packing / PII
+
+  /** Data-mixture sampling — the "web at 15%, wiki at 100%" weighting step
+    * of corpus assembly: each source gets a deterministic keep rate and
+    * rows survive if their [[Etl.hashBucket]] falls under it. Because the
+    * bucket is a pure affine hash of doc_id, the mix is reproducible in any
+    * engine, stable under repartitioning, and a row's membership never
+    * changes across runs (the properties epoch-stable training data needs —
+    * a Bernoulli sample has none of them). Rates here derive from the
+    * source id by a fixed formula standing in for a config table; emits
+    * per-source kept doc/token counts against the configured rate. Narrow
+    * scalar math + one hash agg — nothing data-sized moves. */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val srcNum = substring($"source", 4, 10).cast("int")
+    val keepPct = (srcNum * 7 % 20) * 5 + 5 // 5..100, fixed per source
+    Tables.documents(spark, dir)
+      .withColumn("keep_pct", keepPct)
+      .filter(Etl.hashBucket($"doc_id") < $"keep_pct")
+      .groupBy($"source", $"keep_pct")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(Text.tokenCount($"text").cast("long")).as("n_tokens"))
+  }
+
+  private val mixtureSampleSql =
+    """SELECT source, keep_pct, COUNT(*) AS n_docs,
+      |  CAST(SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS BIGINT) AS n_tokens
+      |FROM (
+      |  SELECT source, text,
+      |    (CAST(substring(source, 4) AS INTEGER) * 7 % 20) * 5 + 5 AS keep_pct,
+      |    ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647 % 100 AS bucket
+      |  FROM documents)
+      |WHERE bucket < keep_pct
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Context packing — the concat-then-chunk step that turns a document
+    * stream into fixed-size training windows (every GPT-style pipeline's
+    * final shape): per language, documents concatenate in doc_id order and
+    * the token stream is cut into `ctxSize`-token windows; a document
+    * whose span crosses a cut lands in both windows. Emits per (lang,
+    * window): contributing docs, docs split across a boundary, and the
+    * token count (exactly ctxSize for every non-final window — the oracle
+    * hash-checks the whole assignment).
+    *
+    * Scale shape: one cumulative-sum window partitioned by the packing
+    * shard (`lang` here; a production run shards finer — the shard column
+    * is the ONLY thing that changes), then a narrow span-explode and one
+    * hash agg. Nothing global, nothing driver-side. */
+  def packContexts(spark: SparkSession, dir: String, ctxSize: Int = 512): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select($"lang", $"doc_id", Text.tokenCount($"text").cast("long").as("n_tok"))
+      .withColumn("cum", sum($"n_tok").over(w))
+      .withColumn("st", $"cum" - $"n_tok")
+      .withColumn("b0", expr(s"st div $ctxSize"))
+      .withColumn("b1", expr(s"(cum - 1) div $ctxSize"))
+      .withColumn("bin", explode(sequence($"b0", $"b1")))
+      .groupBy($"lang", $"bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"b0" =!= $"b1", 1L).otherwise(0L)).as("n_split_docs"),
+        sum(least($"cum", ($"bin" + 1) * ctxSize) -
+          greatest($"st", $"bin" * ctxSize)).as("n_tokens"))
+  }
+
+  private val packContextsSql =
+    """WITH t AS (
+      |  SELECT lang, doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents
+      |), c AS (
+      |  SELECT lang, doc_id, n_tok,
+      |    CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM t
+      |), s AS (
+      |  SELECT lang, doc_id, n_tok, cum, cum - n_tok AS st,
+      |    (cum - n_tok) // 512 AS b0, (cum - 1) // 512 AS b1
+      |  FROM c
+      |), e AS (
+      |  SELECT lang, st, cum, b0, b1, unnest(range(b0, b1 + 1)) AS bin FROM s
+      |)
+      |SELECT lang, bin, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN b0 <> b1 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+      |  CAST(SUM(LEAST(cum, (bin + 1) * 512) - GREATEST(st, bin * 512)) AS BIGINT) AS n_tokens
+      |FROM e GROUP BY 1, 2""".stripMargin
+
+  /** PII redaction — the scrub step of corpus prep: replace email
+    * addresses and phone-shaped digit runs with placeholder tags, emit
+    * per-doc hit counts and the size delta. The synthetic corpus contains
+    * no PII, so deterministic contact strings are PLANTED first (doc_id
+    * mod 3 → an email, mod 5 → a phone) — the oracle recomputes the
+    * planting AND the redaction, so a missed or over-eager pattern
+    * hash-fails. Patterns stick to explicit character classes that parse
+    * identically in Java regex (Spark) and RE2 (DuckDB). Per-row scalar
+    * work, codegen'd, no shuffle before the final projection. */
+  def redactPii(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planted = Tables.documents(spark, dir)
+      .withColumn("aug", concat($"text",
+        when($"doc_id" % 3 === 0,
+          concat(lit(" contact user"), $"doc_id", lit("@example.com"))).otherwise(lit("")),
+        when($"doc_id" % 5 === 0,
+          concat(lit(" call 555-"), format_string("%04d", $"doc_id" % 10000))).otherwise(lit(""))))
+    val emailRe = "[a-z0-9.]+@[a-z0-9]+\\.[a-z]+"
+    val phoneRe = "[0-9]{3}-[0-9]{4}"
+    planted
+      .withColumn("redacted",
+        regexp_replace(regexp_replace($"aug", emailRe, "<EMAIL>"), phoneRe, "<PHONE>"))
+      .select($"doc_id",
+        regexp_count($"aug", lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count($"aug", lit(phoneRe)).cast("long").as("n_phones"),
+        length($"aug").cast("long").as("len_before"),
+        length($"redacted").cast("long").as("len_after"))
+      .filter($"n_emails" + $"n_phones" > 0)
+  }
+
+  private val redactPiiSql =
+    """WITH p AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || format('{:04d}', doc_id % 10000) ELSE '' END AS aug
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id, aug,
+      |    regexp_replace(regexp_replace(aug, '[a-z0-9.]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+      |      '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS red
+      |  FROM p
+      |)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(aug, '[a-z0-9.]+@[a-z0-9]+\.[a-z]+')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(aug, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+      |  CAST(length(aug) AS BIGINT) AS len_before,
+      |  CAST(length(red) AS BIGINT) AS len_after
+      |FROM r
+      |WHERE len(regexp_extract_all(aug, '[a-z0-9.]+@[a-z0-9]+\.[a-z]+'))
+      |    + len(regexp_extract_all(aug, '[0-9]{3}-[0-9]{4}')) > 0""".stripMargin
+
   /** Oracle for the streaming dedup: aggregate of the ORIGINAL (distinct)
     * events — the stream saw every row twice. */
   private val streamDedupSql =
@@ -517,5 +656,8 @@ object LlmData {
     VerifiedQuery("q_llm_pipeline", llmPipeline, Some(llmPipelineSql)),
     VerifiedQuery("q_decontaminate", (s, d) => decontaminate(s, d), Some(decontaminateSql)),
     VerifiedQuery("q_repetition", (s, d) => repetition(s, d), Some(repetitionSql)),
+    VerifiedQuery("q_mixture_sample", mixtureSample, Some(mixtureSampleSql)),
+    VerifiedQuery("q_pack_contexts", (s, d) => packContexts(s, d), Some(packContextsSql)),
+    VerifiedQuery("q_redact", redactPii, Some(redactPiiSql)),
   )
 }

@@ -334,6 +334,54 @@ class LlmDataSpec extends SparkSpec {
     assert(df.select(V.norm($"a")).as[Double].collect()(2) == 5.0)
   }
 
+  test("packContexts: every non-final window holds exactly ctxSize tokens; totals conserved") {
+    val dir = "/root/testdata/sf0.001"
+    val bins = LlmData.packContexts(spark, dir, ctxSize = 512)
+      .select($"lang", $"bin", $"n_tokens").as[(String, Long, Long)].collect()
+    val perLang = bins.groupBy(_._1)
+    perLang.foreach { case (lang, rows) =>
+      val last = rows.map(_._2).max
+      rows.filter(_._2 < last).foreach { case (_, b, n) =>
+        assert(n == 512, s"non-final window $lang/$b has $n tokens")
+      }
+    }
+    // token conservation: windows partition the stream exactly
+    val total = bins.map(_._3).sum
+    val expected = graft.Tables.documents(spark, dir)
+      .select(graft.functions.Text.tokenCount($"text").cast("long")).as[Long].collect().sum
+    assert(total == expected, s"packed $total tokens, corpus has $expected")
+  }
+
+  test("mixtureSample: kept counts bounded by source size and rate is deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val out = LlmData.mixtureSample(spark, dir)
+      .select($"source", $"keep_pct", $"n_docs").as[(String, Int, Long)].collect()
+    val sizes = graft.Tables.documents(spark, dir).groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    out.foreach { case (src, pct, n) =>
+      assert(pct >= 5 && pct <= 100)
+      assert(n <= sizes(src), s"$src kept $n of ${sizes(src)}")
+    }
+    // determinism: identical result on a second run
+    val again = LlmData.mixtureSample(spark, dir)
+      .select($"source", $"keep_pct", $"n_docs").as[(String, Int, Long)].collect()
+    assert(out.toSet == again.toSet)
+  }
+
+  test("redactPii: redacted text contains no email/phone pattern; deltas consistent") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = LlmData.redactPii(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, ne, np, before, after) =>
+      assert(ne > 0 || np > 0)
+      assert(id % 3 == 0 || id % 5 == 0, s"doc $id had no planted PII but matched")
+      // each email replacement swaps a >=16-char address for 7 chars;
+      // each phone swaps 8 chars for 7 — redaction always shrinks here
+      assert(after < before, s"doc $id: redaction grew the text")
+    }
+  }
+
   test("bruteForceTopK is exact; lshTopK recall@10 >= 0.7 on real embeddings") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val exact = Similarity.bruteForceTopK(emb, nQueries = 3, k = 10)
