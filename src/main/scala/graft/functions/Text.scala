@@ -196,6 +196,11 @@ object Text {
     * `spark.sql.extensions=graft.plans.GraftExtensions`. */
   def simhashDetNative(c: Column): Column = call_function("graft_simhash", c)
 
+  /** [[simhash64]] on the native codegen'd fast path
+    * ([[graft.plans.Simhash64]]) — bit-identical, one loop per row
+    * instead of the interpreted 64-vote HOF fold. */
+  def simhash64Native(c: Column): Column = call_function("graft_simhash64", c)
+
   /** Deterministic minhash signature over a shingle-hash array: element j is
     * min over shingles of the fixed affine mixer (a_j·h + b_j) mod (2³¹−1),
     * a_j = 1 + j·1299721, b_j = 7 + j·104729. Unlike MLlib's seeded

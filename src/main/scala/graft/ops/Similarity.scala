@@ -450,7 +450,9 @@ object Similarity {
     * after the consuming action). */
   private[ops] def simhashCandidatesWithRelease(
       docs: DataFrame, maxHamming: Int = 3): (DataFrame, () => Unit) = {
-    val hashed = docs.select(col("doc_id"), Text.simhash64(lower(col("text"))).as("sh"))
+    // native codegen'd hash (bit-identical to Text.simhash64 — pinned in
+    // DotProductSpec); the HOF fold was this query's dominant cost
+    val hashed = docs.select(col("doc_id"), Text.simhash64Native(lower(col("text"))).as("sh"))
     val banded = hashed.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

@@ -64,5 +64,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         SimhashDet(exprs.head)
       }))
+    extensions.injectFunction((
+      new FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[Simhash64].getName, "graft_simhash64"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1) {
+          throw new AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_simhash64`",
+              "expectedNum" -> "1",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        }
+        Simhash64(exprs.head)
+      }))
   }
 }

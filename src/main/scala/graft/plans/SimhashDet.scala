@@ -62,9 +62,13 @@ object SimhashDet {
     s.substring(from, to)
   }
 
+  /** Spark-semantics tokenizer shared by both simhash variants:
+    * ASCII-space-only trim, split with limit −1 (keeps trailing empties). */
+  private[plans] def tokenize(raw: String): Array[String] =
+    Ws.split(trimSpaces(raw), -1)
+
   def compute(raw: String): Long = {
-    // limit -1 keeps trailing empty tokens, matching Spark's split
-    val tokens = Ws.split(trimSpaces(raw), -1)
+    val tokens = tokenize(raw)
     val votes = new Array[Int](62)
     var t = 0
     while (t < tokens.length) {
@@ -85,6 +89,68 @@ object SimhashDet {
     var out = 0L
     var i = 0
     while (i < 62) {
+      if (votes(i) > 0) out |= 1L << i
+      i += 1
+    }
+    out
+  }
+}
+
+/** Native codegen'd 64-bit SEEDED SimHash — the fast path for
+  * [[graft.functions.Text.simhash64]] (the xxhash64-token variant that
+  * twins MLlib-style seeded hashing; the deterministic [[SimhashDet]]
+  * is the oracle-able one).
+  *
+  * Bit-identical to the HOF form: tokens via the same ASCII-space trim +
+  * limit−1 split, per-token hash = Spark's own `xxhash64(token, 42)`
+  * (delegated to catalyst's XxHash64Function, so byte-for-byte the same
+  * value the HOF computes), 64 ±1 votes per token, bit i set iff its
+  * vote sum is strictly positive. The HOF folds a 64-element vote array
+  * per token with a fresh 64-`when` sign array each — interpreted; this
+  * is one tight loop per row.
+  */
+case class Simhash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_simhash64 requires a string input, got $t")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def nullSafeEval(s: Any): Any =
+    Simhash64.compute(s.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Simhash64.compute($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Simhash64 {
+  def compute(raw: String): Long = {
+    val tokens = SimhashDet.tokenize(raw)
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < tokens.length) {
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        UTF8String.fromString(tokens(t)),
+        org.apache.spark.sql.types.StringType, 42L)
+      var i = 0
+      while (i < 64) {
+        votes(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
+        i += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) {
       if (votes(i) > 0) out |= 1L << i
       i += 1
     }

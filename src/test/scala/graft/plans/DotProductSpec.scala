@@ -107,6 +107,23 @@ class DotProductSpec extends SparkSpec {
     }
   }
 
+  test("graft_simhash64 is bit-identical to the HOF seeded simhash64, incl. whitespace edges") {
+    val rnd = new scala.util.Random(47)
+    val words = Array("alpha", "beta", "Gamma7", "x", "09", ".,;", "über")
+    val strs = (0 until 30).map { _ =>
+      (0 until rnd.nextInt(12)).map(_ => words(rnd.nextInt(words.length)))
+        .mkString(if (rnd.nextBoolean()) " " else "  ")
+    } ++ Seq("", "   ", "\ta b", "a b\t", "a\nb\t c", "ü çhars here")
+    val df = strs.toDF("s")
+    val rows = df.select(
+      Text.simhash64($"s").as("hof"),
+      Text.simhash64Native($"s").as("native"))
+      .as[(Long, Long)].collect()
+    rows.zip(strs).foreach { case ((h, n), s) =>
+      assert(h == n, s"simhash64 mismatch on ${s.replace("\n", "\\n").replace("\t", "\\t")}: $h vs $n")
+    }
+  }
+
   test("rollingHash/winnowFingerprint: integer math, overlap detection, edge cases") {
     val df = Seq(
       ("abcdefghij", "abcdefghij"),          // identical
