@@ -862,6 +862,60 @@ object Similarity {
       |  FROM e a JOIN e b ON a.block = b.block AND a.vec_id < b.vec_id)
       |WHERE cos >= 0.3""".stripMargin
 
+  // ------------------------------------------------- embedding quantization
+
+  /** Int8 embedding quantization with reconstruction-error audit — the
+    * storage step of an embedding corpus (4× smaller vectors for the ANN
+    * index, with a measurable accuracy budget): per vector, scale =
+    * 127/max|v|, q_i = clamp(⌊v_i·scale + 0.5⌋, ±127), and the
+    * reconstruction MSE Σ(v_i − q_i/scale)² is computed in a SEQUENTIAL
+    * double fold. Everything is order-pinned IEEE math — `floor(x+0.5)`
+    * instead of `round` (engines disagree on round's ties), explicit
+    * `(d)·(d)` instead of `pow` — so even the MSE doubles hash-match the
+    * oracle bit-for-bit. Per-row scalar work, no shuffle. */
+  def quantizeEmbeddings(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("amax", array_max(transform(col("emb"), v => abs(v))))
+      .filter(col("amax") > 0)
+      .withColumn("scale", lit(127.0) / col("amax"))
+    val q = e.withColumn("qv", transform(col("emb"), v =>
+      greatest(lit(-127L), least(lit(127L),
+        floor(v * col("scale") + lit(0.5)).cast("long")))))
+    q.select(col("vec_id"), col("scale"),
+      aggregate(col("qv"), lit(0L), (a, v) => a + v).as("q_sum"),
+      aggregate(col("qv"), lit(0L), (a, v) => a + abs(v)).as("q_abs"),
+      aggregate(zip_with(col("emb"), col("qv"),
+          (v, qq) => (v - qq / col("scale")) * (v - qq / col("scale"))),
+        lit(0.0), (a, d) => a + d).as("mse"))
+  }
+
+  def quantizeEmbeddingsQuery(spark: SparkSession, dir: String): DataFrame =
+    quantizeEmbeddings(Tables.embeddings(spark, dir))
+
+  private val quantizeEmbeddingsSql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS amax
+      |  FROM embeddings
+      |), s AS (
+      |  SELECT vec_id, emb, 127.0 / amax AS scale FROM e WHERE amax > 0
+      |), q AS (
+      |  SELECT vec_id, emb, scale,
+      |    list_transform(emb, x ->
+      |      GREATEST(-127, LEAST(127, CAST(floor(x * scale + 0.5) AS BIGINT)))) AS qv
+      |  FROM s
+      |)
+      |SELECT vec_id, scale,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), qv), (a, b) -> a + b) AS q_sum,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(qv, x -> abs(x))), (a, b) -> a + b) AS q_abs,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(range(1, 65), i ->
+      |      (emb[CAST(i AS INTEGER)] - qv[CAST(i AS INTEGER)] / scale)
+      |        * (emb[CAST(i AS INTEGER)] - qv[CAST(i AS INTEGER)] / scale))),
+      |    (a, b) -> a + b) AS mse
+      |FROM q""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[VerifiedQuery] = Seq(
@@ -877,5 +931,6 @@ object Similarity {
     VerifiedQuery("q_cosine_neardup", cosineNearDupQuery, Some(cosineNearDupSql)),
     VerifiedQuery("q_cosine_neardup_kmeans", cosineNearDupKMeansQuery, None),
     VerifiedQuery("q_ann_ivf", ivfTopKQuery, None),
+    VerifiedQuery("q_quantize_emb", quantizeEmbeddingsQuery, Some(quantizeEmbeddingsSql)),
   )
 }

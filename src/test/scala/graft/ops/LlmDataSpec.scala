@@ -382,6 +382,20 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("quantizeEmbeddings: q in [-127,127], per-dim error within half a step") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Similarity.quantizeEmbeddings(graft.Tables.embeddings(spark, dir))
+      .select($"scale", $"q_abs", $"mse").as[(Double, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (scale, qabs, mse) =>
+      assert(scale > 0)
+      assert(qabs <= 127L * 64, s"q magnitude out of int8 range (q_abs=$qabs)")
+      // floor(x+0.5) rounds to nearest: per-dim |v - q/scale| <= 0.5/scale
+      val bound = 64 * math.pow(0.5 / scale, 2) * (1 + 1e-9)
+      assert(mse <= bound, s"mse $mse exceeds quantization bound $bound")
+    }
+  }
+
   test("bruteForceTopK is exact; lshTopK recall@10 >= 0.7 on real embeddings") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val exact = Similarity.bruteForceTopK(emb, nQueries = 3, k = 10)
