@@ -47,8 +47,18 @@ object Bench {
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Reliable-checkpoint store for iterative operators (HDFS/S3 on a cluster)
-    spark.sparkContext.setCheckpointDir("/root/repo/target/checkpoints")
+    // Reliable-checkpoint store for iterative operators (HDFS/S3 on a
+    // cluster): per-process temp dir, deleted on exit — a fixed path would
+    // accumulate one UUID subdir per run
+    val ckptRoot = java.nio.file.Files.createTempDirectory("graft-ckpt-").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+        f.delete()
+      }
+      rm(ckptRoot)
+    }))
+    spark.sparkContext.setCheckpointDir(ckptRoot.getAbsolutePath)
     // Untimed warmup: JVM/codegen/parquet-reader startup shouldn't be
     // charged to whichever query happens to run first.
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -19,8 +19,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Reliable-checkpoint store for iterative operators (connectedComponents
-    // checkpoints every few rounds; on a cluster this would be HDFS/S3)
-    spark.sparkContext.setCheckpointDir("/root/repo/target/checkpoints")
+    // checkpoints every few rounds; HDFS/S3 on a cluster). Per-process
+    // temp dir, deleted on exit — a fixed path would accumulate one UUID
+    // subdir per run, and a concurrent Verify/Bench could race on cleanup.
+    val ckptRoot = java.nio.file.Files.createTempDirectory("graft-ckpt-").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+        f.delete()
+      }
+      rm(ckptRoot)
+    }))
+    spark.sparkContext.setCheckpointDir(ckptRoot.getAbsolutePath)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

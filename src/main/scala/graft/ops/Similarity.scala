@@ -74,7 +74,11 @@ object Similarity {
     * invoke `release` to free the heavy upstream cache it consumed, and
     * anti-join. The returned frame depends only on the small cached drop
     * set, so nothing data-sized stays pinned for the session (ADVICE r3:
-    * unpersist after the consuming action). */
+    * unpersist after the consuming action). The drop-set cache itself
+    * (one long per dropped id) lives until the caller is done with the
+    * returned frame — a long-lived session issuing many dedups should
+    * `unpersist` results it no longer needs or `spark.catalog.clearCache()`
+    * periodically, as Bench does between iterations. */
   private[ops] def dropByIds(docs: DataFrame, ids: DataFrame,
                              release: () => Unit): DataFrame = {
     val dropIds = ids.cache()
@@ -187,9 +191,16 @@ object Similarity {
           least(col("c.cluster"), col("p.cluster")).as("cluster"))
       val next =
         if ((i + 1) % checkpointEvery == 0) {
-          if (sym.sparkSession.sparkContext.getCheckpointDir.isDefined)
-            jumped.checkpoint(true)
-          else jumped.localCheckpoint(true)
+          if (sym.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+            // cache first: reliable checkpointing runs a SECOND job to
+            // write the files, which would otherwise recompute the
+            // round's joins from lineage; the write reads the cache,
+            // which is dropped as soon as the checkpoint holds the data
+            jumped.cache()
+            val cp = jumped.checkpoint(true)
+            jumped.unpersist()
+            cp
+          } else jumped.localCheckpoint(true)
         } else jumped.cache()
       // convergence via Σcluster: labels only ever DECREASE per node
       // (least), so the total is strictly monotone until fixpoint — one
@@ -910,7 +921,7 @@ object Similarity {
       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
       |    list_transform(qv, x -> abs(x))), (a, b) -> a + b) AS q_abs,
       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-      |    list_transform(range(1, 65), i ->
+      |    list_transform(range(1, len(emb) + 1), i ->
       |      (emb[CAST(i AS INTEGER)] - qv[CAST(i AS INTEGER)] / scale)
       |        * (emb[CAST(i AS INTEGER)] - qv[CAST(i AS INTEGER)] / scale))),
       |    (a, b) -> a + b) AS mse

@@ -23,12 +23,37 @@ object StreamSessionize {
     * suffix, so two sessions (e.g. a Verify and a Bench running
     * concurrently) never delete each other's in-flight input or
     * checkpoint dirs. Within one JVM repeated calls reuse the root — the
-    * per-call rm-then-rewrite below is single-process-safe. Tests can
-    * still override via the `fixtureRoot` parameter. */
+    * per-call rm-then-rewrite below is single-process-safe. A shutdown
+    * hook deletes the whole tree on exit (`deleteOnExit` would silently
+    * fail on a non-empty directory and leak the corpus copies). Tests
+    * can still override via the `fixtureRoot` parameter. */
   private lazy val defaultFixtureRoot: String = {
     val d = java.nio.file.Files.createTempDirectory("graft-stream-").toFile
-    d.deleteOnExit()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rm(d)))
     d.getAbsolutePath
+  }
+
+  /** Recursive delete, shared by the fixture builders and the shutdown
+    * hook. */
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+    f.delete()
+  }
+
+  /** Fixture paths for one AvailableNow query over one sf dir: fresh
+    * input + checkpoint dirs (a stale checkpoint would mark the input
+    * files already-processed and the sink would stay empty — the
+    * CHECKPOINT must be removed before/with the input) and a dot-free
+    * memory-sink name (temp-view names reject dots; sf dirs contain
+    * them). */
+  private def freshFixture(kind: String, fixtureRoot: String,
+                           dir: String): (String, String, String) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val inDir = s"$fixtureRoot/${kind}_in_$tag"
+    val ckpt = s"$fixtureRoot/${kind}_ckpt_$tag"
+    rm(new java.io.File(ckpt))
+    rm(new java.io.File(inDir))
+    (inDir, ckpt, s"${kind}_out_${tag.replace(".", "_")}")
   }
 
   final case class Event(event_id: Long, user_id: Long, ts: Timestamp,
@@ -122,19 +147,7 @@ object StreamSessionize {
                              fixtureRoot: String = defaultFixtureRoot,
                              gapSeconds: Long = 1800): DataFrame = {
     import spark.implicits._
-    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val inDir = s"$fixtureRoot/stream_sess_in_$tag"
-    val ckpt = s"$fixtureRoot/stream_sess_ckpt_$tag"
-    // temp-view names reject dots (sf dirs contain them)
-    val sinkName = s"stream_sess_out_${tag.replace(".", "_")}"
-    // fresh input + checkpoint per run: a stale checkpoint would mark the
-    // input files already-processed and the memory sink would stay empty
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
-      f.delete()
-    }
-    rm(new java.io.File(ckpt))
-    rm(new java.io.File(inDir))
+    val (inDir, ckpt, sinkName) = freshFixture("stream_sess", fixtureRoot, dir)
 
     val ev = graft.Tables.events(spark, dir)
       .select($"event_id", $"user_id", date_trunc("second", $"ts").as("ts"),
@@ -183,16 +196,7 @@ object StreamSessionize {
                                  fixtureRoot: String = defaultFixtureRoot,
                                  windowSeconds: Int = 600): DataFrame = {
     import spark.implicits._
-    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val inDir = s"$fixtureRoot/stream_wc_in_$tag"
-    val ckpt = s"$fixtureRoot/stream_wc_ckpt_$tag"
-    val sinkName = s"stream_wc_out_${tag.replace(".", "_")}"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
-      f.delete()
-    }
-    rm(new java.io.File(ckpt))
-    rm(new java.io.File(inDir))
+    val (inDir, ckpt, sinkName) = freshFixture("stream_wc", fixtureRoot, dir)
 
     val ev = graft.Tables.events(spark, dir)
       .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
@@ -236,16 +240,7 @@ object StreamSessionize {
   def availableNowDedup(spark: SparkSession, dir: String,
                         fixtureRoot: String = defaultFixtureRoot): DataFrame = {
     import spark.implicits._
-    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val inDir = s"$fixtureRoot/stream_dedup_in_$tag"
-    val ckpt = s"$fixtureRoot/stream_dedup_ckpt_$tag"
-    val sinkName = s"stream_dedup_out_${tag.replace(".", "_")}"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
-      f.delete()
-    }
-    rm(new java.io.File(ckpt))
-    rm(new java.io.File(inDir))
+    val (inDir, ckpt, sinkName) = freshFixture("stream_dedup", fixtureRoot, dir)
 
     val ev = graft.Tables.events(spark, dir)
       .select($"event_id", $"user_id", date_trunc("second", $"ts").as("ts"),
@@ -255,20 +250,27 @@ object StreamSessionize {
     ev.coalesce(1).write.mode("append").parquet(inDir)
 
     val stream = spark.readStream.schema(ev.schema).parquet(inDir)
+    // Aggregate INSIDE the stream (chained stateful ops: dedup state →
+    // agg state) in Complete mode, so the memory sink holds one row per
+    // event_type — result-sized, never corpus-sized, the shape that
+    // survives an unbounded stream on a real cluster.
     val query = dedupStream(stream, Seq("event_id"), watermarkDelay = "1 hour")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round($"value" * 100).cast("long")).as("sum_value_c"),
+        min($"event_id").as("min_event_id"),
+        max($"event_id").as("max_event_id"))
       .writeStream.format("memory").queryName(sinkName)
-      .outputMode(OutputMode.Append)
+      .outputMode(OutputMode.Complete)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
 
     spark.table(sinkName)
-      .groupBy($"event_type")
-      .agg(count(lit(1)).as("n_events"),
-        (sum(round($"value" * 100).cast("long")) / lit(100.0)).as("sum_value"),
-        min($"event_id").as("min_event_id"),
-        max($"event_id").as("max_event_id"))
+      .select($"event_type", $"n_events",
+        ($"sum_value_c" / lit(100.0)).as("sum_value"),
+        $"min_event_id", $"max_event_id")
   }
 
   /** Watermarked tumbling-window counts per event type — the canonical

@@ -23,8 +23,17 @@ object SparkSpec {
       .config(Tuning.Key, "true")  // test-SF partition sizing (see graft.Tuning)
       .getOrCreate()
     // reliable-checkpoint store: lets suites exercise the same checkpoint
-    // path connectedComponents takes under Verify/Bench
-    s.sparkContext.setCheckpointDir("target/checkpoints")
+    // path connectedComponents takes under Verify/Bench; per-process temp
+    // dir deleted on exit so repeated test runs don't accumulate
+    val ckptRoot = java.nio.file.Files.createTempDirectory("graft-ckpt-").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+        f.delete()
+      }
+      rm(ckptRoot)
+    }))
+    s.sparkContext.setCheckpointDir(ckptRoot.getAbsolutePath)
     s
   }
 }
