@@ -252,9 +252,79 @@ object Etl {
       |WHERE bucket < 30
       |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------------- CDC merge
+
+  /** CDC merge/upsert — the latest-version-wins MERGE every incremental
+    * 100 TB pipeline runs between a snapshot and a change feed. The change
+    * batch is derived deterministically from `orders` (every 7th key is an
+    * UPDATE with a re-priced row, every 13th key arrives negated as an
+    * INSERT of a new key), merged latest-wins by (key, version) with one
+    * `row_number` window — exactly one shuffle on the merge key, the same
+    * shape a storage-side MERGE INTO executes. Emits per-status counts,
+    * integer-cents revenue, and changed-row counts so a wrong merge (stale
+    * version kept, insert dropped, update double-applied) shifts every
+    * aggregate and hash-fails. At scale the window is equivalently a
+    * max-version semi-join; both are one key-shuffle — the window keeps the
+    * single-pass form.
+    */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val base = orders.select($"o_orderkey".as("key"),
+      $"o_orderstatus".as("status"), cents($"o_totalprice").as("price_c"),
+      lit(1L).as("version"))
+    val updates = orders.filter($"o_orderkey" % 7 === 0)
+      .select($"o_orderkey".as("key"), lit("U").as("status"),
+        (cents($"o_totalprice") + lit(100L)).as("price_c"), lit(2L).as("version"))
+    // insert keys are `-k - 1`: strictly negative for every base key ≥ 0,
+    // so an insert can never collide with an update (orderkey 0 is
+    // divisible by 7 AND 13 — a plain negation would merge its insert and
+    // update under one key and leave latest-wins ambiguous)
+    val inserts = orders.filter($"o_orderkey" % 13 === 0)
+      .select((-$"o_orderkey" - 1).as("key"), lit("N").as("status"),
+        cents($"o_totalprice").as("price_c"), lit(2L).as("version"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"key").orderBy($"version".desc)
+    base.unionByName(updates).unionByName(inserts)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_rows"),
+        (sum($"price_c") / lit(100.0)).as("sum_price"),
+        sum(when($"version" === 2L, 1L).otherwise(0L)).as("n_changed"),
+        min($"key").as("min_key"), max($"key").as("max_key"))
+  }
+
+  private val mergeUpsertSql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status,
+      |    CAST(round(o_totalprice*100) AS BIGINT) AS price_c,
+      |    CAST(1 AS BIGINT) AS version
+      |  FROM orders
+      |), upd AS (
+      |  SELECT o_orderkey AS key, 'U' AS status,
+      |    CAST(round(o_totalprice*100) AS BIGINT) + 100 AS price_c,
+      |    CAST(2 AS BIGINT) AS version
+      |  FROM orders WHERE o_orderkey % 7 = 0
+      |), ins AS (
+      |  SELECT -o_orderkey - 1 AS key, 'N' AS status,
+      |    CAST(round(o_totalprice*100) AS BIGINT) AS price_c,
+      |    CAST(2 AS BIGINT) AS version
+      |  FROM orders WHERE o_orderkey % 13 = 0
+      |), m AS (
+      |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY version DESC) AS rn
+      |  FROM (SELECT * FROM base UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins)
+      |)
+      |SELECT status, COUNT(*) AS n_rows,
+      |  CAST(SUM(price_c) AS DOUBLE)/100.0 AS sum_price,
+      |  CAST(SUM(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      |  MIN(key) AS min_key, MAX(key) AS max_key
+      |FROM m WHERE rn = 1 GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[VerifiedQuery] = Seq(
+    VerifiedQuery("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     VerifiedQuery("q_etl_features", etlFeatures, Some(etlFeaturesSql)),
     VerifiedQuery("q_weather_csv", weatherCsv, Some(weatherCsvSql)),
     VerifiedQuery("q_parquet_sink", parquetSink, Some(parquetSinkSql)),

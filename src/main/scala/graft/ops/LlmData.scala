@@ -615,6 +615,193 @@ object LlmData {
       |WHERE len(regexp_extract_all(aug, '[a-z0-9.]+@[a-z0-9]+\.[a-z]+'))
       |    + len(regexp_extract_all(aug, '[0-9]{3}-[0-9]{4}')) > 0""".stripMargin
 
+  // ------------------------------------------------- retrieval / passages
+
+  /** BM25 relevance scoring of the corpus against a fixed query-term set —
+    * the retrieval/ranking primitive of a data pipeline (query-based corpus
+    * selection, nearest-neighbor text search re-ranking).
+    *
+    * Engine-portable determinism: the usual `ln((N−df+0.5)/(df+0.5))` idf is
+    * replaced by the raw ratio (a strictly monotone transform of it, so
+    * rankings by a single term agree) because `ln` is not guaranteed
+    * correctly-rounded across runtimes; every remaining operation is IEEE
+    * +,−,×,÷ — bit-exact in any engine evaluating the same expression tree.
+    * Per-term scores are scaled to integer micros BEFORE the per-doc sum, so
+    * the sum is order-independent. The oracle SQL is generated from the same
+    * k1/b constants via `Double.toString` round-tripping.
+    *
+    * Scale shape: the exploded token stream is filtered to the query terms
+    * BEFORE the shuffle (a few-term query keeps ~nothing), the df and
+    * corpus-stats frames are O(terms)/O(1) and broadcast, and the final
+    * top-k is TakeOrdered — no global sort, no driver loop. */
+  def bm25(spark: SparkSession, dir: String,
+           terms: Seq[String] = bm25Terms,
+           k1: Double = 1.2, b: Double = 0.75, topK: Int = 50): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", Text.tokensLower($"text").as("toks"))
+      .select($"doc_id", $"toks", size($"toks").cast("long").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+    val tf = docs
+      .select($"doc_id", $"dl", explode($"toks").as("term"))
+      .filter($"term".isin(terms: _*))
+      .groupBy($"doc_id", $"dl", $"term")
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dft), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", $"sum_dl" * lit(1.0) / $"n_docs")
+      .withColumn("idf_r", ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+      .withColumn("score",
+        $"idf_r" * ($"tf" * lit(k1 + 1.0)) /
+          ($"tf" + lit(k1) * (lit(1.0) - lit(b) + lit(b) * $"dl" / $"avgdl")))
+      .withColumn("score_micro", floor($"score" * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"), sum($"score_micro").as("score_micro"))
+      .orderBy($"score_micro".desc, $"doc_id")
+      .limit(topK)
+  }
+
+  /** Fixed query-term set for the registered BM25 query (high-mid df in the
+    * synthetic vocabulary, so tf and df both vary). */
+  private val bm25Terms = Seq("join", "hash", "filter", "merge")
+
+  private val bm25Sql = {
+    val (k1, b) = (1.2, 0.75)
+    val termList = bm25Terms.map(t => s"'$t'").mkString("[", ",", "]")
+    // interpolate the EXACT doubles the Spark side uses (Double.toString
+    // round-trips, DuckDB parses decimal literals to nearest double)
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks,
+      |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS dl
+      |  FROM documents
+      |), stats AS (
+      |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM d
+      |), tf AS (
+      |  SELECT doc_id, dl, term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+      |  WHERE list_contains($termList, term)
+      |  GROUP BY 1, 2, 3
+      |), dft AS (
+      |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+      |), scored AS (
+      |  SELECT doc_id,
+      |    CAST(floor(
+      |      (n_docs - df + 0.5) / (df + 0.5)
+      |        * (tf * ${(k1 + 1.0).toString}) /
+      |        (tf + ${k1.toString} * (1.0 - ${b.toString} + ${b.toString} * dl / (sum_dl * 1.0 / n_docs)))
+      |      * 1000000.0 + 0.5) AS BIGINT) AS score_micro
+      |  FROM tf JOIN dft USING (term), stats
+      |)
+      |SELECT doc_id, COUNT(*) AS n_terms_hit, CAST(SUM(score_micro) AS BIGINT) AS score_micro
+      |FROM scored GROUP BY doc_id
+      |ORDER BY score_micro DESC, doc_id LIMIT 50""".stripMargin
+  }
+
+  /** Passage-level exact dedup — dedup at sub-document granularity (the
+    * RefinedWeb/CCNet-style line- or paragraph-dedup tier; the synthetic
+    * corpus has no newlines, so passages are fixed 20-token windows, which
+    * is also exactly how repeated boilerplate is cut out of real corpora).
+    * Every passage keeps its FIRST corpus occurrence (min doc_id, then min
+    * offset); later copies anywhere in the corpus drop. Emits per-doc
+    * retention stats.
+    *
+    * Scale shape: explode is linear in corpus tokens, the first-occurrence
+    * choice is one window (equivalently a min-agg + semi-join) partitioned
+    * by the passage digest, and the final agg shuffles doc-id-sized rows.
+    * Grouping is on md5 digests, not passage text — shuffle keys stay
+    * 16 bytes regardless of passage length. */
+  def passageDedup(spark: SparkSession, dir: String, win: Int = 20): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"fp").orderBy($"doc_id", $"idx")
+    Tuning.spread(Tables.documents(spark, dir))
+      .select($"doc_id", Text.tokensLower($"text").as("toks"))
+      .filter(size($"toks") > 0)
+      .select($"doc_id", posexplode(
+        transform(sequence(lit(0), expr(s"(size(toks) - 1) div $win")),
+          i => array_join(slice($"toks", i * win + 1, lit(win)), " "))))
+      .withColumnRenamed("pos", "idx")
+      .withColumnRenamed("col", "passage")
+      .withColumn("fp", md5($"passage"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when($"rn" === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"rn" === 1, length($"passage").cast("long")).otherwise(0L)).as("chars_kept"))
+  }
+
+  private val passageDedupSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      |  FROM documents
+      |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) > 0
+      |), x AS (
+      |  SELECT doc_id, toks,
+      |    unnest(range(0, (len(toks) - 1) // 20 + 1)) AS idx
+      |  FROM t
+      |), c AS (
+      |  SELECT doc_id, idx,
+      |    array_to_string(toks[(idx * 20 + 1):(idx * 20 + 20)], ' ') AS passage
+      |  FROM x
+      |), r AS (
+      |  SELECT doc_id, idx, passage,
+      |    row_number() OVER (PARTITION BY md5(passage) ORDER BY doc_id, idx) AS rn
+      |  FROM c
+      |)
+      |SELECT doc_id, COUNT(*) AS n_passages,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN length(passage) ELSE 0 END) AS BIGINT) AS chars_kept
+      |FROM r GROUP BY doc_id""".stripMargin
+
+  /** Corpus bigram language-model counts — the n-gram-LM statistics tier
+    * (KenLM-style count collection): top bigrams with their raw counts,
+    * prefix (context) totals, and the conditional probability
+    * P(w₂|w₁) in integer micros (`count·10⁶ div prefix_total` — integer
+    * division, so the value is engine-exact, no float summation anywhere).
+    *
+    * Scale shape: one explode (linear in corpus tokens), one hash agg on
+    * the bigram, a window-sum per prefix over the ALREADY-AGGREGATED
+    * bigram frame (vocabulary-sized, not corpus-sized), TakeOrdered top-k. */
+  def bigramLm(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    import spark.implicits._
+    val wp = Window.partitionBy(split($"bigram", " ").getItem(0))
+    Tables.documents(spark, dir)
+      .select(Text.tokensLower($"text").as("toks"))
+      .select(explode(Text.ngramsFromTokens($"toks", 2)).as("bigram"))
+      .groupBy($"bigram").agg(count(lit(1)).as("n"))
+      .withColumn("n_prefix", sum($"n").over(wp))
+      .withColumn("p_micro", expr("(n * 1000000) div n_prefix"))
+      .orderBy($"n".desc, $"bigram")
+      .limit(topK)
+  }
+
+  private val bigramLmSql =
+    """WITH b AS (
+      |  SELECT unnest(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      |  FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)
+      |), c AS (
+      |  SELECT bigram, COUNT(*) AS n FROM b GROUP BY 1
+      |), p AS (
+      |  SELECT bigram, n,
+      |    CAST(SUM(n) OVER (PARTITION BY string_split(bigram, ' ')[1]) AS BIGINT) AS n_prefix
+      |  FROM c
+      |)
+      |SELECT bigram, n, n_prefix, (n * 1000000) // n_prefix AS p_micro
+      |FROM p ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+
+  /** Oracle for the streaming click→purchase join: the same self-join in
+    * plain SQL over second-truncated event times. */
+  private val streamJoinSql =
+    """SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+      |  a.user_id AS user_id,
+      |  CAST(floor(epoch(b.ts)) AS BIGINT) - CAST(floor(epoch(a.ts)) AS BIGINT) AS delay_s,
+      |  CAST(round(b.value*100) AS BIGINT) AS value_c
+      |FROM events a JOIN events b ON a.user_id = b.user_id
+      |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+      |  AND CAST(floor(epoch(b.ts)) AS BIGINT) >= CAST(floor(epoch(a.ts)) AS BIGINT)
+      |  AND CAST(floor(epoch(b.ts)) AS BIGINT) <= CAST(floor(epoch(a.ts)) AS BIGINT) + 600""".stripMargin
+
   /** Oracle for the streaming dedup: aggregate of the ORIGINAL (distinct)
     * events — the stream saw every row twice. */
   private val streamDedupSql =
@@ -653,11 +840,20 @@ object LlmData {
     VerifiedQuery("q_stream_dedup",
       (s, d) => graft.streaming.StreamSessionize.availableNowDedup(s, d),
       Some(streamDedupSql)),
+    // watermarked stream-stream inner join (click→purchase attribution)
+    // under a plain SQL self-join oracle — both sides' buffer state is
+    // bounded by the 10-minute join horizon
+    VerifiedQuery("q_stream_join",
+      (s, d) => graft.streaming.StreamSessionize.availableNowStreamJoin(s, d),
+      Some(streamJoinSql)),
     VerifiedQuery("q_llm_pipeline", llmPipeline, Some(llmPipelineSql)),
     VerifiedQuery("q_decontaminate", (s, d) => decontaminate(s, d), Some(decontaminateSql)),
     VerifiedQuery("q_repetition", (s, d) => repetition(s, d), Some(repetitionSql)),
     VerifiedQuery("q_mixture_sample", mixtureSample, Some(mixtureSampleSql)),
     VerifiedQuery("q_pack_contexts", (s, d) => packContexts(s, d), Some(packContextsSql)),
     VerifiedQuery("q_redact", redactPii, Some(redactPiiSql)),
+    VerifiedQuery("q_bm25", (s, d) => bm25(s, d), Some(bm25Sql)),
+    VerifiedQuery("q_passage_dedup", (s, d) => passageDedup(s, d), Some(passageDedupSql)),
+    VerifiedQuery("q_bigram_lm", (s, d) => bigramLm(s, d), Some(bigramLmSql)),
   )
 }

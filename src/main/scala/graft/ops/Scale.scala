@@ -184,7 +184,60 @@ object Scale {
 
   private val saltedJoinSql = skewJoinSql // identical semantics by design
 
+  // ------------------------------------------------------- z-order layout
+
+  /** Morton (z-order) value: interleave the low `bits` bits of two
+    * dimension columns — points close in BOTH dimensions get close
+    * z-values, so range-partitioning by z clusters multi-dimensional
+    * locality into files. Pure integer bit math (shift/and/or), identical
+    * in any engine; the oracle SQL is generated from the same bit loop. */
+  def zValue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+             bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftrightunsigned(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  private def zSqlExpr(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" | ")
+
+  /** Z-order clustering audit — the data-LAYOUT optimization that decides
+    * scan cost at 100 TB: compute the Morton code over two join/filter
+    * dimensions, bucket rows by z-range, and report per-bucket occupancy
+    * and per-dimension spread. Low distinct-x/distinct-y per bucket is the
+    * clustering property that makes parquet min/max file stats prune
+    * multi-dimensional predicates (a file sorted on x alone never prunes
+    * on y). The production write path is `repartitionByRange($"z")` before
+    * the sink — [[graft.ops.ZorderSpec]]-tested for the non-overlapping
+    * per-file z-range property; this registered query oracles the z math
+    * and bucket assignment themselves. Narrow per-row bit math + one hash
+    * agg, nothing data-sized on the driver. */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select((col("l_partkey") % 1024).as("x"), (col("l_suppkey") % 1024).as("y"))
+      .withColumn("z", zValue($"x", $"y", 10))
+      .withColumn("zbucket", expr("z div 16384"))
+      .groupBy($"zbucket")
+      .agg(count(lit(1)).as("n_rows"), min($"z").as("min_z"), max($"z").as("max_z"),
+        count_distinct($"x").as("n_x"), count_distinct($"y").as("n_y"))
+  }
+
+  private val zorderLayoutSql =
+    s"""WITH t AS (
+      |  SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y FROM lineitem
+      |), zt AS (
+      |  SELECT x, y, ${zSqlExpr("x", "y", 10)} AS z FROM t
+      |)
+      |SELECT z // 16384 AS zbucket, COUNT(*) AS n_rows,
+      |  MIN(z) AS min_z, MAX(z) AS max_z,
+      |  COUNT(DISTINCT x) AS n_x, COUNT(DISTINCT y) AS n_y
+      |FROM zt GROUP BY 1""".stripMargin
+
   val all: Seq[VerifiedQuery] = Seq(
+    VerifiedQuery("q_zorder", zorderLayout, Some(zorderLayoutSql)),
     VerifiedQuery("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     VerifiedQuery("q_salted_agg", (s, d) => saltedAgg(s, d), Some(saltedAggSql)),
     VerifiedQuery("q_skew_join", skewJoin, Some(skewJoinSql)),

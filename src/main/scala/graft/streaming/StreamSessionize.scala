@@ -273,6 +273,55 @@ object StreamSessionize {
         $"min_event_id", $"max_event_id")
   }
 
+  /** Watermarked STREAM-STREAM inner join as a REGISTERED BATCH QUERY:
+    * each user's clicks join their purchases arriving within the next 10
+    * minutes — the attribution/conversion join every event pipeline runs.
+    * Both sides carry watermarks and the join condition bounds purchase
+    * time against click time, so each side's buffered state is evicted
+    * once the other side's watermark passes the bound — state tracks the
+    * 10-minute horizon, not stream history, which is the only shape that
+    * survives an unbounded stream. Inner-join matches emit in the
+    * micro-batch that completes the pair (no sentinel needed; the
+    * watermark only gates state cleanup). Timestamps are pre-truncated to
+    * seconds so the interval arithmetic matches the batch oracle — a plain
+    * SQL self-join over the same events — exactly. */
+  def availableNowStreamJoin(spark: SparkSession, dir: String,
+                             fixtureRoot: String = defaultFixtureRoot,
+                             horizonSeconds: Long = 600): DataFrame = {
+    import spark.implicits._
+    val (inDir, ckpt, sinkName) = freshFixture("stream_join", fixtureRoot, dir)
+
+    val ev = graft.Tables.events(spark, dir)
+      .select($"event_id", $"user_id", date_trunc("second", $"ts").as("ts"),
+        $"event_type", $"value")
+    ev.coalesce(1).write.parquet(inDir)
+
+    val src = spark.readStream.schema(ev.schema).parquet(inDir)
+    val clicks = src.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("c_user"),
+        $"ts".as("click_ts"))
+      .withWatermark("click_ts", "0 seconds")
+    val purchases = src.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
+        $"ts".as("purchase_ts"), $"value")
+      .withWatermark("purchase_ts", "0 seconds")
+    val query = clicks.join(purchases,
+        $"c_user" === $"p_user" &&
+          $"purchase_ts" >= $"click_ts" &&
+          $"purchase_ts" <= $"click_ts" + expr(s"INTERVAL $horizonSeconds SECONDS"))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+
+    spark.table(sinkName)
+      .select($"click_id", $"purchase_id", $"c_user".as("user_id"),
+        (unix_timestamp($"purchase_ts") - unix_timestamp($"click_ts")).as("delay_s"),
+        round($"value" * 100).cast("long").as("value_c"))
+  }
+
   /** Watermarked tumbling-window counts per event type — the canonical
     * streaming aggregate (late data beyond the watermark dropped, state
     * evicted per closed window). */
