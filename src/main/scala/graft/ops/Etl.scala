@@ -252,6 +252,127 @@ object Etl {
       |WHERE bucket < 30
       |GROUP BY 1""".stripMargin
 
+  // -------------------------------------------------- epoch-shuffle layout
+
+  /** Epoch-mixed affine hash in [0, p): [[hashBucket]]'s scheme with the
+    * epoch folded in, so each epoch induces an independent-looking but
+    * fully deterministic permutation of the corpus. Same overflow bound:
+    * (p−1)·1103515245 + 12345 + epoch·2654435761 stays far under 2^63 for
+    * any sane epoch count. */
+  def epochHash(key: Column, epoch: Column): Column =
+    ((key % lit(2147483647L)) * lit(1103515245L) + lit(12345L) +
+      epoch * lit(2654435761L)) % lit(2147483647L)
+
+  /** Deterministic per-epoch training shuffle — the "global shuffle each
+    * epoch" every LLM training loader needs, as a layout any engine can
+    * reproduce. Each document is assigned, per epoch, a shard
+    * (`epochHash % nShards`) and a position within the shard (rank of the
+    * hash, doc_id tie-break), giving a different permutation per epoch
+    * with zero RNG state: resumable mid-epoch, reproducible across reruns
+    * and engines, stable under repartitioning — none of which a
+    * `sample`/`orderBy(rand(seed))` shuffle guarantees. At 100 TB the
+    * window becomes `write.partitionBy(epoch, shard).sortWithinPartitions
+    * (h)` — position is then implicit in file order and no global sort
+    * ever runs; the registered query keeps the row_number form so the
+    * oracle pins the exact permutation. Emits per-(epoch, shard) counts
+    * plus a position-weighted id checksum: any membership OR order change
+    * shifts `order_check`. One shuffle per window partition; nothing
+    * driver-side. */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nShards = 8
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"epoch", $"shard").orderBy($"h", $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id")
+      .withColumn("epoch", explode(array(lit(0L), lit(1L))))
+      .withColumn("h", epochHash($"doc_id", $"epoch"))
+      .withColumn("shard", $"h" % lit(nShards.toLong))
+      .withColumn("position", row_number().over(w).cast("long"))
+      .groupBy($"epoch", $"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"position" * ($"doc_id" % lit(1000003L))).as("order_check"),
+        min($"h").as("min_h"), max($"h").as("max_h"))
+  }
+
+  private val epochShuffleSql =
+    """WITH a AS (
+      |  SELECT doc_id, epoch,
+      |    ((doc_id % 2147483647) * 1103515245 + 12345 + epoch * 2654435761)
+      |      % 2147483647 AS h
+      |  FROM documents
+      |  CROSS JOIN (SELECT unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS epoch)
+      |), r AS (
+      |  SELECT epoch, h % 8 AS shard, h, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY epoch, h % 8 ORDER BY h, doc_id)
+      |      AS BIGINT) AS position
+      |  FROM a
+      |)
+      |SELECT epoch, shard, COUNT(*) AS n_docs,
+      |  CAST(SUM(position * (doc_id % 1000003)) AS BIGINT) AS order_check,
+      |  MIN(h) AS min_h, MAX(h) AS max_h
+      |FROM r GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------- SCD type 2
+
+  /** Slowly-changing-dimension type 2 — the history-keeping counterpart of
+    * [[mergeUpsert]] (which keeps latest-wins only): every version of a key
+    * is retained with a validity interval, closed by the next version's
+    * arrival date. The change feed is the same deterministic derivation
+    * (every 7th key re-priced 30 days later). One `lead()` window over
+    * (key, valid_from) builds the intervals — exactly one shuffle on the
+    * dimension key, the same shape a MERGE-based SCD2 load executes at any
+    * scale. Output groups by (is_current, status) with per-group key
+    * counts, integer-cents revenue, and the date span, so a wrong interval
+    * (unclosed history row, misdated close, dropped version) shifts a
+    * group's membership and hash-fails. */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val v1 = orders.select($"o_orderkey".as("key"),
+      $"o_orderstatus".as("status"), cents($"o_totalprice").as("price_c"),
+      to_date($"o_orderdate").as("valid_from"))
+    val v2 = orders.filter($"o_orderkey" % 7 === 0)
+      .select($"o_orderkey".as("key"), lit("U").as("status"),
+        (cents($"o_totalprice") + lit(100L)).as("price_c"),
+        date_add(to_date($"o_orderdate"), 30).as("valid_from"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"key").orderBy($"valid_from")
+    v1.unionByName(v2)
+      .withColumn("valid_to", date_sub(lead($"valid_from", 1).over(w), 1))
+      .withColumn("is_current", $"valid_to".isNull)
+      .groupBy($"is_current", $"status")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"key").as("n_keys"),
+        (sum($"price_c") / lit(100.0)).as("sum_price"),
+        date_format(min($"valid_from"), "yyyy-MM-dd").as("min_from"),
+        date_format(max($"valid_from"), "yyyy-MM-dd").as("max_from"))
+  }
+
+  private val scd2Sql =
+    """WITH v AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status,
+      |    CAST(round(o_totalprice*100) AS BIGINT) AS price_c,
+      |    CAST(o_orderdate AS DATE) AS valid_from
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey AS key, 'U' AS status,
+      |    CAST(round(o_totalprice*100) AS BIGINT) + 100 AS price_c,
+      |    CAST(o_orderdate AS DATE) + 30 AS valid_from
+      |  FROM orders WHERE o_orderkey % 7 = 0
+      |), iv AS (
+      |  SELECT *,
+      |    lead(valid_from) OVER (PARTITION BY key ORDER BY valid_from) - 1
+      |      AS valid_to
+      |  FROM v
+      |)
+      |SELECT valid_to IS NULL AS is_current, status,
+      |  COUNT(*) AS n_rows, COUNT(DISTINCT key) AS n_keys,
+      |  CAST(SUM(price_c) AS DOUBLE)/100.0 AS sum_price,
+      |  strftime(MIN(valid_from), '%Y-%m-%d') AS min_from,
+      |  strftime(MAX(valid_from), '%Y-%m-%d') AS max_from
+      |FROM iv GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------- CDC merge
 
   /** CDC merge/upsert — the latest-version-wins MERGE every incremental
@@ -330,5 +451,7 @@ object Etl {
     VerifiedQuery("q_parquet_sink", parquetSink, Some(parquetSinkSql)),
     VerifiedQuery("q_sample_split", sampleSplit, None),
     VerifiedQuery("q_hash_sample", hashSample, Some(hashSampleSql)),
+    VerifiedQuery("q_epoch_shuffle", epochShuffle, Some(epochShuffleSql)),
+    VerifiedQuery("q_scd2", scd2, Some(scd2Sql)),
   )
 }

@@ -166,6 +166,54 @@ object LlmData {
       |FROM documents
       |GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))""".stripMargin
 
+  /** Incremental-ingest dedup — the shape a production corpus actually
+    * runs: a new batch arrives and must be deduplicated (a) within itself
+    * and (b) against the fingerprint store of everything already ingested.
+    * The batch/corpus split is the deterministic [[Etl.hashBucket]] (last
+    * 30% of buckets = incoming), so the oracle reproduces it exactly.
+    * Each incoming doc gets a status: `dup_within` (a lower doc_id in the
+    * batch shares its fingerprint), `dup_corpus` (fingerprint already
+    * ingested), or `kept`. One window over fp + one left join against the
+    * distinct corpus-fingerprint frame — at 100 TB that store is a
+    * bucketed table on fp, making the join shuffle-free on the store side
+    * and the daily increment the only side that moves. Emits per-status
+    * counts + id sums so any misclassified document hash-fails. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", Text.fingerprint($"text").as("fp"))
+    val incoming = docs.filter(Etl.hashBucket($"doc_id") >= 70)
+    val corpusFps = docs.filter(Etl.hashBucket($"doc_id") < 70)
+      .select($"fp").distinct().withColumn("in_corpus", lit(1))
+    incoming
+      .withColumn("min_id", min($"doc_id").over(Window.partitionBy($"fp")))
+      .join(corpusFps, Seq("fp"), "left")
+      .withColumn("status",
+        when($"doc_id" =!= $"min_id", lit("dup_within"))
+          .when($"in_corpus".isNotNull, lit("dup_corpus"))
+          .otherwise(lit("kept")))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("id_sum"))
+  }
+
+  private val incrementalDedupSql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
+      |    ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647 % 100 AS bucket
+      |  FROM documents
+      |), inc AS (
+      |  SELECT doc_id, fp, MIN(doc_id) OVER (PARTITION BY fp) AS min_id
+      |  FROM d WHERE bucket >= 70
+      |), ex AS (
+      |  SELECT DISTINCT fp FROM d WHERE bucket < 70
+      |)
+      |SELECT CASE WHEN doc_id <> min_id THEN 'dup_within'
+      |            WHEN fp IN (SELECT fp FROM ex) THEN 'dup_corpus'
+      |            ELSE 'kept' END AS status,
+      |  COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |FROM inc GROUP BY 1""".stripMargin
+
   /** Token-set Jaccard similarity between adjacent doc_ids (a bounded,
     * deterministic candidate set — the pairwise scorer that LSH bucketing
     * feeds at scale; see [[Similarity.minhashDedup]] for the bucketed path).
@@ -819,6 +867,7 @@ object LlmData {
     VerifiedQuery("q_word_count", wordCount, Some(wordCountSql)),
     VerifiedQuery("q_exact_dedup", exactDedup, Some(exactDedupSql)),
     VerifiedQuery("q_fingerprint_dedup", fingerprintDedup, Some(fingerprintDedupSql)),
+    VerifiedQuery("q_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     VerifiedQuery("q_rolling_fp", rollingFingerprint, Some(rollingFingerprintSql)),
     VerifiedQuery("q_jaccard_sim", jaccardSim, Some(jaccardSimSql)),
     VerifiedQuery("q_sessionize", sessionize, Some(sessionizeSql)),
