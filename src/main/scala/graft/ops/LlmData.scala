@@ -44,6 +44,21 @@ object LlmData {
       |    / len(string_split_regex(trim(text), '\s+')) AS mean_token_len
       |FROM documents""".stripMargin
 
+  /** The composite-quality column over a `text` column — shared by
+    * [[qualityScore]] (per-doc emission) and [[sourceCap]] (rank-based
+    * curation) so both rank by the identical IEEE expression. */
+  private def qualityCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val stops = Text.occurrenceCount(text, Seq("the", "a", "of", "and", "to", "in", "is"))
+    val nTok = Text.tokenCount(text)
+    val stopRatio = stops * lit(1.0) / nTok
+    val punctRatio = Text.punctCount(text) * lit(1.0) / length(text)
+    val meanLen = Text.tokenCharSum(text) * lit(1.0) / nTok
+    val lenOk = when(length(text).between(100, 100000), lit(1.0)).otherwise(lit(0.0))
+    val meanLenOk = when(meanLen.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0))
+    stopRatio * lit(0.4) + (lit(1.0) - punctRatio) * lit(0.2) +
+      lenOk * lit(0.2) + meanLenOk * lit(0.2)
+  }
+
   /** Composite quality score from deterministic signals: stopword ratio,
     * punctuation density, mean token length band, length band — the
     * standard cheap pre-filter tier of a training-data pipeline. */
@@ -62,8 +77,7 @@ object LlmData {
       punctRatio.as("punct_ratio"),
       lenOk.as("len_ok"),
       meanLenOk.as("mean_len_ok"),
-      (stopRatio * lit(0.4) + (lit(1.0) - punctRatio) * lit(0.2) +
-        lenOk * lit(0.2) + meanLenOk * lit(0.2)).as("quality"))
+      qualityCol($"text").as("quality"))
   }
 
   private val qualityScoreSql =
@@ -84,6 +98,54 @@ object LlmData {
       |SELECT doc_id, stop_ratio, punct_ratio, len_ok, mean_len_ok,
       |  stop_ratio * 0.4 + (1.0 - punct_ratio) * 0.2 + len_ok * 0.2 + mean_len_ok * 0.2 AS quality
       |FROM s""".stripMargin
+
+  /** Per-source document cap — the "no domain dominates the mix" curation
+    * rule every web-scale corpus applies (cap pages per domain before
+    * training): keep the top-K documents of each source by composite
+    * quality, deterministic doc_id tie-break. One `row_number` window on
+    * source — a single shuffle whose partitions are per-source, the same
+    * shape at any corpus size; K bounds the kept set, not the scan. Emits
+    * per-source totals, kept counts, kept-id sums and the kept quality
+    * range so a single mis-ranked document hash-fails. */
+  def sourceCap(spark: SparkSession, dir: String, k: Int = 40): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"quality".desc, $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source", qualityCol($"text").as("quality"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when($"rk" <= k, 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"rk" <= k, $"doc_id").otherwise(0L)).as("kept_id_sum"),
+        min(when($"rk" <= k, $"quality")).as("min_kept_quality"),
+        max($"quality").as("max_quality"))
+  }
+
+  private val sourceCapSql =
+    """WITH t AS (
+      |  SELECT doc_id, source, text,
+      |    string_split_regex(trim(lower(text)), '\s+') AS toks,
+      |    string_split_regex(trim(text), '\s+') AS rawtoks
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, source,
+      |    len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) * 1.0
+      |        / len(rawtoks) * 0.4
+      |      + (1.0 - len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / length(text)) * 0.2
+      |      + CAST(CASE WHEN length(text) BETWEEN 100 AND 100000 THEN 1.0 ELSE 0.0 END AS DOUBLE) * 0.2
+      |      + CAST(CASE WHEN list_sum(list_transform(rawtoks, x -> length(x))) * 1.0 / len(rawtoks)
+      |              BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END AS DOUBLE) * 0.2 AS quality
+      |  FROM t
+      |), r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rk
+      |  FROM s
+      |)
+      |SELECT source, COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN rk <= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN rk <= 40 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum,
+      |  MIN(CASE WHEN rk <= 40 THEN quality END) AS min_kept_quality,
+      |  MAX(quality) AS max_quality
+      |FROM r GROUP BY 1""".stripMargin
 
   /** Language-ID confusion matrix: the marker-occurrence heuristic's
     * prediction vs the labeled `lang`, aggregated. (The synthetic corpus
@@ -863,6 +925,7 @@ object LlmData {
   val all: Seq[VerifiedQuery] = Seq(
     VerifiedQuery("q_text_stats", textStats, Some(textStatsSql)),
     VerifiedQuery("q_quality_score", qualityScore, Some(qualityScoreSql)),
+    VerifiedQuery("q_source_cap", (s, d) => sourceCap(s, d), Some(sourceCapSql)),
     VerifiedQuery("q_lang_id", langId, Some(langIdSql)),
     VerifiedQuery("q_word_count", wordCount, Some(wordCountSql)),
     VerifiedQuery("q_exact_dedup", exactDedup, Some(exactDedupSql)),

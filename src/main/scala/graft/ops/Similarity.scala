@@ -927,6 +927,78 @@ object Similarity {
       |    (a, b) -> a + b) AS mse
       |FROM q""".stripMargin
 
+  // ------------------------------------------------ signed random projection
+
+  /** Johnson–Lindenstrauss-style signed random projection over the int8-
+    * quantized embeddings: 64 input dims → 16 output dims through a ±1
+    * matrix derived from an affine hash of (i·16 + j) — no stored matrix,
+    * no RNG state, any engine regenerates it bit-identically. Because the
+    * inputs are the quantized integers from [[quantizeEmbeddings]], every
+    * projected coordinate is exact 64-bit integer math, so the oracle
+    * hash-checks the full projection (a float projection could only be
+    * compared to tolerance). This is the cheap dimension-reduction tier
+    * for ANN/dedup at scale: per-row narrow work, zero shuffles, output
+    * 4× smaller than the input embedding. Emits per-vector projection
+    * checksum, range, and first coordinate — any changed coordinate shifts
+    * `proj_check`. */
+  def randomProjection(emb: DataFrame): DataFrame = {
+    val outDims = 16
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("em"))
+      .withColumn("amax", array_max(transform(col("em"), v => abs(v))))
+      .filter(col("amax") > 0)
+      .withColumn("scale", lit(127.0) / col("amax"))
+      .withColumn("qv", transform(col("em"), v =>
+        greatest(lit(-127L), least(lit(127L),
+          floor(v * col("scale") + lit(0.5)).cast("long")))))
+    // sign(i, j) = parity of ((i·outDims + j) · 2654435761) mod (2³¹−1):
+    // deterministic, engine-portable, and distinct per matrix cell
+    val proj = e.withColumn("proj",
+      transform(sequence(lit(0), lit(outDims - 1)), j =>
+        aggregate(sequence(lit(0), size(col("qv")) - 1), lit(0L), (acc, i) =>
+          acc + when(((i * outDims + j).cast("long") * lit(2654435761L))
+              % lit(2147483647L) % 2 === 0,
+            element_at(col("qv"), i + 1))
+            .otherwise(-element_at(col("qv"), i + 1)))))
+    proj.select(col("vec_id"),
+      aggregate(zip_with(col("proj"), sequence(lit(1L), lit(outDims.toLong)),
+        (p, j) => p * j), lit(0L), (a, v) => a + v).as("proj_check"),
+      array_min(col("proj")).as("proj_min"),
+      array_max(col("proj")).as("proj_max"),
+      element_at(col("proj"), 1).as("proj_0"))
+  }
+
+  def randomProjectionQuery(spark: SparkSession, dir: String): DataFrame =
+    randomProjection(Tables.embeddings(spark, dir))
+
+  private val randomProjectionSql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS em,
+      |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS amax
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT vec_id,
+      |    list_transform(em, x -> GREATEST(-127, LEAST(127,
+      |      CAST(floor(x * (127.0 / amax) + 0.5) AS BIGINT)))) AS qv
+      |  FROM e WHERE amax > 0
+      |), p AS (
+      |  SELECT vec_id,
+      |    list_transform(range(0, 16), j ->
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(0, len(qv)), i ->
+      |          CASE WHEN (CAST(i * 16 + j AS BIGINT) * 2654435761) % 2147483647 % 2 = 0
+      |               THEN qv[CAST(i + 1 AS INTEGER)]
+      |               ELSE -qv[CAST(i + 1 AS INTEGER)] END)),
+      |        (a, b) -> a + b)) AS proj
+      |  FROM q
+      |)
+      |SELECT vec_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, 17), j -> proj[CAST(j AS INTEGER)] * j)),
+      |    (a, b) -> a + b) AS proj_check,
+      |  list_min(proj) AS proj_min, list_max(proj) AS proj_max,
+      |  proj[1] AS proj_0
+      |FROM p""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[VerifiedQuery] = Seq(
@@ -943,5 +1015,6 @@ object Similarity {
     VerifiedQuery("q_cosine_neardup_kmeans", cosineNearDupKMeansQuery, None),
     VerifiedQuery("q_ann_ivf", ivfTopKQuery, None),
     VerifiedQuery("q_quantize_emb", quantizeEmbeddingsQuery, Some(quantizeEmbeddingsSql)),
+    VerifiedQuery("q_rand_proj", randomProjectionQuery, Some(randomProjectionSql)),
   )
 }

@@ -111,6 +111,34 @@ class IngestOpsSpec extends SparkSpec {
     assert(groups("kept") > 0)
   }
 
+  // ------------------------------------------------------------ source cap
+
+  test("sourceCap: kept counts bounded by k; quality range consistent") {
+    val groups = LlmData.sourceCap(spark, sf)
+      .select($"source", $"n_total", $"n_kept", $"min_kept_quality", $"max_quality")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(groups.nonEmpty)
+    groups.foreach { case (src, total, kept, minQ, maxQ) =>
+      assert(kept == math.min(40L, total), s"source $src kept $kept of $total")
+      assert(minQ <= maxQ)
+    }
+  }
+
+  test("sourceCap k=1 keeps exactly the per-source quality argmax") {
+    // independent expectation: rank by the same quality column the
+    // registered qualityScore emits, lowest doc_id wins ties
+    val perDoc = LlmData.qualityScore(spark, sf).select($"doc_id", $"quality")
+      .join(graft.Tables.documents(spark, sf).select($"doc_id", $"source"), "doc_id")
+      .select($"source", $"doc_id", $"quality").as[(String, Long, Double)]
+      .collect()
+    val expected = perDoc.groupBy(_._1).view.mapValues { rows =>
+      rows.minBy(r => (-r._3, r._2))._2 // max quality, min doc_id tie-break
+    }.toMap
+    val got = LlmData.sourceCap(spark, sf, k = 1)
+      .select($"source", $"kept_id_sum").as[(String, Long)].collect().toMap
+    assert(got == expected)
+  }
+
   test("incrementalDedup on planted duplicates: each status classified exactly") {
     // pick real bucket assignments from the production hash: corpus docs
     // land in buckets <70, incoming in >=70

@@ -396,6 +396,37 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("randomProjection: exact signed-sum on a hand-computed fixture") {
+    val emb = Seq((1L, Seq(1.0f, -1.0f))).toDF("vec_id", "embedding")
+    // qv = [127, -127]; proj_j = s(0,j)*127 + s(1,j)*(-127) with the same
+    // affine-parity sign the engine derives
+    def sign(i: Int, j: Int): Long =
+      if (((i * 16 + j).toLong * 2654435761L) % 2147483647L % 2 == 0) 1L else -1L
+    val proj = (0 until 16).map(j => sign(0, j) * 127L + sign(1, j) * -127L)
+    val row = Similarity.randomProjection(emb)
+      .select($"proj_check", $"proj_min", $"proj_max", $"proj_0")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(row._1 == proj.zipWithIndex.map { case (p, j) => p * (j + 1) }.sum)
+    assert(row._2 == proj.min && row._3 == proj.max && row._4 == proj.head)
+  }
+
+  test("randomProjection on real embeddings: bounded, deterministic, discriminative") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = Similarity.randomProjection(emb)
+      .select($"vec_id", $"proj_check", $"proj_min", $"proj_max")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // each coordinate is a ±1-signed sum of 64 int8 values
+    rows.foreach { case (_, _, lo, hi) =>
+      assert(lo >= -127L * 64 && hi <= 127L * 64)
+    }
+    // projections separate vectors: checksum collisions should be rare
+    assert(rows.map(_._2).distinct.length > rows.length * 9 / 10)
+    val again = Similarity.randomProjection(emb)
+      .select($"vec_id", $"proj_check").as[(Long, Long)].collect().toMap
+    assert(rows.forall { case (id, chk, _, _) => again(id) == chk })
+  }
+
   test("bruteForceTopK is exact; lshTopK recall@10 >= 0.7 on real embeddings") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val exact = Similarity.bruteForceTopK(emb, nQueries = 3, k = 10)
