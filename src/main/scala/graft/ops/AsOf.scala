@@ -98,8 +98,75 @@ object AsOf {
       |FROM events LEFT JOIN bands ON value >= lo AND value < hi
       |GROUP BY band""".stripMargin
 
+  /** Time-series resample + gap-fill + forward-fill — the missing-interval
+    * operator every feature/metrics pipeline needs (OHLC-style
+    * downsampling): events bucket to an hourly grid per series
+    * (`event_type`), each bucket keeps its event count and CLOSE (the
+    * last event's value by (ts, event_id) — deterministic tie-break),
+    * empty buckets are materialized from a dense grid and the close is
+    * carried forward (`last(ignoreNulls)`, the same kernel as
+    * [[asofJoin]]). Hours before a series' first event stay null —
+    * forward fill has nothing to carry.
+    *
+    * Scale shape: the bucket aggregate is one shuffle on (series, hour);
+    * the grid is O(series × hours) — calendar-sized, independent of row
+    * count — built from a broadcast 1-row bounds frame; the fill is one
+    * keyed window per series. Nothing data-sized is ever broadcast or
+    * collected. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", $"ts", $"event_id",
+        round($"value" * 100).cast("long").as("v_c"))
+      .withColumn("hr", expr("unix_timestamp(ts) DIV 3600"))
+    val wLast = Window.partitionBy($"event_type", $"hr")
+      .orderBy($"ts".desc, $"event_id".desc)
+    val hourly = ev.withColumn("rn", row_number().over(wLast))
+      .groupBy($"event_type", $"hr")
+      .agg(count(lit(1)).as("n_events"),
+        max(when($"rn" === 1, $"v_c")).as("close_c"))
+    val bounds = ev.agg(min($"hr").as("h0"), max($"hr").as("h1"))
+    val grid = ev.select($"event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"event_type", explode(sequence($"h0", $"h1")).as("hr"))
+    val wFill = Window.partitionBy($"event_type").orderBy($"hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("event_type", "hr"), "left")
+      .withColumn("n_events", coalesce($"n_events", lit(0L)))
+      .withColumn("is_gap", ($"n_events" === 0L).cast("int"))
+      .withColumn("filled_close_c", last($"close_c", ignoreNulls = true).over(wFill))
+      .select($"event_type", $"hr", $"n_events", $"is_gap", $"filled_close_c")
+  }
+
+  private val gapFillSql =
+    """WITH e AS (
+      |  SELECT event_type, event_id, ts,
+      |    CAST(round(value*100) AS BIGINT) AS v_c,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr
+      |  FROM events
+      |), h AS (
+      |  SELECT event_type, hr, COUNT(*) AS n_events,
+      |    MAX(CASE WHEN rn = 1 THEN v_c END) AS close_c
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type, hr
+      |          ORDER BY ts DESC, event_id DESC) AS rn FROM e)
+      |  GROUP BY 1, 2
+      |), b AS (
+      |  SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM e
+      |), g AS (
+      |  SELECT event_type,
+      |    unnest(range((SELECT h0 FROM b), (SELECT h1 FROM b) + 1)) AS hr
+      |  FROM (SELECT DISTINCT event_type FROM e)
+      |)
+      |SELECT g.event_type, g.hr,
+      |  COALESCE(h.n_events, 0) AS n_events,
+      |  CAST(CASE WHEN COALESCE(h.n_events, 0) = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_gap,
+      |  last_value(h.close_c IGNORE NULLS) OVER (PARTITION BY g.event_type ORDER BY g.hr
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_close_c
+      |FROM g LEFT JOIN h ON h.event_type = g.event_type AND h.hr = g.hr""".stripMargin
+
   val all: Seq[VerifiedQuery] = Seq(
     VerifiedQuery("q_asof_join", asofQuery, Some(asofSql)),
     VerifiedQuery("q_range_join", rangeJoinQuery, Some(rangeJoinSql)),
+    VerifiedQuery("q_gapfill", gapFill, Some(gapFillSql)),
   )
 }

@@ -442,6 +442,126 @@ object Etl {
       |  MIN(key) AS min_key, MAX(key) AS max_key
       |FROM m WHERE rn = 1 GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------ data expectations
+
+  /** Data-quality expectation suite — the validation gate a production
+    * pipeline runs before publishing a table (Deequ/Great-Expectations
+    * style): range checks, null checks, accepted-value sets, key
+    * uniqueness and referential integrity, each emitted as a
+    * (check_name, n_violations, pass) row. Thresholds are deliberately
+    * tight enough that some checks FAIL on the corpus — a validation
+    * report is only trustworthy if the failing path is exercised.
+    *
+    * Scale shape: all per-table checks FUSE into one aggregation pass per
+    * table (one scan of lineitem, one of orders — not one scan per check),
+    * unpivoted to rows via `stack`; the referential check is one
+    * broadcast-able anti-join keyed on the dimension key. Nothing
+    * driver-side, output is O(checks). */
+  def expectations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).agg(
+      sum(when(!$"l_quantity".between(1, 30), 1L).otherwise(0L)).as("c_qty"),
+      sum(when($"l_shipdate".isNull, 1L).otherwise(0L)).as("c_ship"),
+      sum(when($"l_discount" > 0.05, 1L).otherwise(0L)).as("c_disc"),
+      sum(when($"l_extendedprice" <= 0, 1L).otherwise(0L)).as("c_price"))
+      .select(expr(
+        """stack(4,
+          |  'lineitem.l_quantity in [1,30]', c_qty,
+          |  'lineitem.l_shipdate not null', c_ship,
+          |  'lineitem.l_discount <= 0.05', c_disc,
+          |  'lineitem.l_extendedprice > 0', c_price) AS (check_name, n_violations)
+          |""".stripMargin))
+    val ord = Tables.orders(spark, dir).agg(
+      (count(lit(1)) - count_distinct($"o_orderkey")).as("c_dup"),
+      sum(when(!$"o_orderstatus".isin("O", "F", "P"), 1L).otherwise(0L)).as("c_status"),
+      sum(when($"o_totalprice" > 300000, 1L).otherwise(0L)).as("c_total"))
+      .select(expr(
+        """stack(3,
+          |  'orders.o_orderkey unique', c_dup,
+          |  'orders.o_orderstatus in (O,F,P)', c_status,
+          |  'orders.o_totalprice <= 300000', c_total) AS (check_name, n_violations)
+          |""".stripMargin))
+    val ref = Tables.orders(spark, dir).select($"o_custkey")
+      .join(Tables.customer(spark, dir).select($"c_custkey"),
+        $"o_custkey" === $"c_custkey", "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("orders.o_custkey references customer").as("check_name"),
+        $"n_violations")
+    li.unionByName(ord).unionByName(ref)
+      .withColumn("pass", ($"n_violations" === 0L).cast("int"))
+  }
+
+  private val expectationsSql =
+    """WITH li AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN l_quantity NOT BETWEEN 1 AND 30 THEN 1 ELSE 0 END) AS BIGINT) AS c_qty,
+      |    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_ship,
+      |    CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS c_disc,
+      |    CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_price
+      |  FROM lineitem
+      |), ord AS (
+      |  SELECT
+      |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS c_dup,
+      |    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS c_status,
+      |    CAST(SUM(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT) AS c_total
+      |  FROM orders
+      |), u AS (
+      |  SELECT 'lineitem.l_quantity in [1,30]' AS check_name, c_qty AS n_violations FROM li
+      |  UNION ALL SELECT 'lineitem.l_shipdate not null', c_ship FROM li
+      |  UNION ALL SELECT 'lineitem.l_discount <= 0.05', c_disc FROM li
+      |  UNION ALL SELECT 'lineitem.l_extendedprice > 0', c_price FROM li
+      |  UNION ALL SELECT 'orders.o_orderkey unique', c_dup FROM ord
+      |  UNION ALL SELECT 'orders.o_orderstatus in (O,F,P)', c_status FROM ord
+      |  UNION ALL SELECT 'orders.o_totalprice <= 300000', c_total FROM ord
+      |  UNION ALL SELECT 'orders.o_custkey references customer',
+      |    (SELECT COUNT(*) FROM orders o
+      |     WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |)
+      |SELECT check_name, n_violations,
+      |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INTEGER) AS pass
+      |FROM u""".stripMargin
+
+  // ---------------------------------------------------- stratified split
+
+  /** Exact stratified train/val/test split — eval-set creation with
+    * guaranteed per-stratum proportions: within each stratum (`lang`),
+    * rows are ranked deterministically and assigned 80/10/10 by rank mod
+    * 10. Unlike [[hashSample]] (whose per-stratum fractions only converge
+    * in expectation), the split is exact per stratum — what a benchmark
+    * dev-set build needs. One row_number window per stratum + one hash
+    * agg; the window partitions by stratum, so parallelism is bounded by
+    * stratum count — fine for eval-set-sized strata; shard finer (e.g.
+    * lang × source) when strata are corpus-sized. */
+  def stratifiedSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"doc_id")
+    Tables.documents(spark, dir)
+      .select($"lang", $"doc_id",
+        graft.functions.Text.tokenCount($"text").cast("long").as("n_tok"))
+      .withColumn("slot", (row_number().over(w) - 1) % 10)
+      .withColumn("split",
+        when($"slot" <= 7, "train").when($"slot" === 8, "val").otherwise("test"))
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"doc_id").as("id_sum"),
+        sum($"n_tok").as("n_tokens"))
+  }
+
+  private val stratifiedSplitSql =
+    """WITH r AS (
+      |  SELECT lang, doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+      |    (row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1) % 10 AS slot
+      |  FROM documents
+      |)
+      |SELECT lang,
+      |  CASE WHEN slot <= 7 THEN 'train' WHEN slot = 8 THEN 'val' ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      |FROM r GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[VerifiedQuery] = Seq(
@@ -453,5 +573,7 @@ object Etl {
     VerifiedQuery("q_hash_sample", hashSample, Some(hashSampleSql)),
     VerifiedQuery("q_epoch_shuffle", epochShuffle, Some(epochShuffleSql)),
     VerifiedQuery("q_scd2", scd2, Some(scd2Sql)),
+    VerifiedQuery("q_expectations", expectations, Some(expectationsSql)),
+    VerifiedQuery("q_stratified_split", stratifiedSplit, Some(stratifiedSplitSql)),
   )
 }

@@ -900,6 +900,172 @@ object LlmData {
       |SELECT bigram, n, n_prefix, (n * 1000000) // n_prefix AS p_micro
       |FROM p ORDER BY n DESC, bigram LIMIT 20""".stripMargin
 
+  /** LM-based quality scoring — the CCNet-style perplexity filter: a bigram
+    * LM is estimated from the in-domain slice of the corpus (`lang = 'en'`
+    * here; a production run trains on a vetted reference corpus), then EVERY
+    * document is scored by its mean bigram surprise. Out-of-domain or
+    * garbled text hits unseen/rare bigrams and scores high; fluent
+    * in-domain text scores low. The usual −log p is replaced by the linear
+    * surprise `10⁶ − P(w₂|w₁)·10⁶` in integer micros (monotone in −p, and
+    * `ln` is not correctly-rounded across engines), with unseen bigrams at
+    * full surprise — so per-doc sums are order-independent integer math and
+    * the whole filter hash-checks in any engine.
+    *
+    * Scale shape: the LM frame is aggregated (vocabulary²-bounded, shrinks
+    * with Zipf) — at corpus scale it shuffles once on the bigram key and
+    * joins the exploded doc stream keyed the same way; no driver state, no
+    * data-sized broadcast (the planner may still choose to broadcast a
+    * small LM, which is the right call when it fits). */
+  def lmScore(spark: SparkSession, dir: String, trainLang: String = "en"): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", Text.tokensLower($"text").as("toks"))
+      .filter(size($"toks") >= 2)
+    val wp = Window.partitionBy(split($"bigram", " ").getItem(0))
+    val lm = docs.filter($"lang" === trainLang)
+      .select(explode(Text.ngramsFromTokens($"toks", 2)).as("bigram"))
+      .groupBy($"bigram").agg(count(lit(1)).as("n"))
+      .withColumn("n_prefix", sum($"n").over(wp))
+      .select($"bigram", expr("(n * 1000000) div n_prefix").as("p_micro"))
+    docs
+      .select($"doc_id", explode(Text.ngramsFromTokens($"toks", 2)).as("bigram"))
+      .join(lm, Seq("bigram"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when($"p_micro".isNull, 1L).otherwise(0L)).as("n_unseen"),
+        sum(lit(1000000L) - coalesce($"p_micro", lit(0L))).as("surprise_sum"))
+      .withColumn("score_micro", expr("surprise_sum div n_bigrams"))
+  }
+
+  private val lmScoreSql =
+    """WITH d AS (
+      |  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS toks
+      |  FROM documents
+      |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2
+      |), b AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      |  FROM d
+      |), lmc AS (
+      |  SELECT bigram, COUNT(*) AS n
+      |  FROM (SELECT unnest(list_transform(range(1, len(toks)),
+      |          i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      |        FROM d WHERE lang = 'en')
+      |  GROUP BY 1
+      |), lm AS (
+      |  SELECT bigram, (n * 1000000)
+      |    // CAST(SUM(n) OVER (PARTITION BY string_split(bigram, ' ')[1]) AS BIGINT) AS p_micro
+      |  FROM lmc
+      |)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(CASE WHEN p_micro IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+      |  CAST(SUM(1000000 - COALESCE(p_micro, 0)) AS BIGINT) AS surprise_sum,
+      |  CAST(SUM(1000000 - COALESCE(p_micro, 0)) AS BIGINT) // COUNT(*) AS score_micro
+      |FROM b LEFT JOIN lm USING (bigram)
+      |GROUP BY doc_id""".stripMargin
+
+  /** Domain-level curation — the URL/host tier of web-corpus cleaning:
+    * extract the host from each document's URL, left-join a host blocklist,
+    * and aggregate per (host, status). The synthetic corpus has no URL
+    * column, so one is PLANTED deterministically from (source, doc_id) —
+    * the oracle recomputes planting, host extraction and the blocklist
+    * decision, so a wrong regex or join hash-fails. The blocklist is itself
+    * derived data (hosts matching a pattern), exercised as a broadcast
+    * left join — exactly how a real blocklist table (UT1, spam lists) is
+    * applied at scale.
+    *
+    * Scale shape: host extraction is a per-row codegen'd scalar; the
+    * blocklist is O(blocked hosts) and broadcast; the final agg is one
+    * hash-agg shuffle on (host, status) — host cardinality ≪ corpus size. */
+  def domainStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val withUrl = Tables.documents(spark, dir)
+      .withColumn("url", concat(lit("https://"), $"source", $"doc_id" % 7,
+        lit(".example.com/p/"), $"doc_id"))
+      .withColumn("host", regexp_extract($"url", "^https://([^/]+)", 1))
+    val blocklist = withUrl.select($"host").distinct()
+      .filter($"host".rlike("[25]\\.example\\.com$"))
+      .withColumn("blocked", lit(1))
+    withUrl.join(broadcast(blocklist), Seq("host"), "left")
+      .withColumn("status", when($"blocked".isNotNull, "blocked").otherwise("kept"))
+      .groupBy($"host", $"status")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(Text.tokenCount($"text").cast("long")).as("n_tokens"),
+        sum($"doc_id").as("id_sum"))
+  }
+
+  private val domainStatsSql =
+    """WITH u AS (
+      |  SELECT doc_id, text,
+      |    regexp_extract('https://' || source || (doc_id % 7) || '.example.com/p/' || doc_id,
+      |      '^https://([^/]+)', 1) AS host
+      |  FROM documents
+      |), bl AS (
+      |  SELECT DISTINCT host FROM u WHERE regexp_matches(host, '[25]\.example\.com$')
+      |)
+      |SELECT host,
+      |  CASE WHEN bl.host IS NOT NULL THEN 'blocked' ELSE 'kept' END AS status,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |FROM u LEFT JOIN bl USING (host)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Inter-source contamination matrix — how much of each source's content
+    * appears verbatim in another (the corpus-audit step before mixing
+    * sources: a high-overlap pair means one source republishes the other
+    * and the mixture weights double-count it). For every source pair
+    * (a < b): distinct character-8-grams shared, each side's distinct gram
+    * count, and overlap as ppm of the smaller side.
+    *
+    * Scale shape: the (source, gram) frame is deduped in one shuffle; the
+    * pair counts come from a self-join keyed on the gram hash, whose
+    * per-key group is bounded by the SOURCE count (not the corpus), so
+    * fanout is ≤ sources² per gram; the totals frame is O(sources) and
+    * broadcast. Identical sides of the self-join reuse one exchange. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Tuning.spread(Tables.documents(spark, dir))
+      .select($"source", Text.normalized($"text").as("norm"))
+      .filter(length($"norm") >= 8)
+      .select($"source", explode(Text.kgramHashesNative($"norm", 8)).as("g"))
+      .distinct()
+    val totals = grams.groupBy($"source").agg(count(lit(1)).as("n_grams"))
+    grams.as("a").join(grams.as("b"),
+        $"a.g" === $"b.g" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(totals.select($"source".as("src_a"), $"n_grams".as("n_a"))), Seq("src_a"))
+      .join(broadcast(totals.select($"source".as("src_b"), $"n_grams".as("n_b"))), Seq("src_b"))
+      .withColumn("overlap_ppm", expr("(n_shared * 1000000) div least(n_a, n_b)"))
+      .select($"src_a", $"src_b", $"n_shared", $"n_a", $"n_b", $"overlap_ppm")
+  }
+
+  private val sourceOverlapSql =
+    """WITH n AS (
+      |  SELECT source,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+      |  FROM documents
+      |), g AS (
+      |  SELECT DISTINCT source, gh FROM (
+      |    SELECT source, unnest(list_transform(range(1, length(norm) - 6),
+      |      i -> list_reduce(
+      |        list_prepend(CAST(7 AS BIGINT),
+      |          list_transform(regexp_extract_all(substring(norm, CAST(i AS INTEGER), 8), '.'),
+      |            c -> CAST(ord(c) AS BIGINT))),
+      |        (a, b) -> (a * 31 + b) % 2147483647))) AS gh
+      |    FROM n WHERE length(norm) >= 8)
+      |), t AS (
+      |  SELECT source, COUNT(*) AS n_grams FROM g GROUP BY 1
+      |), s AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+      |  FROM g a JOIN g b ON a.gh = b.gh AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT src_a, src_b, n_shared, ta.n_grams AS n_a, tb.n_grams AS n_b,
+      |  (n_shared * 1000000) // LEAST(ta.n_grams, tb.n_grams) AS overlap_ppm
+      |FROM s JOIN t ta ON ta.source = s.src_a JOIN t tb ON tb.source = s.src_b""".stripMargin
+
   /** Oracle for the streaming click→purchase join: the same self-join in
     * plain SQL over second-truncated event times. */
   private val streamJoinSql =
@@ -967,5 +1133,8 @@ object LlmData {
     VerifiedQuery("q_bm25", (s, d) => bm25(s, d), Some(bm25Sql)),
     VerifiedQuery("q_passage_dedup", (s, d) => passageDedup(s, d), Some(passageDedupSql)),
     VerifiedQuery("q_bigram_lm", (s, d) => bigramLm(s, d), Some(bigramLmSql)),
+    VerifiedQuery("q_lm_score", (s, d) => lmScore(s, d), Some(lmScoreSql)),
+    VerifiedQuery("q_domain_stats", domainStats, Some(domainStatsSql)),
+    VerifiedQuery("q_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
   )
 }

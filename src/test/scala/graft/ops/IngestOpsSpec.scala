@@ -139,6 +139,128 @@ class IngestOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  // --------------------------------------------------------- LM quality score
+
+  test("lmScore: in-domain text scores zero surprise, out-of-domain full surprise") {
+    val dir = tmpDir()
+    Seq(
+      (1L, "en", "alpha beta gamma delta"), // train docs: every bigram seen
+      (2L, "en", "alpha beta gamma delta"), //   twice, P(w2|w1) = 1
+      (3L, "de", "zeta eta theta iota"))    // no bigram in the en LM
+      .toDF("doc_id", "lang", "text")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = LlmData.lmScore(spark, dir)
+      .select($"doc_id", $"n_bigrams", $"n_unseen", $"score_micro")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(rows(1L) == ((1L, 3L, 0L, 0L)))
+    assert(rows(2L) == ((2L, 3L, 0L, 0L)))
+    assert(rows(3L) == ((3L, 3L, 3L, 1000000L)))
+  }
+
+  // ------------------------------------------------------------ domain stats
+
+  test("domainStats: statuses partition the corpus and follow the host blocklist") {
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    val rows = LlmData.domainStats(spark, sf)
+      .select($"host", $"status", $"n_docs").as[(String, String, Long)].collect()
+    assert(rows.map(_._3).sum == nDocs)
+    rows.foreach { case (host, status, _) =>
+      val blocked = host.matches(".*[25]\\.example\\.com$")
+      assert(status == (if (blocked) "blocked" else "kept"), host)
+    }
+    assert(rows.exists(_._2 == "blocked") && rows.exists(_._2 == "kept"))
+  }
+
+  // ---------------------------------------------------------- source overlap
+
+  test("sourceOverlap: republished content is detected; disjoint sources aren't paired") {
+    val dir = tmpDir()
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    Seq(
+      (1L, "srcA", shared + " exclusive tail content for the first source"),
+      (2L, "srcB", "entirely different opening text then " + shared),
+      (3L, "srcC", "qqq www eee rrr ttt yyy uuu iii ooo ppp"))
+      .toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = LlmData.sourceOverlap(spark, dir)
+      .select($"src_a", $"src_b", $"n_shared", $"overlap_ppm")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val (nShared, ppm) = rows(("srcA", "srcB"))
+    assert(nShared > 30 && ppm > 0 && ppm <= 1000000)
+    assert(!rows.keySet.exists { case (a, b) => a == "srcC" || b == "srcC" })
+  }
+
+  // ------------------------------------------------------------ expectations
+
+  test("expectations: fused checks match independently computed counts") {
+    val rows = Etl.expectations(spark, sf)
+      .select($"check_name", $"n_violations", $"pass").as[(String, Long, Int)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows.size == 8)
+    val expectedQty = graft.Tables.lineitem(spark, sf)
+      .filter(!$"l_quantity".between(1, 30)).count()
+    assert(rows("lineitem.l_quantity in [1,30]") ==
+      ((expectedQty, if (expectedQty == 0) 1 else 0)))
+    assert(rows("orders.o_orderkey unique") == ((0L, 1)))
+    assert(rows("orders.o_custkey references customer") == ((0L, 1)))
+    rows.foreach { case (name, (v, p)) =>
+      assert((v == 0L) == (p == 1), name) }
+  }
+
+  // -------------------------------------------------------- stratified split
+
+  test("stratifiedSplit: exact 80/10/10 within every stratum") {
+    val langCounts = graft.Tables.documents(spark, sf)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val bySplit = Etl.stratifiedSplit(spark, sf)
+      .select($"lang", $"split", $"n_docs").as[(String, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    langCounts.foreach { case (lang, n) =>
+      def slots(lo: Int, hi: Int) =
+        (0 until n.toInt).count(i => i % 10 >= lo && i % 10 <= hi).toLong
+      assert(bySplit(lang).getOrElse("train", 0L) == slots(0, 7), lang)
+      assert(bySplit(lang).getOrElse("val", 0L) == slots(8, 8), lang)
+      assert(bySplit(lang).getOrElse("test", 0L) == slots(9, 9), lang)
+    }
+  }
+
+  // ----------------------------------------------------------- gap fill
+
+  test("gapFill: dense grid, exact bucket counts, forward-filled closes") {
+    val rows = AsOf.gapFill(spark, sf)
+      .select($"event_type", $"hr", $"n_events", $"is_gap", $"filled_close_c")
+      .as[(String, Long, Long, Int, Option[Long])].collect()
+    // dense: every series covers the identical global [h0, h1] hour range
+    val hrs = rows.map(_._2)
+    val span = hrs.max - hrs.min + 1
+    val types = rows.map(_._1).distinct
+    assert(rows.length == types.length * span)
+    // bucket counts match an independent aggregate of the raw events
+    val expected = graft.Tables.events(spark, sf)
+      .groupBy($"event_type", expr("unix_timestamp(ts) DIV 3600").as("hr"))
+      .count().as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    rows.foreach { case (t, hr, n, gap, _) =>
+      assert(n == expected.getOrElse((t, hr), 0L))
+      assert((gap == 1) == (n == 0L))
+    }
+    // forward fill: a gap hour carries the latest earlier non-gap close;
+    // hours before the first event of a series stay null
+    rows.groupBy(_._1).foreach { case (_, series) =>
+      var lastClose: Option[Long] = None
+      series.sortBy(_._2).foreach { case (_, _, n, _, filled) =>
+        if (n > 0L) { assert(filled.isDefined); lastClose = filled }
+        else assert(filled == lastClose)
+      }
+    }
+    assert(rows.exists(_._4 == 1)) // the corpus actually has gaps
+  }
+
   test("incrementalDedup on planted duplicates: each status classified exactly") {
     // pick real bucket assignments from the production hash: corpus docs
     // land in buckets <70, incoming in >=70
