@@ -1018,25 +1018,40 @@ object LlmData {
     * (a < b): distinct character-8-grams shared, each side's distinct gram
     * count, and overlap as ppm of the smaller side.
     *
-    * Scale shape: the (source, gram) frame is deduped in one shuffle; the
-    * pair counts come from a self-join keyed on the gram hash, whose
-    * per-key group is bounded by the SOURCE count (not the corpus), so
-    * fanout is ≤ sources² per gram; the totals frame is O(sources) and
-    * broadcast. Identical sides of the self-join reuse one exchange. */
+    * Scale shape: NOT a gram-keyed self-join (at test stats the planner
+    * broadcasts one side, so the identical exchanges never dedupe and the
+    * corpus is scanned/hashed once per side — the same trap ROUND4.md
+    * documents for the simhash band join). Instead the deduped (source,
+    * gram) frame groups once on the gram and explodes the SORTED source
+    * set into ordered pairs — per-gram work is ≤ sources², one scan + two
+    * shuffles. Per-source totals are an O(sources) driver map (the output
+    * matrix is itself sources²-sized, so a source-bounded collect is
+    * already implied by the operator's contract), applied as a literal
+    * map lookup — no second join, no recomputed totals subtree. */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val grams = Tuning.spread(Tables.documents(spark, dir))
+    def gramFrame = Tuning.spread(Tables.documents(spark, dir))
       .select($"source", Text.normalized($"text").as("norm"))
       .filter(length($"norm") >= 8)
       .select($"source", explode(Text.kgramHashesNative($"norm", 8)).as("g"))
       .distinct()
-    val totals = grams.groupBy($"source").agg(count(lit(1)).as("n_grams"))
-    grams.as("a").join(grams.as("b"),
-        $"a.g" === $"b.g" && $"a.source" < $"b.source")
-      .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+    val totals: Map[String, Long] = gramFrame
+      .groupBy($"source").agg(count(lit(1)).as("n_grams"))
+      .as[(String, Long)].collect().toMap
+    val totalMap = map(totals.toSeq.sortBy(_._1)
+      .flatMap { case (s, n) => Seq(lit(s), lit(n)) }: _*)
+    val ss = $"ss"
+    val pairCol = flatten(transform(sequence(lit(1), size(ss) - 1),
+      i => transform(sequence(i + lit(1), size(ss)),
+        j => struct(element_at(ss, i).as("src_a"), element_at(ss, j).as("src_b")))))
+    gramFrame
+      .groupBy($"g").agg(sort_array(collect_set($"source")).as("ss"))
+      .filter(size(ss) >= 2)
+      .select(explode(pairCol).as("p"))
+      .groupBy($"p.src_a".as("src_a"), $"p.src_b".as("src_b"))
       .agg(count(lit(1)).as("n_shared"))
-      .join(broadcast(totals.select($"source".as("src_a"), $"n_grams".as("n_a"))), Seq("src_a"))
-      .join(broadcast(totals.select($"source".as("src_b"), $"n_grams".as("n_b"))), Seq("src_b"))
+      .withColumn("n_a", element_at(totalMap, $"src_a"))
+      .withColumn("n_b", element_at(totalMap, $"src_b"))
       .withColumn("overlap_ppm", expr("(n_shared * 1000000) div least(n_a, n_b)"))
       .select($"src_a", $"src_b", $"n_shared", $"n_a", $"n_b", $"overlap_ppm")
   }
