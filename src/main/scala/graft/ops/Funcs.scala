@@ -191,7 +191,54 @@ object Funcs {
         percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("approx_median"))
   }
 
+  /** Winsorization — outlier clipping at exact per-group percentiles (the
+    * feature-engineering step before scaling/training: cap the tails
+    * instead of dropping rows). Prices go through integer cents, the
+    * interpolated p05/p95 bounds are floored to integers, and the clip +
+    * sums stay in integer math — so counts AND clipped sums hash-match
+    * any engine.
+    *
+    * Scale shape: two passes over the fact table (percentiles can't be
+    * computed in the same pass that uses them — every winsorizer, Pandas
+    * included, is two-pass), both single hash-aggs; the O(groups) bounds
+    * frame is broadcast back. Exact `percentile` sorts per group — swap
+    * for `approx_percentile` when group cardinality makes exact sorting
+    * unreasonable; the clip math is unchanged. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.lineitem(spark, dir)
+      .select($"l_returnflag", round($"l_extendedprice" * 100).cast("long").as("price_c"))
+    val bounds = c.groupBy($"l_returnflag").agg(
+      floor(percentile($"price_c", lit(0.05))).cast("long").as("lo_c"),
+      floor(percentile($"price_c", lit(0.95))).cast("long").as("hi_c"))
+    c.join(broadcast(bounds), Seq("l_returnflag"))
+      .withColumn("clipped_c", greatest(least($"price_c", $"hi_c"), $"lo_c"))
+      .groupBy($"l_returnflag", $"lo_c", $"hi_c")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"price_c" < $"lo_c", 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when($"price_c" > $"hi_c", 1L).otherwise(0L)).as("n_clip_hi"),
+        (sum($"clipped_c") / lit(100.0)).as("sum_clipped"))
+  }
+
+  private val winsorizeSql =
+    """WITH c AS (
+      |  SELECT l_returnflag, CAST(round(l_extendedprice*100) AS BIGINT) AS price_c
+      |  FROM lineitem
+      |), b AS (
+      |  SELECT l_returnflag,
+      |    CAST(floor(quantile_cont(price_c, 0.05)) AS BIGINT) AS lo_c,
+      |    CAST(floor(quantile_cont(price_c, 0.95)) AS BIGINT) AS hi_c
+      |  FROM c GROUP BY 1
+      |)
+      |SELECT c.l_returnflag, lo_c, hi_c, COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN price_c < lo_c THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+      |  CAST(SUM(CASE WHEN price_c > hi_c THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+      |  CAST(SUM(GREATEST(LEAST(price_c, hi_c), lo_c)) AS DOUBLE)/100.0 AS sum_clipped
+      |FROM c JOIN b USING (l_returnflag)
+      |GROUP BY 1, 2, 3""".stripMargin
+
   val all: Seq[VerifiedQuery] = Seq(
+    VerifiedQuery("q_winsorize", winsorize, Some(winsorizeSql)),
     VerifiedQuery("q_sql_entry", sqlEntry, Some(sqlEntrySql)),
     VerifiedQuery("q_custom_agg", customAgg, Some(customAggSql)),
     VerifiedQuery("q_sketch_agg", sketchAgg, None),

@@ -999,9 +999,64 @@ object Similarity {
       |  proj[1] AS proj_0
       |FROM p""".stripMargin
 
+  // ------------------------------------------------- dedup cluster audit
+
+  /** Duplicate-cluster size histogram — the audit a dedup run ships with:
+    * how many near-dup clusters of each size the corpus contains (size 1 =
+    * unique documents). A fat tail here means boilerplate or a
+    * republishing source, and it is the number that justifies the dedup
+    * tier's cost. Built on the same deterministic candidate graph and
+    * [[connectedComponents]] as the transitive dedup, so the whole chain
+    * (bucket join → closure → histogram) sits under one recursive-CTE
+    * oracle.
+    *
+    * Scale shape: two hash-aggs over the label frame (component-sized,
+    * then size-sized) + one anti-join for singletons; the O(distinct
+    * sizes) output is materialized eagerly so the CC loop's label cache
+    * can be released inside the operator. */
+  def dedupClusterStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tuning.spread(Tables.documents(spark, dir))
+    val (cand, release) = minhashDetCandidatesWithRelease(docs)
+    val comps = connectedComponents(cand)
+    release()
+    val multi = comps.groupBy($"cluster").agg(count(lit(1)).as("cluster_size"))
+      .groupBy($"cluster_size").agg(count(lit(1)).as("n_clusters"))
+    val singles = docs.select($"doc_id").join(comps, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(lit(1L).as("cluster_size"), $"n_clusters")
+    val out = multi.unionByName(singles).cache()
+    out.count() // materialize (tiny) so the CC label cache can go
+    comps.unpersist()
+    out
+  }
+
+  /** Histogram on the oracle side: component sizes from the recursive-CTE
+    * labels (every edge-connected node), singletons by complement. Multi
+    * clusters are ≥2 by construction, so the size-1 row never collides. */
+  private val dedupClusterStatsSql =
+    s"""WITH RECURSIVE $detCandSqlCtes, edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM cand WHERE agree >= 9
+      |  UNION
+      |  SELECT doc_b AS src, doc_a AS dst FROM cand WHERE agree >= 9
+      |), reach AS (
+      |  SELECT src AS a, dst AS b FROM edges
+      |  UNION
+      |  SELECT r.a, e.dst AS b FROM reach r JOIN edges e ON r.b = e.src
+      |), labels AS (
+      |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a
+      |), sizes AS (
+      |  SELECT cluster, COUNT(*) AS cluster_size FROM labels GROUP BY 1
+      |)
+      |SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes GROUP BY 1
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT) AS cluster_size, COUNT(*) AS n_clusters
+      |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM labels)""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[VerifiedQuery] = Seq(
+    VerifiedQuery("q_dedup_clusters", dedupClusterStats, Some(dedupClusterStatsSql)),
     VerifiedQuery("q_ann_cosine", bruteForceTopKQuery, Some(bruteForceTopKSql)),
     VerifiedQuery("q_ann_lsh", lshTopKQuery, None),
     VerifiedQuery("q_ann_lsh_det", lshDetTopKQuery, Some(lshDetTopKSql)),

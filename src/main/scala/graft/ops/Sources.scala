@@ -58,8 +58,37 @@ object Sources {
       |  CAST(SUM(CAST(round(p_retailprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_price
       |FROM part GROUP BY p_brand""".stripMargin
 
+  /** CSV sink + explicit-schema scan round-trip over a customer
+    * projection (header on; money through integer cents so the text
+    * round-trip is lossless — raw doubles through CSV text would be a
+    * formatting gamble). Completes the sink matrix: parquet
+    * (`q_parquet_sink`), JSON-lines, ORC, CSV. */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = s"$fixtureRoot/csv_${tag(dir)}"
+    Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment", $"c_nationkey",
+        round($"c_acctbal" * 100).cast("long").as("bal_c"))
+      .write.mode("overwrite").option("header", "true").csv(path)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_mktsegment", StringType),
+      StructField("c_nationkey", IntegerType), StructField("bal_c", LongType)))
+    spark.read.schema(schema).option("header", "true").csv(path)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        (sum($"bal_c") / lit(100.0)).as("sum_bal"),
+        min($"c_custkey").as("min_key"), max($"c_custkey").as("max_key"))
+  }
+
+  private val csvRoundtripSql =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_bal,
+      |  MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+      |FROM customer GROUP BY c_mktsegment""".stripMargin
+
   val all: Seq[VerifiedQuery] = Seq(
     VerifiedQuery("q_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
     VerifiedQuery("q_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
+    VerifiedQuery("q_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
   )
 }

@@ -261,6 +261,47 @@ class IngestOpsSpec extends SparkSpec {
     assert(rows.exists(_._4 == 1)) // the corpus actually has gaps
   }
 
+  // ------------------------------------------------------- cluster audit
+
+  test("dedupClusterStats: histogram conserves the corpus; planted clusters sized exactly") {
+    val dir = tmpDir()
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val b = "one two three four five six seven eight nine ten " * 4
+    Seq(
+      (1L, a), (2L, a), (3L, a), // exact triplicate -> one size-3 cluster
+      (4L, b), (5L, b),          // pair -> one size-2 cluster
+      (6L, "completely unrelated content with its own words entirely"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val hist = Similarity.dedupClusterStats(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(hist == Map(3L -> 1L, 2L -> 1L, 1L -> 1L))
+    // and on the real corpus the histogram conserves the document count
+    val histReal = Similarity.dedupClusterStats(spark, sf)
+      .as[(Long, Long)].collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(histReal.map { case (size, n) => size * n }.sum == nDocs)
+  }
+
+  // --------------------------------------------------------- winsorization
+
+  test("winsorize: bounds ordered, clip fractions ~5%, clipped sum inside bounds") {
+    val rows = Funcs.winsorize(spark, sf)
+      .select($"l_returnflag", $"lo_c", $"hi_c", $"n_rows",
+        $"n_clip_lo", $"n_clip_hi", $"sum_clipped")
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (flag, lo, hi, n, nLo, nHi, sum) =>
+      assert(lo <= hi, flag)
+      // exact percentiles: at most 5% strictly below p05 / above p95
+      assert(nLo <= n * 0.05 + 1, flag)
+      assert(nHi <= n * 0.05 + 1, flag)
+      assert(sum >= n * lo / 100.0 - 0.01 && sum <= n * hi / 100.0 + 0.01, flag)
+    }
+  }
+
   test("incrementalDedup on planted duplicates: each status classified exactly") {
     // pick real bucket assignments from the production hash: corpus docs
     // land in buckets <70, incoming in >=70

@@ -165,6 +165,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(bnlj <= 1, s"expected at most the probe BNLJ, got $bnlj:\n$plan")
   }
 
+  test("sourceOverlap: ONE documents scan — the pair explode replaced the self-join") {
+    // the first implementation's gram self-join scanned + re-hashed the
+    // corpus once per join side plus twice for totals (4 scans); the
+    // group-once + sorted-set pair-explode form must keep it at one
+    val plan = LlmData.sourceOverlap(spark, dir).queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("domainStats: blocklist is broadcast; the corpus side never shuffles for the join") {
+    val plan = LlmData.domainStats(spark, dir).queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("expectations: all lineitem checks fuse into a single scan + agg pass") {
+    val plan = Etl.expectations(spark, dir).queryExecution.executedPlan.toString
+    val liScans = "Scan parquet[^\\n]*lineitem".r.findAllIn(plan).size
+    assert(liScans == 1, s"expected 1 lineitem scan (fused checks), got $liScans:\n$plan")
+  }
+
   test("sampleSplit: seed-pinned sample is stable; split is disjoint and covering") {
     import spark.implicits._
     val ord = graft.Tables.orders(spark, dir).select($"o_orderkey")
