@@ -563,9 +563,102 @@ object Relational {
       |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY price_c DESC, o_orderkey))
       |WHERE rnk <= 50""".stripMargin
 
+  /** Discounted revenue in exact 10⁻⁴-dollar units: cents × (100 −
+    * discount%), both integers — the TPC-H `price·(1−disc)` without any
+    * order-dependent double summation. */
+  private def revE4(price: org.apache.spark.sql.Column,
+                    disc: org.apache.spark.sql.Column) =
+    cents(price) * (lit(100L) - round(disc * 100).cast("long"))
+
+  /** TPC-H Q3-shape shipping priority: segment-filtered customers ×
+    * date-filtered orders × lineitem, top-10 open orders by discounted
+    * revenue. The joins carry NO broadcast hints — customer and lineitem
+    * both scale with the data, so strategy is left to size stats/AQE;
+    * both date predicates are raw column comparisons that push into the
+    * parquet scans, and the top-10 plans as TakeOrdered, never a global
+    * sort. */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = to_timestamp(lit("1995-03-15"))
+    val cust = Tables.customer(spark, dir)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" < cutoff)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" > cutoff)
+      .select($"l_orderkey", revE4($"l_extendedprice", $"l_discount").as("rev"))
+    ord.join(cust, $"o_custkey" === $"c_custkey")
+      .join(li, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"),
+        $"o_orderpriority")
+      .agg((sum($"rev") / lit(10000.0)).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  private val shippingPrioritySql =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |  o_orderpriority,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+      |    * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1995-03-15'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-shape local-supplier volume: the 6-way join (region →
+    * nation → customer → orders → lineitem → supplier) with the
+    * LOCAL-supplier condition `s_nationkey = c_nationkey` riding the
+    * supplier join. Only the true dimensions (region, nation) are
+    * broadcast-hinted; customer/orders/lineitem/supplier all shuffle on
+    * their keys — the hint discipline every star query in this engine
+    * follows (PlanShapeSpec pins it for q_join_multi). */
+  def regionalVolume(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey",
+        revE4($"l_extendedprice", $"l_discount").as("rev"))
+    Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= to_timestamp(lit("1995-01-01")) &&
+        $"o_orderdate" < to_timestamp(lit("1997-01-01")))
+      .select($"o_orderkey", $"o_custkey")
+      .join(Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(li, $"l_orderkey" === $"o_orderkey")
+      .join(Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey"),
+        $"l_suppkey" === $"s_suppkey" && $"s_nationkey" === $"c_nationkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_items"),
+        (sum($"rev") / lit(10000.0)).as("revenue"))
+  }
+
+  private val regionalVolumeSql =
+    """SELECT r_name, n_name, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+      |    * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[VerifiedQuery] = Seq(
+    VerifiedQuery("q_shipping_priority", shippingPriority, Some(shippingPrioritySql)),
+    VerifiedQuery("q_regional_volume", regionalVolume, Some(regionalVolumeSql)),
     VerifiedQuery("q_hist_rate", histRate, Some(histRateSql)),
     VerifiedQuery("q_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     VerifiedQuery("q_global_agg", globalAgg, Some(globalAggSql)),

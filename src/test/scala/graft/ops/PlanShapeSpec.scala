@@ -186,6 +186,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(liScans == 1, s"expected 1 lineitem scan (fused checks), got $liScans:\n$plan")
   }
 
+  test("shippingPriority: both date predicates reach the scans; top-10 is TakeOrdered") {
+    val plan = Relational.shippingPriority(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate") ||
+      plan.contains("LessThan(o_orderdate"), s"order date not pushed:\n$plan")
+    assert(plan.contains("GreaterThan(l_shipdate"), s"ship date not pushed:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("regionalVolume: exactly nation+region broadcast-hinted in the 6-way join") {
+    val plan = Relational.regionalVolume(spark, dir).queryExecution.analyzed.toString
+    val hints = "ResolvedHint \\(strategy=broadcast\\)".r.findAllIn(plan).size
+    assert(hints == 2, s"expected 2 broadcast hints (nation, region), got $hints:\n$plan")
+  }
+
   test("sampleSplit: seed-pinned sample is stable; split is disjoint and covering") {
     import spark.implicits._
     val ord = graft.Tables.orders(spark, dir).select($"o_orderkey")
