@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Tables, VerifiedQuery}
 
@@ -201,16 +202,39 @@ object Funcs {
     * Scale shape: two passes over the fact table (percentiles can't be
     * computed in the same pass that uses them — every winsorizer, Pandas
     * included, is two-pass), both single hash-aggs; the O(groups) bounds
-    * frame is broadcast back. Exact `percentile` sorts per group — swap
-    * for `approx_percentile` when group cardinality makes exact sorting
-    * unreasonable; the clip math is unchanged. */
+    * frame is broadcast back. The bounds do NOT use `percentile()`: with
+    * few groups, its exact aggregation buffers EVERY row's value on one
+    * reducer per group (measured 3.3 s of this query's cost at sf0.1 —
+    * and the shape that dies first at 100 TB). Because the domain is
+    * integer cents, the same interpolated value comes from a count
+    * histogram: pre-aggregate (group, value) counts map-side, cumulative-
+    * sum over the DISTINCT values per group, pick the two ranks
+    * straddling p·(n−1) and interpolate with `lower + frac·(higher −
+    * lower)` — the identical IEEE expression `percentile()` evaluates, so
+    * the result (and the DuckDB `quantile_cont` oracle) is bit-unchanged
+    * while the shuffle carries distinct values instead of rows. */
   def winsorize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val c = Tables.lineitem(spark, dir)
       .select($"l_returnflag", round($"l_extendedprice" * 100).cast("long").as("price_c"))
-    val bounds = c.groupBy($"l_returnflag").agg(
-      floor(percentile($"price_c", lit(0.05))).cast("long").as("lo_c"),
-      floor(percentile($"price_c", lit(0.95))).cast("long").as("hi_c"))
+    val counts = c.groupBy($"l_returnflag", $"price_c").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum($"cnt").over(Window.partitionBy($"l_returnflag")
+        .orderBy($"price_c").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum($"cnt").over(Window.partitionBy($"l_returnflag")))
+    // value holding 0-based sorted rank k: the row whose cumulative range
+    // (cum-cnt, cum] covers k+1 — i.e. cum-cnt <= k < cum
+    def valueAt(k: org.apache.spark.sql.Column) =
+      max(when($"cum" - $"cnt" <= k && k < $"cum", $"price_c"))
+    def pos(p: Double) = ($"n" - 1) * lit(p)
+    val bounds = counts.groupBy($"l_returnflag").agg(
+        max($"n").as("n"),
+        valueAt(floor(pos(0.05))).as("v05l"), valueAt(ceil(pos(0.05))).as("v05h"),
+        valueAt(floor(pos(0.95))).as("v95l"), valueAt(ceil(pos(0.95))).as("v95h"))
+      .select($"l_returnflag",
+        floor($"v05l" + (($"n" - 1) * 0.05 - floor(($"n" - 1) * 0.05)) *
+          ($"v05h" - $"v05l")).cast("long").as("lo_c"),
+        floor($"v95l" + (($"n" - 1) * 0.95 - floor(($"n" - 1) * 0.95)) *
+          ($"v95h" - $"v95l")).cast("long").as("hi_c"))
     c.join(broadcast(bounds), Seq("l_returnflag"))
       .withColumn("clipped_c", greatest(least($"price_c", $"hi_c"), $"lo_c"))
       .groupBy($"l_returnflag", $"lo_c", $"hi_c")
