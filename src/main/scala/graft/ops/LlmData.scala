@@ -1081,6 +1081,65 @@ object LlmData {
       |  (n_shared * 1000000) // LEAST(ta.n_grams, tb.n_grams) AS overlap_ppm
       |FROM s JOIN t ta ON ta.source = s.src_a JOIN t tb ON tb.source = s.src_b""".stripMargin
 
+  /** Gap sessions via Spark's BUILT-IN `session_window` (the declarative
+    * twin of the custom lag+cumsum [[sessionize]] and the stateful
+    * streaming [[graft.streaming.StreamSessionize]]): one groupBy, the
+    * merge logic lives in the engine. Boundary semantics pinned by the
+    * oracle: the window extends to last-event + gap EXCLUSIVE, so an
+    * event exactly `gap` after its predecessor starts a NEW session
+    * (oracle breaks on `diff >= gap`). Timestamps are second-truncated on
+    * both sides so the boundary case is actually exercised. One shuffle
+    * on user_id, per-partition merge — the same shape as every keyed
+    * window here. */
+  def sessionWindowAgg(spark: SparkSession, dir: String,
+                       gapSeconds: Int = 1800): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"user_id", date_trunc("second", $"ts").as("ts"),
+        round($"value" * 100).cast("long").as("v_c"))
+      .groupBy($"user_id", session_window($"ts", s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum($"v_c") / lit(100.0)).as("sum_value"))
+      .select($"user_id",
+        unix_timestamp($"session_window.start").as("sess_start_s"),
+        (unix_timestamp($"session_window.end") - gapSeconds).as("sess_last_s"),
+        $"n_events", $"sum_value")
+  }
+
+  private val sessionWindowSql =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS t,
+      |    CAST(round(value*100) AS BIGINT) AS v_c
+      |  FROM events
+      |), m AS (
+      |  SELECT user_id, t, v_c,
+      |    CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+      |           OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= 1800
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM e
+      |), s AS (
+      |  SELECT user_id, t, v_c,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM m
+      |)
+      |SELECT user_id, MIN(t) AS sess_start_s, MAX(t) AS sess_last_s,
+      |  COUNT(*) AS n_events, CAST(SUM(v_c) AS DOUBLE)/100.0 AS sum_value
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
+  /** Oracle for the hopping-window streaming aggregate: every event lands
+    * in exactly two epoch-aligned 600s windows 300s apart. */
+  private val streamHoppingSql =
+    """SELECT w_start_s, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+      |FROM (
+      |  SELECT event_type, value,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 300 * 300 - off AS w_start_s
+      |  FROM events
+      |  CROSS JOIN (SELECT unnest([CAST(0 AS BIGINT), CAST(300 AS BIGINT)]) AS off))
+      |GROUP BY 1, 2""".stripMargin
+
   /** Oracle for the streaming click→purchase join: the same self-join in
     * plain SQL over second-truncated event times. */
   private val streamJoinSql =
@@ -1148,6 +1207,12 @@ object LlmData {
     VerifiedQuery("q_bm25", (s, d) => bm25(s, d), Some(bm25Sql)),
     VerifiedQuery("q_passage_dedup", (s, d) => passageDedup(s, d), Some(passageDedupSql)),
     VerifiedQuery("q_bigram_lm", (s, d) => bigramLm(s, d), Some(bigramLmSql)),
+    VerifiedQuery("q_session_window", (s, d) => sessionWindowAgg(s, d), Some(sessionWindowSql)),
+    // hopping (sliding) windowed streaming aggregate — overlapping twin of
+    // q_stream_windowed; every event in exactly two windows
+    VerifiedQuery("q_stream_hopping",
+      (s, d) => graft.streaming.StreamSessionize.availableNowHoppingCounts(s, d),
+      Some(streamHoppingSql)),
     VerifiedQuery("q_lm_score", (s, d) => lmScore(s, d), Some(lmScoreSql)),
     VerifiedQuery("q_domain_stats", domainStats, Some(domainStatsSql)),
     VerifiedQuery("q_source_overlap", sourceOverlap, Some(sourceOverlapSql)),

@@ -227,6 +227,50 @@ object StreamSessionize {
         col("n"), (col("sum_value_c") / lit(100.0)).as("sum_value"))
   }
 
+  /** HOPPING (sliding) windowed streaming aggregate — the overlapping-
+    * window variant of [[availableNowWindowedCounts]]: 600-second windows
+    * sliding every 300 seconds, so every event lands in exactly two
+    * windows. State is (windows × types)-bounded exactly as with tumbling
+    * windows — the slide multiplies live windows by len/slide, not by the
+    * data. Epoch-aligned starts make the oracle a plain two-offset
+    * explode + GROUP BY. */
+  def availableNowHoppingCounts(spark: SparkSession, dir: String,
+                                fixtureRoot: String = defaultFixtureRoot,
+                                windowSeconds: Int = 600,
+                                slideSeconds: Int = 300): DataFrame = {
+    import spark.implicits._
+    val (inDir, ckpt, sinkName) = freshFixture("stream_hop", fixtureRoot, dir)
+
+    val ev = graft.Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
+    val maxTs = ev.agg(max($"ts")).as[Timestamp].head()
+    val sentinelTs = new Timestamp(maxTs.getTime + (windowSeconds + 3600) * 1000L)
+    val sentinel = Seq((-1L, -1L, sentinelTs, "sentinel", 0.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    ev.unionByName(sentinel).coalesce(1).write.parquet(inDir)
+
+    val stream = spark.readStream.schema(ev.schema).parquet(inDir)
+    val query = stream
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), s"$windowSeconds seconds", s"$slideSeconds seconds"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_c"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value_c"))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+
+    spark.table(sinkName)
+      .filter(col("event_type") =!= "sentinel")
+      .select(unix_timestamp(col("w_start")).as("w_start_s"), col("event_type"),
+        col("n"), (col("sum_value_c") / lit(100.0)).as("sum_value"))
+  }
+
   /** [[dedupStream]] run end-to-end as a REGISTERED BATCH QUERY: the
     * corpus lands in the file source TWICE (two parquet files — the
     * at-least-once delivery a real ingest pipeline sees), the stream

@@ -302,6 +302,29 @@ class IngestOpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------- session window
+
+  test("sessionWindowAgg: built-in session_window reproduces the custom lag+cumsum sessions") {
+    // the two implementations share no code (engine merge vs window math).
+    // Boundary semantics differ by design: session_window's end is
+    // EXCLUSIVE (gap >= 1800 breaks) while sessionize breaks on gap > 1800
+    // — so builtin sessions = custom sessions + (# of exact-1800s gaps)
+    val builtin = LlmData.sessionWindowAgg(spark, sf).count()
+    val custom = LlmData.sessionize(spark, sf).count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"sec")
+    val boundaryGaps = graft.Tables.events(spark, sf)
+      .select($"user_id", unix_timestamp($"ts").as("sec"))
+      .withColumn("gap", $"sec" - lag($"sec", 1).over(w))
+      .filter($"gap" === 1800L).count()
+    assert(builtin == custom + boundaryGaps)
+    // event conservation: session event counts sum to the corpus size
+    val nEvents = graft.Tables.events(spark, sf).count()
+    val summed = LlmData.sessionWindowAgg(spark, sf)
+      .agg(sum($"n_events")).as[Long].head()
+    assert(summed == nEvents)
+  }
+
   test("incrementalDedup on planted duplicates: each status classified exactly") {
     // pick real bucket assignments from the production hash: corpus docs
     // land in buckets <70, incoming in >=70
