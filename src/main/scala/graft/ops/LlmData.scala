@@ -1081,6 +1081,45 @@ object LlmData {
       |  (n_shared * 1000000) // LEAST(ta.n_grams, tb.n_grams) AS overlap_ppm
       |FROM s JOIN t ta ON ta.source = s.src_a JOIN t tb ON tb.source = s.src_b""".stripMargin
 
+  /** Token-diversity quality signal — Gini impurity of each document's
+    * token distribution, `1 − Σ(cᵢ/n)²` (1 → every token distinct, 0 →
+    * one token repeated): the vocabulary-diversity feature quality
+    * classifiers use beside [[repetition]]'s k-gram ratio. Entropy is the
+    * textbook choice but needs `log`, which is not correctly-rounded
+    * across engines; Gini is the same signal in pure rational math, so
+    * the doubles hash-match (`Σcᵢ²` and `n` stay integers until one final
+    * division both engines evaluate identically).
+    *
+    * Scale shape: explode (linear in corpus tokens) + one hash agg keyed
+    * (doc_id, token), one more keyed doc_id — same shape as word count. */
+  def giniDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", Text.tokensLower($"text").as("toks"))
+      .filter(size($"toks") > 0)
+      .select($"doc_id", explode($"toks").as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum($"c" * $"c").as("sumsq"))
+      .withColumn("gini", lit(1.0) -
+        $"sumsq".cast("double") / ($"n_tokens" * $"n_tokens").cast("double"))
+      .drop("sumsq")
+  }
+
+  private val giniDiversitySql =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      |  FROM documents
+      |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) > 0
+      |), c AS (
+      |  SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2
+      |)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
+      |  1.0 - CAST(SUM(c*c) AS DOUBLE)
+      |    / CAST(CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT) AS DOUBLE) AS gini
+      |FROM c GROUP BY 1""".stripMargin
+
   /** Gap sessions via Spark's BUILT-IN `session_window` (the declarative
     * twin of the custom lag+cumsum [[sessionize]] and the stateful
     * streaming [[graft.streaming.StreamSessionize]]): one groupBy, the
@@ -1207,6 +1246,7 @@ object LlmData {
     VerifiedQuery("q_bm25", (s, d) => bm25(s, d), Some(bm25Sql)),
     VerifiedQuery("q_passage_dedup", (s, d) => passageDedup(s, d), Some(passageDedupSql)),
     VerifiedQuery("q_bigram_lm", (s, d) => bigramLm(s, d), Some(bigramLmSql)),
+    VerifiedQuery("q_gini_diversity", giniDiversity, Some(giniDiversitySql)),
     VerifiedQuery("q_session_window", (s, d) => sessionWindowAgg(s, d), Some(sessionWindowSql)),
     // hopping (sliding) windowed streaming aggregate — overlapping twin of
     // q_stream_windowed; every event in exactly two windows

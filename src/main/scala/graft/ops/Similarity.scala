@@ -927,6 +927,51 @@ object Similarity {
       |    (a, b) -> a + b) AS mse
       |FROM q""".stripMargin
 
+  /** Per-label centroid of the int8-quantized embeddings — the cluster-
+    * profile analytics an embedding corpus ships with (and the update step
+    * of any quantized k-means): long-format (label, dim) sums over the
+    * integer codes, so the whole centroid matrix is exact 64-bit math and
+    * hash-checks in any engine (a float centroid could only be compared
+    * to tolerance — partial double sums are partitioning-dependent).
+    * Mean code in milli-units via truncating integer division (Spark
+    * `div` == DuckDB `//` on integers, both toward zero).
+    *
+    * Scale shape: per-row quantize scalar → posexplode (linear, dims ≪
+    * corpus) → ONE hash agg on (label, dim); output is labels × dims,
+    * data-size-independent. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("label"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("amax", array_max(transform(col("emb"), v => abs(v))))
+      .filter(col("amax") > 0)
+      .withColumn("scale", lit(127.0) / col("amax"))
+      .withColumn("qv", transform(col("emb"), v =>
+        greatest(lit(-127L), least(lit(127L),
+          floor(v * col("scale") + lit(0.5)).cast("long")))))
+    e.select(col("label"), posexplode(col("qv")).as(Seq("dim", "q")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sum_q"))
+      .withColumn("mean_q_milli", expr("(sum_q * 1000) div n_vecs"))
+  }
+
+  private val labelCentroidsSql =
+    """WITH e AS (
+      |  SELECT label, CAST(embedding AS DOUBLE[]) AS emb,
+      |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS amax
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT label,
+      |    list_transform(emb, x ->
+      |      GREATEST(-127, LEAST(127, CAST(floor(x * (127.0 / amax) + 0.5) AS BIGINT)))) AS qv
+      |  FROM e WHERE amax > 0
+      |), x AS (
+      |  SELECT label, CAST(i - 1 AS INTEGER) AS dim, qv[CAST(i AS INTEGER)] AS q
+      |  FROM (SELECT label, qv, unnest(range(1, len(qv) + 1)) AS i FROM q)
+      |)
+      |SELECT label, dim, COUNT(*) AS n_vecs, CAST(SUM(q) AS BIGINT) AS sum_q,
+      |  (CAST(SUM(q) AS BIGINT) * 1000) // COUNT(*) AS mean_q_milli
+      |FROM x GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------ signed random projection
 
   /** Johnson–Lindenstrauss-style signed random projection over the int8-
@@ -1071,5 +1116,6 @@ object Similarity {
     VerifiedQuery("q_ann_ivf", ivfTopKQuery, None),
     VerifiedQuery("q_quantize_emb", quantizeEmbeddingsQuery, Some(quantizeEmbeddingsSql)),
     VerifiedQuery("q_rand_proj", randomProjectionQuery, Some(randomProjectionSql)),
+    VerifiedQuery("q_label_centroids", labelCentroids, Some(labelCentroidsSql)),
   )
 }

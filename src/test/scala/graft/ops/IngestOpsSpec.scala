@@ -325,6 +325,41 @@ class IngestOpsSpec extends SparkSpec {
     assert(summed == nEvents)
   }
 
+  // ------------------------------------------------------- token diversity
+
+  test("giniDiversity: 0 for a one-token loop, 1 - 1/n for all-distinct text") {
+    val dir = tmpDir()
+    Seq(
+      (1L, "spam spam spam spam spam"),    // one token repeated -> gini 0
+      (2L, "alpha beta gamma delta"))      // all distinct -> 1 - 1/4
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = LlmData.giniDiversity(spark, dir)
+      .select($"doc_id", $"n_tokens", $"n_distinct", $"gini")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(rows(1L) == ((1L, 5L, 1L, 0.0)))
+    assert(rows(2L) == ((2L, 4L, 4L, 1.0 - 1.0 / 4.0)))
+  }
+
+  // ------------------------------------------------------- label centroids
+
+  test("labelCentroids: one row per (label, dim); sums bounded by ±127·n") {
+    val rows = Similarity.labelCentroids(spark, sf)
+      .select($"label", $"dim", $"n_vecs", $"sum_q", $"mean_q_milli")
+      .as[(Int, Int, Long, Long, Long)].collect()
+    val labels = graft.Tables.embeddings(spark, sf)
+      .groupBy($"label").count().as[(Int, Long)].collect().toMap
+    assert(rows.length == labels.size * 64)
+    rows.foreach { case (label, dim, n, sumQ, meanMilli) =>
+      assert(dim >= 0 && dim < 64)
+      assert(n == labels(label))
+      assert(math.abs(sumQ) <= 127L * n)
+      assert(meanMilli == sumQ * 1000 / n)
+    }
+  }
+
   test("incrementalDedup on planted duplicates: each status classified exactly") {
     // pick real bucket assignments from the production hash: corpus docs
     // land in buckets <70, incoming in >=70
