@@ -1124,12 +1124,15 @@ object LlmData {
     * twin of the custom lag+cumsum [[sessionize]] and the stateful
     * streaming [[graft.streaming.StreamSessionize]]): one groupBy, the
     * merge logic lives in the engine. Boundary semantics pinned by the
-    * oracle: the window extends to last-event + gap EXCLUSIVE, so an
-    * event exactly `gap` after its predecessor starts a NEW session
-    * (oracle breaks on `diff >= gap`). Timestamps are second-truncated on
-    * both sides so the boundary case is actually exercised. One shuffle
-    * on user_id, per-partition merge — the same shape as every keyed
-    * window here. */
+    * oracle — and CAUGHT by it at sf0.1, which contains exactly one
+    * boundary gap: although a session window's end is exclusive for
+    * event containment, Spark MERGES sessions whose start equals the
+    * previous end (`newStart <= currentEnd` in the merge iterator), so
+    * an event exactly `gap` after its predecessor EXTENDS the session —
+    * the break condition is `diff > gap`, identical to [[sessionize]].
+    * Timestamps are second-truncated on both sides so the boundary case
+    * is actually exercised. One shuffle on user_id, per-partition
+    * merge — the same shape as every keyed window here. */
   def sessionWindowAgg(spark: SparkSession, dir: String,
                        gapSeconds: Int = 1800): DataFrame = {
     import spark.implicits._
@@ -1154,7 +1157,7 @@ object LlmData {
       |), m AS (
       |  SELECT user_id, t, v_c,
       |    CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
-      |           OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= 1800
+      |           OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800
       |         THEN 1 ELSE 0 END AS brk
       |  FROM e
       |), s AS (

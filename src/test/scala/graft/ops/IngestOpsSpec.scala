@@ -305,19 +305,14 @@ class IngestOpsSpec extends SparkSpec {
   // ------------------------------------------------------- session window
 
   test("sessionWindowAgg: built-in session_window reproduces the custom lag+cumsum sessions") {
-    // the two implementations share no code (engine merge vs window math).
-    // Boundary semantics differ by design: session_window's end is
-    // EXCLUSIVE (gap >= 1800 breaks) while sessionize breaks on gap > 1800
-    // — so builtin sessions = custom sessions + (# of exact-1800s gaps)
+    // the two implementations share no code (engine merge vs window math)
+    // but have IDENTICAL boundary semantics: session_window merges a
+    // session whose start equals the previous end (newStart <= currentEnd
+    // in the merge iterator), so both break only on gap > 1800 — verified
+    // against DuckDB at sf0.1, where exactly one exact-1800s gap exists
     val builtin = LlmData.sessionWindowAgg(spark, sf).count()
     val custom = LlmData.sessionize(spark, sf).count()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"user_id").orderBy($"sec")
-    val boundaryGaps = graft.Tables.events(spark, sf)
-      .select($"user_id", unix_timestamp($"ts").as("sec"))
-      .withColumn("gap", $"sec" - lag($"sec", 1).over(w))
-      .filter($"gap" === 1800L).count()
-    assert(builtin == custom + boundaryGaps)
+    assert(builtin == custom)
     // event conservation: session event counts sum to the corpus size
     val nEvents = graft.Tables.events(spark, sf).count()
     val summed = LlmData.sessionWindowAgg(spark, sf)
