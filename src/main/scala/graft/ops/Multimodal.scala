@@ -13,9 +13,11 @@ import graft.{Tables, VerifiedQuery}
   *
   * Decoders: [[ImageIoDecoder]] is a REAL image codec path (the JDK's
   * built-in `javax.imageio` — PNG/BMP/JPEG, no extra dependencies) used by
-  * the oracled [[imageFeatures]] query; [[StubDecoder]] remains the
-  * deterministic byte-stat stand-in for media the JDK can't decode
-  * (audio/video codecs aren't in this container) and keeps those queries
+  * the oracled [[imageFeatures]] query; [[WavDecoder]] is a REAL audio
+  * codec path (the JDK's built-in `javax.sound.sampled` WAV/PCM reader)
+  * used by the oracled [[audioFeatures]] query; [[StubDecoder]] remains
+  * the deterministic byte-stat stand-in for media the JDK can't decode
+  * (video codecs aren't in this container) and keeps those queries
   * oracle-reproducible from the source text. Everything Spark-side is real
   * and oracle-tested either way: schema, the mapPartitions batch shape,
   * the partition-iterator contract, and the derived features.
@@ -124,6 +126,77 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decode via the JDK's built-in `javax.sound.sampled`
+    * (the WAV/PCM reader ships with the JRE — zero new dependencies,
+    * exactly like [[ImageIoDecoder]]'s ImageIO): parse the RIFF header
+    * through `AudioSystem`, require 16-bit mono little-endian PCM, and
+    * compute amplitude statistics over the decoded samples. `features` =
+    * (Σ|sample|, 16-bin histogram of |sample| >> 11 — the full signed-
+    * 16-bit range). PCM is lossless, so encode→decode round-trips
+    * bit-exactly and the whole path can sit under a hash oracle.
+    * `frames` = n contiguous sample-range chunks re-encoded as WAV
+    * through the same writer (lossless, so chained decode→features stays
+    * exact). */
+  object WavDecoder extends MediaDecoder {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    private def samples(bytes: Array[Byte]): Array[Int] = {
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        !fmt.isBigEndian && fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED,
+        s"expected 16-bit mono LE signed PCM, got $fmt")
+      val data = in.readAllBytes()
+      in.close()
+      val out = new Array[Int](data.length / 2)
+      var i = 0
+      while (i < out.length) {
+        // little-endian signed 16-bit: high byte sign-extends via Int shift
+        out(i) = (data(2 * i + 1) << 8) | (data(2 * i) & 0xFF)
+        i += 1
+      }
+      out
+    }
+
+    /** 16-bit mono 8 kHz LE WAV bytes for a sample array (the canonical
+      * 44-byte-header PCM layout `AudioSystem.write` emits). */
+    def encode(ss: Array[Int]): Array[Byte] = {
+      val pcm = new Array[Byte](ss.length * 2)
+      var i = 0
+      while (i < ss.length) {
+        pcm(2 * i) = (ss(i) & 0xFF).toByte
+        pcm(2 * i + 1) = ((ss(i) >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, ss.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    def features(bytes: Array[Byte]): (Long, Array[Long]) = {
+      val ss = samples(bytes)
+      val hist = new Array[Long](16)
+      var sum = 0L
+      var i = 0
+      while (i < ss.length) {
+        val a = math.abs(ss(i))
+        sum += a
+        hist(math.min(15, a >> 11)) += 1
+        i += 1
+      }
+      (sum, hist)
+    }
+
+    def frames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      val ss = samples(bytes)
+      val len = math.max(1, math.ceil(ss.length.toDouble / n).toInt)
+      ss.grouped(len).toSeq.take(n).map(encode)
+    }
+  }
+
   /** Synthesize a media table from `documents` (utf-8 payloads, kind/dims
     * derived deterministically) — the corpus has no real binary column, and
     * this keeps the oracle able to recompute the features from text. */
@@ -199,6 +272,24 @@ object Multimodal {
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
         MediaRecord(id, "image", bos.toByteArray, w, h, "png")
+      }
+    }
+  }
+
+  /** Deterministic REAL-audio table: one short 16-bit mono WAV per
+    * document, sample i = ((doc_id·37 + i·17) mod 65535) − 32767 (full
+    * signed range, so every histogram bin populates), n_samples =
+    * doc_id mod 200 + 50. PCM is lossless integer data, so the whole
+    * encode→decode→amplitude-stats pipeline is reproducible in SQL — the
+    * audio twin of [[imagesFromDocuments]]. */
+  def audioFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = (id % 200 + 50).toInt
+        val ss = Array.tabulate(n)(i => (((id * 37 + i * 17) % 65535) - 32767).toInt)
+        MediaRecord(id, "audio", WavDecoder.encode(ss), n, 1, "wav")
       }
     }
   }
@@ -283,9 +374,41 @@ object Multimodal {
       |  CAST(COUNT(*) FILTER (WHERE v >= 240) AS BIGINT) AS hist_bin15
       |FROM px GROUP BY doc_id""".stripMargin
 
+  /** Oracled REAL-codec audio query: WAV-encode deterministic PCM per doc
+    * ([[audioFromDocuments]]), decode with the JDK's AudioSystem
+    * ([[WavDecoder]]), and emit amplitude statistics. `n_bytes` pins the
+    * canonical 44-byte RIFF/PCM header + 2 bytes/sample layout; the
+    * amplitude sum and edge histogram bins are exact integer math the
+    * oracle recomputes from the generator formula — a wrong sample parse
+    * (endianness, sign, stride, header length) hash-fails. */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extractFeatures(
+        audioFromDocuments(graft.Tuning.spread(Tables.documents(spark, dir))),
+        WavDecoder)
+      .select($"media_id", $"n_bytes",
+        $"byte_sum".as("amp_sum"),
+        element_at($"histogram", 1).as("hist_bin0"),
+        element_at($"histogram", 16).as("hist_bin15"))
+  }
+
+  private val audioFeaturesSql =
+    """WITH s AS (
+      |  SELECT d.doc_id, ABS(((d.doc_id * 37 + t.i * 17) % 65535) - 32767) AS a
+      |  FROM documents d, range(250) t(i)
+      |  WHERE t.i < d.doc_id % 200 + 50
+      |)
+      |SELECT doc_id AS media_id,
+      |  CAST(44 + 2 * (doc_id % 200 + 50) AS BIGINT) AS n_bytes,
+      |  CAST(SUM(a) AS BIGINT) AS amp_sum,
+      |  CAST(COUNT(*) FILTER (WHERE a < 2048) AS BIGINT) AS hist_bin0,
+      |  CAST(COUNT(*) FILTER (WHERE a >= 30720) AS BIGINT) AS hist_bin15
+      |FROM s GROUP BY doc_id""".stripMargin
+
   val all: Seq[VerifiedQuery] = Seq(
     VerifiedQuery("q_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
     VerifiedQuery("q_frame_sample", frameSampleQuery, Some(frameSampleSql)),
     VerifiedQuery("q_image_features", imageFeatures, Some(imageFeaturesSql)),
+    VerifiedQuery("q_audio_features", audioFeatures, Some(audioFeaturesSql)),
   )
 }

@@ -101,4 +101,37 @@ class MultimodalSpec extends SparkSpec {
     assert(f2.map(_.n_bytes).sum == 10) // "0123456789"
     assert(f2.map(_.frame_idx).toSeq == Seq(0, 1, 2, 3))
   }
+
+  test("WavDecoder: encode→decode round-trips exact amplitude stats") {
+    val ss = Array(0, 1, -1, 32767, -32767, 2047, -2048, 30720)
+    val wav = WavDecoder.encode(ss)
+    assert(wav.length == 44 + 2 * ss.length) // canonical RIFF/PCM header
+    val (sum, hist) = WavDecoder.features(wav)
+    assert(sum == ss.map(s => math.abs(s).toLong).sum)
+    assert(hist.sum == ss.length)
+    assert(hist(0) == 4)  // |0|,|1|,|-1|,|2047| < 2048
+    assert(hist(1) == 1)  // |-2048|
+    assert(hist(15) == 3) // 32767, 32767, 30720
+  }
+
+  test("WavDecoder frames: sample-range chunks re-encode losslessly, stats add up") {
+    val ss = Array.tabulate(100)(i => (i * 653) % 65535 - 32767)
+    val wav = WavDecoder.encode(ss)
+    val whole = WavDecoder.features(wav)._1
+    val chunks = WavDecoder.frames(wav, 3)
+    assert(chunks.length == 3)
+    assert(chunks.map(c => WavDecoder.features(c)._1).sum == whole)
+  }
+
+  test("audioFromDocuments → WavDecoder round-trip matches the generator formula") {
+    val feats = extractFeatures(audioFromDocuments(
+        Seq((7L, "t")).toDF("doc_id", "text")), WavDecoder)
+      .collect()
+    assert(feats.length == 1)
+    val n = (7 % 200 + 50)
+    val expected = (0 until n).map(i => math.abs((7L * 37 + i * 17) % 65535 - 32767)).sum
+    assert(feats(0).n_bytes == 44 + 2L * n)
+    assert(feats(0).byte_sum == expected)
+    assert(feats(0).histogram.sum == n.toLong)
+  }
 }
