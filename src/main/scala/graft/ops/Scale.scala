@@ -236,7 +236,40 @@ object Scale {
       |  COUNT(DISTINCT x) AS n_x, COUNT(DISTINCT y) AS n_y
       |FROM zt GROUP BY 1""".stripMargin
 
+  /** Skew diagnostics — the audit run BEFORE choosing a skew mitigation
+    * (salting, AQE, broadcast): per-key row counts on the join key, each
+    * hot key's share of the table (ppm) and its heat relative to the
+    * mean key (milli-ratios), top-k hottest. The global totals ride a
+    * broadcast 1-row frame (never a partition-less window, which would
+    * serialize the aggregated frame through one task); top-k is
+    * TakeOrdered. All integer math, fully oracled. */
+  def skewStats(spark: SparkSession, dir: String, topK: Int = 10): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy($"l_suppkey").agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum($"n").as("total"), count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .select($"l_suppkey", $"n",
+        expr("(n * 1000000) div total").as("share_ppm"),
+        expr("(n * n_keys * 1000) div total").as("heat_milli"))
+      .orderBy($"n".desc, $"l_suppkey")
+      .limit(topK)
+  }
+
+  private val skewStatsSql =
+    """WITH c AS (
+      |  SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1
+      |), t AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_keys FROM c
+      |)
+      |SELECT l_suppkey, n,
+      |  (n * 1000000) // total AS share_ppm,
+      |  (n * n_keys * 1000) // total AS heat_milli
+      |FROM c, t
+      |ORDER BY n DESC, l_suppkey LIMIT 10""".stripMargin
+
   val all: Seq[VerifiedQuery] = Seq(
+    VerifiedQuery("q_skew_stats", (s, d) => skewStats(s, d), Some(skewStatsSql)),
     VerifiedQuery("q_zorder", zorderLayout, Some(zorderLayoutSql)),
     VerifiedQuery("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     VerifiedQuery("q_salted_agg", (s, d) => saltedAgg(s, d), Some(saltedAggSql)),

@@ -86,9 +86,46 @@ object Sources {
       |  MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
       |FROM customer GROUP BY c_mktsegment""".stripMargin
 
+  /** Parquet schema evolution — the data-lake reality that a column added
+    * mid-history must read back across old and new files: batch 1 writes
+    * (key, price); batch 2 adds `o_orderstatus`; a `mergeSchema` read
+    * unifies the footers and old rows surface the new column as NULL. The
+    * aggregate pins exactly which rows carry the evolved column. At scale
+    * `mergeSchema` costs one footer read per file — fine for a controlled
+    * evolution, not for thousand-schema data swamps (the scaladoc'd
+    * trade: production tables pin the schema in a catalog and evolve it
+    * explicitly). */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = s"$fixtureRoot/evo_${tag(dir)}"
+    val base = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderstatus",
+        round($"o_totalprice" * 100).cast("long").as("price_c"))
+    base.filter($"o_orderkey" % 2 === 0)
+      .select($"o_orderkey", $"price_c") // v1 schema: no status column
+      .write.mode("overwrite").parquet(s"$path/v=1")
+    base.filter($"o_orderkey" % 2 =!= 0)
+      .select($"o_orderkey", $"price_c", $"o_orderstatus") // v2 adds status
+      .write.mode("overwrite").parquet(s"$path/v=2")
+    spark.read.option("mergeSchema", "true").parquet(path)
+      .groupBy(coalesce($"o_orderstatus", lit("<pre-evolution>")).as("status"))
+      .agg(count(lit(1)).as("n"),
+        (sum($"price_c") / lit(100.0)).as("sum_price"),
+        min($"o_orderkey").as("min_key"))
+  }
+
+  private val schemaEvolutionSql =
+    """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-evolution>'
+      |            ELSE o_orderstatus END AS status,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_price,
+      |  MIN(o_orderkey) AS min_key
+      |FROM orders GROUP BY 1""".stripMargin
+
   val all: Seq[VerifiedQuery] = Seq(
     VerifiedQuery("q_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
     VerifiedQuery("q_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
     VerifiedQuery("q_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
+    VerifiedQuery("q_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),
   )
 }

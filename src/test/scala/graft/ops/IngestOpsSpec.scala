@@ -355,6 +355,30 @@ class IngestOpsSpec extends SparkSpec {
     }
   }
 
+  // -------------------------------------------------- schema evolution
+
+  test("schemaEvolution: pre-evolution rows surface the added column as NULL exactly") {
+    val rows = Sources.schemaEvolution(spark, sf)
+      .select($"status", $"n").as[(String, Long)].collect().toMap
+    val orders = graft.Tables.orders(spark, sf)
+    assert(rows("<pre-evolution>") == orders.filter($"o_orderkey" % 2 === 0).count())
+    assert(rows.filterKeys(_ != "<pre-evolution>").values.sum ==
+      orders.filter($"o_orderkey" % 2 =!= 0).count())
+  }
+
+  // ------------------------------------------------------ skew diagnostics
+
+  test("skewStats: shares bounded, heat relative to the mean key") {
+    val rows = Scale.skewStats(spark, sf)
+      .select($"l_suppkey", $"n", $"share_ppm", $"heat_milli")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length == 10)
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-_).toSeq) // hottest first
+    // the hottest key is at least the mean key (heat >= 1000 milli)
+    assert(rows.head._4 >= 1000L)
+    assert(rows.forall { case (_, _, share, _) => share >= 0 && share <= 1000000 })
+  }
+
   test("incrementalDedup on planted duplicates: each status classified exactly") {
     // pick real bucket assignments from the production hash: corpus docs
     // land in buckets <70, incoming in >=70
