@@ -1021,39 +1021,51 @@ object LlmData {
     * Scale shape: NOT a gram-keyed self-join (at test stats the planner
     * broadcasts one side, so the identical exchanges never dedupe and the
     * corpus is scanned/hashed once per side — the same trap ROUND4.md
-    * documents for the simhash band join). Instead the deduped (source,
-    * gram) frame groups once on the gram and explodes the SORTED source
-    * set into ordered pairs — per-gram work is ≤ sources², one scan + two
-    * shuffles. Per-source totals are an O(sources) driver map (the output
-    * matrix is itself sources²-sized, so a source-bounded collect is
-    * already implied by the operator's contract), applied as a literal
-    * map lookup — no second join, no recomputed totals subtree. */
+    * documents for the simhash band join). The deduped (source, gram)
+    * frame groups once on the gram, and each gram emits its ordered
+    * source PAIRS (contamination counts) plus one SINGLETON (src, NULL)
+    * row per member (per-source totals) into the SAME aggregation — so
+    * the corpus is scanned and gram-hashed exactly once per run. The
+    * combined aggregate is (sources² + sources)-bounded — the operator's
+    * own output contract — so collecting it and assembling the final
+    * matrix on the driver is O(output), not O(data). */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def gramFrame = Tuning.spread(Tables.documents(spark, dir))
-      .select($"source", Text.normalized($"text").as("norm"))
-      .filter(length($"norm") >= 8)
-      .select($"source", explode(Text.kgramHashesNative($"norm", 8)).as("g"))
-      .distinct()
-    val totals: Map[String, Long] = gramFrame
-      .groupBy($"source").agg(count(lit(1)).as("n_grams"))
-      .as[(String, Long)].collect().toMap
-    val totalMap = map(totals.toSeq.sortBy(_._1)
-      .flatMap { case (s, n) => Seq(lit(s), lit(n)) }: _*)
+    val agg = sourceOverlapAgg(spark, dir)
+      .as[(String, Option[String], Long)].collect()
+    val totals = agg.collect { case (a, None, n) => a -> n }.toMap
+    agg.collect { case (a, Some(b), n) =>
+        (a, b, n, totals(a), totals(b),
+          n * 1000000L / math.min(totals(a), totals(b)))
+      }.toSeq
+      .toDF("src_a", "src_b", "n_shared", "n_a", "n_b", "overlap_ppm")
+  }
+
+  /** The one-scan combined aggregate behind [[sourceOverlap]]: per gram,
+    * ordered pair rows count shared grams and (src, NULL) singleton rows
+    * count each source's distinct grams. Package-private so the plan test
+    * can pin the single-scan shape. */
+  private[ops] def sourceOverlapAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val ss = $"ss"
     val pairCol = flatten(transform(sequence(lit(1), size(ss) - 1),
       i => transform(sequence(i + lit(1), size(ss)),
         j => struct(element_at(ss, i).as("src_a"), element_at(ss, j).as("src_b")))))
-    gramFrame
+    val singleCol = transform(ss, s =>
+      struct(s.as("src_a"), lit(null).cast("string").as("src_b")))
+    // guard: sequence(1, 0) DESCENDS in Spark, so size-1 sets must skip
+    // the pair builder entirely rather than rely on an empty sequence
+    val emptyPairs = array().cast("array<struct<src_a:string,src_b:string>>")
+    Tuning.spread(Tables.documents(spark, dir))
+      .select($"source", Text.normalized($"text").as("norm"))
+      .filter(length($"norm") >= 8)
+      .select($"source", explode(Text.kgramHashesNative($"norm", 8)).as("g"))
+      .distinct()
       .groupBy($"g").agg(sort_array(collect_set($"source")).as("ss"))
-      .filter(size(ss) >= 2)
-      .select(explode(pairCol).as("p"))
+      .select(explode(concat(
+        when(size(ss) >= 2, pairCol).otherwise(emptyPairs), singleCol)).as("p"))
       .groupBy($"p.src_a".as("src_a"), $"p.src_b".as("src_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .withColumn("n_a", element_at(totalMap, $"src_a"))
-      .withColumn("n_b", element_at(totalMap, $"src_b"))
-      .withColumn("overlap_ppm", expr("(n_shared * 1000000) div least(n_a, n_b)"))
-      .select($"src_a", $"src_b", $"n_shared", $"n_a", $"n_b", $"overlap_ppm")
+      .agg(count(lit(1)).as("cnt"))
   }
 
   private val sourceOverlapSql =
@@ -1082,8 +1094,9 @@ object LlmData {
       |FROM s JOIN t ta ON ta.source = s.src_a JOIN t tb ON tb.source = s.src_b""".stripMargin
 
   /** Token-diversity quality signal — Gini impurity of each document's
-    * token distribution, `1 − Σ(cᵢ/n)²` (1 → every token distinct, 0 →
-    * one token repeated): the vocabulary-diversity feature quality
+    * token distribution, `1 − Σ(cᵢ/n)²` (all-distinct text scores
+    * 1 − 1/n, approaching 1 as the document grows; a single token looped
+    * scores 0): the vocabulary-diversity feature quality
     * classifiers use beside [[repetition]]'s k-gram ratio. Entropy is the
     * textbook choice but needs `log`, which is not correctly-rounded
     * across engines; Gini is the same signal in pure rational math, so

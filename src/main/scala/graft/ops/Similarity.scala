@@ -884,14 +884,25 @@ object Similarity {
     * instead of `round` (engines disagree on round's ties), explicit
     * `(d)·(d)` instead of `pow` — so even the MSE doubles hash-match the
     * oracle bit-for-bit. Per-row scalar work, no shuffle. */
-  def quantizeEmbeddings(emb: DataFrame): DataFrame = {
-    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .withColumn("amax", array_max(transform(col("emb"), v => abs(v))))
+  /** Adds the canonical int8 quantization columns to a frame holding a
+    * double-array column `embCol`: `scale` = 127/max|v| (zero vectors
+    * dropped) and `qv` = clamp(⌊v·scale + 0.5⌋, ±127). ONE definition on
+    * purpose — [[quantizeEmbeddings]], [[randomProjection]] and
+    * [[labelCentroids]] all depend on this exact rounding bit-for-bit
+    * (their oracles inline the same formula), so the expression must
+    * never fork. */
+  private def withInt8Codes(df: DataFrame, embCol: String): DataFrame =
+    df.withColumn("amax", array_max(transform(col(embCol), v => abs(v))))
       .filter(col("amax") > 0)
       .withColumn("scale", lit(127.0) / col("amax"))
-    val q = e.withColumn("qv", transform(col("emb"), v =>
-      greatest(lit(-127L), least(lit(127L),
-        floor(v * col("scale") + lit(0.5)).cast("long")))))
+      .withColumn("qv", transform(col(embCol), v =>
+        greatest(lit(-127L), least(lit(127L),
+          floor(v * col("scale") + lit(0.5)).cast("long")))))
+      .drop("amax")
+
+  def quantizeEmbeddings(emb: DataFrame): DataFrame = {
+    val q = withInt8Codes(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb")), "emb")
     q.select(col("vec_id"), col("scale"),
       aggregate(col("qv"), lit(0L), (a, v) => a + v).as("q_sum"),
       aggregate(col("qv"), lit(0L), (a, v) => a + abs(v)).as("q_abs"),
@@ -940,14 +951,8 @@ object Similarity {
     * corpus) → ONE hash agg on (label, dim); output is labels × dims,
     * data-size-independent. */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("label"), col("embedding").cast("array<double>").as("emb"))
-      .withColumn("amax", array_max(transform(col("emb"), v => abs(v))))
-      .filter(col("amax") > 0)
-      .withColumn("scale", lit(127.0) / col("amax"))
-      .withColumn("qv", transform(col("emb"), v =>
-        greatest(lit(-127L), least(lit(127L),
-          floor(v * col("scale") + lit(0.5)).cast("long")))))
+    val e = withInt8Codes(Tables.embeddings(spark, dir)
+      .select(col("label"), col("embedding").cast("array<double>").as("emb")), "emb")
     e.select(col("label"), posexplode(col("qv")).as(Seq("dim", "q")))
       .groupBy(col("label"), col("dim"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sum_q"))
@@ -988,13 +993,8 @@ object Similarity {
     * `proj_check`. */
   def randomProjection(emb: DataFrame): DataFrame = {
     val outDims = 16
-    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("em"))
-      .withColumn("amax", array_max(transform(col("em"), v => abs(v))))
-      .filter(col("amax") > 0)
-      .withColumn("scale", lit(127.0) / col("amax"))
-      .withColumn("qv", transform(col("em"), v =>
-        greatest(lit(-127L), least(lit(127L),
-          floor(v * col("scale") + lit(0.5)).cast("long")))))
+    val e = withInt8Codes(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("em")), "em")
     // sign(i, j) = parity of ((i·outDims + j) · 2654435761) mod (2³¹−1):
     // deterministic, engine-portable, and distinct per matrix cell
     val proj = e.withColumn("proj",

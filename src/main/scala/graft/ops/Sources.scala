@@ -107,20 +107,24 @@ object Sources {
     base.filter($"o_orderkey" % 2 =!= 0)
       .select($"o_orderkey", $"price_c", $"o_orderstatus") // v2 adds status
       .write.mode("overwrite").parquet(s"$path/v=2")
+    // group on the PARTITION column v (which file generation a row came
+    // from) plus the raw status — coalescing NULL status into a
+    // "pre-evolution" label would conflate genuinely-NULL v2 statuses
+    // with old-schema rows; v keeps the two distinguishable exactly
     spark.read.option("mergeSchema", "true").parquet(path)
-      .groupBy(coalesce($"o_orderstatus", lit("<pre-evolution>")).as("status"))
+      .groupBy($"v", $"o_orderstatus".as("status"))
       .agg(count(lit(1)).as("n"),
         (sum($"price_c") / lit(100.0)).as("sum_price"),
         min($"o_orderkey").as("min_key"))
   }
 
   private val schemaEvolutionSql =
-    """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-evolution>'
-      |            ELSE o_orderstatus END AS status,
+    """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS v,
+      |  CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderstatus END AS status,
       |  COUNT(*) AS n,
       |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_price,
       |  MIN(o_orderkey) AS min_key
-      |FROM orders GROUP BY 1""".stripMargin
+      |FROM orders GROUP BY 1, 2""".stripMargin
 
   val all: Seq[VerifiedQuery] = Seq(
     VerifiedQuery("q_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),

@@ -359,10 +359,15 @@ class IngestOpsSpec extends SparkSpec {
 
   test("schemaEvolution: pre-evolution rows surface the added column as NULL exactly") {
     val rows = Sources.schemaEvolution(spark, sf)
-      .select($"status", $"n").as[(String, Long)].collect().toMap
+      .select($"v", $"status", $"n").as[(Int, Option[String], Long)].collect()
     val orders = graft.Tables.orders(spark, sf)
-    assert(rows("<pre-evolution>") == orders.filter($"o_orderkey" % 2 === 0).count())
-    assert(rows.filterKeys(_ != "<pre-evolution>").values.sum ==
+    // old-schema files (v=1): the evolved column back-fills as NULL, never
+    // as a value; new-schema files carry their real statuses
+    assert(rows.filter(_._1 == 1).forall(_._2.isEmpty))
+    assert(rows.filter(_._1 == 2).forall(_._2.nonEmpty))
+    assert(rows.filter(_._1 == 1).map(_._3).sum ==
+      orders.filter($"o_orderkey" % 2 === 0).count())
+    assert(rows.filter(_._1 == 2).map(_._3).sum ==
       orders.filter($"o_orderkey" % 2 =!= 0).count())
   }
 

@@ -165,11 +165,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(bnlj <= 1, s"expected at most the probe BNLJ, got $bnlj:\n$plan")
   }
 
-  test("sourceOverlap: ONE documents scan — the pair explode replaced the self-join") {
+  test("sourceOverlap: ONE documents scan — pairs and totals share one aggregation") {
     // the first implementation's gram self-join scanned + re-hashed the
     // corpus once per join side plus twice for totals (4 scans); the
-    // group-once + sorted-set pair-explode form must keep it at one
-    val plan = LlmData.sourceOverlap(spark, dir).queryExecution.executedPlan.toString
+    // combined pair+singleton explode must keep the WHOLE run at one
+    val plan = LlmData.sourceOverlapAgg(spark, dir).queryExecution.executedPlan.toString
     val scans = "Scan parquet".r.findAllIn(plan).size
     assert(scans == 1, s"expected 1 documents scan, got $scans:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
