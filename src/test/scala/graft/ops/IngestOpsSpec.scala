@@ -287,6 +287,34 @@ class IngestOpsSpec extends SparkSpec {
 
   // --------------------------------------------------------- winsorization
 
+  test("winsorize: histogram bounds equal floor(percentile()) bit-for-bit") {
+    // the count-histogram interpolation must reproduce Spark's own exact
+    // percentile aggregate — not just the DuckDB oracle
+    val c = graft.Tables.lineitem(spark, sf)
+      .select($"l_returnflag", round($"l_extendedprice" * 100).cast("long").as("price_c"))
+    val direct = c.groupBy($"l_returnflag").agg(
+        floor(percentile($"price_c", lit(0.05))).cast("long").as("lo"),
+        floor(percentile($"price_c", lit(0.95))).cast("long").as("hi"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val hist = Funcs.winsorize(spark, sf)
+      .select($"l_returnflag", $"lo_c", $"hi_c")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(hist == direct)
+  }
+
+  test("sourceOverlap: pair counts bounded by each side's distinct grams on the corpus") {
+    val rows = LlmData.sourceOverlap(spark, sf)
+      .select($"n_shared", $"n_a", $"n_b", $"overlap_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (shared, na, nb, ppm) =>
+      assert(shared <= math.min(na, nb))
+      assert(ppm == shared * 1000000L / math.min(na, nb))
+    }
+  }
+
   test("winsorize: bounds ordered, clip fractions ~5%, clipped sum inside bounds") {
     val rows = Funcs.winsorize(spark, sf)
       .select($"l_returnflag", $"lo_c", $"hi_c", $"n_rows",
