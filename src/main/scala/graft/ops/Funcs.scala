@@ -80,6 +80,36 @@ object Funcs {
       |  CASE WHEN props->>'missing' IS NULL THEN 'absent' ELSE 'present' END AS missing_state
       |FROM events""".stripMargin
 
+  /** Nested-struct surface: schema'd `from_json` (no inference pass — the
+    * scan stays single-pass), struct construction, array-of-struct
+    * aggregation (`sort_array(collect_list(struct))` — struct ordering is
+    * field-by-field, and the UNIQUE leading event_id makes it
+    * deterministic), nested field indexing, and higher-order functions
+    * over struct arrays. The oracle re-derives every nested access from
+    * flat SQL, so a wrong field path or struct order hash-fails. */
+  def nestedStruct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("p", from_json($"props", org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType)))))
+      .withColumn("rec", struct($"event_id", $"p.k".as("k"),
+        round($"value" * 100).cast("long").as("v_c")))
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list($"rec")).as("recs"),
+        count(lit(1)).as("n_events"))
+      .select($"user_id", $"n_events",
+        $"recs"(0)("event_id").as("first_event"),
+        aggregate($"recs", lit(0L), (a, r) => a + r("v_c")).as("sum_v_c"),
+        size(filter($"recs", r => r("k") % 2 === 0)).cast("long").as("n_even_k"))
+  }
+
+  private val nestedStructSql =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  MIN(event_id) AS first_event,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+      |  CAST(COUNT(*) FILTER (WHERE CAST(props->>'k' AS INTEGER) % 2 = 0) AS BIGINT) AS n_even_k
+      |FROM events GROUP BY user_id""".stripMargin
+
   /** Pivot: return-flag rows × line-status columns (fixed pivot values →
     * deterministic schema; the oracle is the equivalent conditional-sum). */
   def pivotAgg(spark: SparkSession, dir: String): DataFrame = {
@@ -263,6 +293,7 @@ object Funcs {
 
   val all: Seq[VerifiedQuery] = Seq(
     VerifiedQuery("q_winsorize", winsorize, Some(winsorizeSql)),
+    VerifiedQuery("q_nested_struct", nestedStruct, Some(nestedStructSql)),
     VerifiedQuery("q_sql_entry", sqlEntry, Some(sqlEntrySql)),
     VerifiedQuery("q_custom_agg", customAgg, Some(customAggSql)),
     VerifiedQuery("q_sketch_agg", sketchAgg, None),

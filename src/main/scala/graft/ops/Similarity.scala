@@ -1044,6 +1044,76 @@ object Similarity {
       |  proj[1] AS proj_0
       |FROM p""".stripMargin
 
+  /** kNN classification eval — the standard embedding-quality probe (and
+    * the eval step after any quantization/projection change): every
+    * held-out query vector (`vec_id % queryMod == 0`) is classified by
+    * majority label vote of its k exact-cosine nearest neighbors among
+    * the remaining corpus (deterministic ties: rank by (cos desc,
+    * vec_id), vote by (count desc, label)); emits per-true-label query
+    * counts, correct counts and a qid checksum — a single mis-ranked
+    * neighbor flips a vote and hash-fails.
+    *
+    * Scale shape: same as [[bruteForceTopK]] — broadcast O(queries) ×
+    * one linear corpus scan with the codegen'd native dot; per-query
+    * state is the k-row window. For corpus-sized query sets, swap the
+    * exact scan for [[lshDetTopK]]/[[ivfTopK]] candidates — the vote and
+    * eval stages are unchanged. */
+  def knnEval(spark: SparkSession, dir: String,
+              queryMod: Int = 100, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
+    val q = e.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("label").as("true_label"),
+        col("emb").as("qemb"))
+    val wRank = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+    val wVote = Window.partitionBy($"qid").orderBy($"votes".desc, $"label")
+    e.filter(col("vec_id") % queryMod =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"qid", $"true_label", $"vec_id", $"label",
+        (V.dotNative($"emb", $"qemb") /
+          (V.normNative($"emb") * V.normNative($"qemb"))).as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter($"rank" <= k)
+      .groupBy($"qid", $"true_label", $"label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vrank", row_number().over(wVote))
+      .filter($"vrank" === 1)
+      .groupBy($"true_label")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when($"label" === $"true_label", 1L).otherwise(0L)).as("n_correct"),
+        sum($"qid").as("qid_sum"))
+  }
+
+  private val knnEvalSql =
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      |), q AS (
+      |  SELECT vec_id AS qid, label AS true_label, emb AS qemb
+      |  FROM e WHERE vec_id % 100 = 0
+      |), s AS (
+      |  SELECT qid, true_label, e.vec_id, e.label,
+      |    list_dot_product(emb, qemb)
+      |      / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qemb, qemb))) AS cos
+      |  FROM e, q WHERE e.vec_id % 100 != 0
+      |), nn AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+      |    FROM s)
+      |  WHERE rnk <= 5
+      |), v AS (
+      |  SELECT qid, true_label, label, COUNT(*) AS votes FROM nn GROUP BY 1, 2, 3
+      |), w AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS vr
+      |    FROM v)
+      |  WHERE vr = 1
+      |)
+      |SELECT true_label, COUNT(*) AS n_queries,
+      |  CAST(SUM(CASE WHEN label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+      |  CAST(SUM(qid) AS BIGINT) AS qid_sum
+      |FROM w GROUP BY 1""".stripMargin
+
   // ------------------------------------------------- dedup cluster audit
 
   /** Duplicate-cluster size histogram — the audit a dedup run ships with:
@@ -1117,5 +1187,6 @@ object Similarity {
     VerifiedQuery("q_quantize_emb", quantizeEmbeddingsQuery, Some(quantizeEmbeddingsSql)),
     VerifiedQuery("q_rand_proj", randomProjectionQuery, Some(randomProjectionSql)),
     VerifiedQuery("q_label_centroids", labelCentroids, Some(labelCentroidsSql)),
+    VerifiedQuery("q_knn_eval", (s, d) => knnEval(s, d), Some(knnEvalSql)),
   )
 }

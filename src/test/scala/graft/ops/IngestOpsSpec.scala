@@ -412,6 +412,41 @@ class IngestOpsSpec extends SparkSpec {
     assert(rows.forall { case (_, _, share, _) => share >= 0 && share <= 1000000 })
   }
 
+  // ------------------------------------------------------------- kNN eval
+
+  test("knnEval: perfect accuracy on tightly clustered planted embeddings") {
+    val dir = tmpDir()
+    // three tight clusters around orthogonal axes; queries are the
+    // vec_id % 100 == 0 members and must vote with their own cluster
+    val rows = (0 until 300).map { i =>
+      val label = i % 3
+      val base = Array.fill(8)(0.001f * ((i * 7) % 10))
+      base(label) = 10f + (i % 5) * 0.01f
+      (i.toLong, base.toSeq, label)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.knnEval(spark, dir)
+      .select($"true_label", $"n_queries", $"n_correct")
+      .as[(Int, Long, Long)].collect()
+    assert(out.map(_._2).sum == 3) // vec_ids 0, 100, 200
+    out.foreach { case (label, n, correct) => assert(correct == n, s"label $label") }
+  }
+
+  test("nestedStruct: nested accesses equal independently computed flat aggregates") {
+    val out = Funcs.nestedStruct(spark, sf)
+      .select($"user_id", $"n_events", $"first_event", $"sum_v_c")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val flat = graft.Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), min($"event_id").as("fe"),
+        sum(round($"value" * 100).cast("long")).as("s"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == flat.keySet)
+    out.foreach { case (u, (_, n, fe, s)) =>
+      assert((n, fe, s) == ((flat(u)._2, flat(u)._3, flat(u)._4)), s"user $u") }
+  }
+
   test("incrementalDedup on planted duplicates: each status classified exactly") {
     // pick real bucket assignments from the production hash: corpus docs
     // land in buckets <70, incoming in >=70
