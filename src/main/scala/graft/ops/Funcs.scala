@@ -145,6 +145,36 @@ object Funcs {
       |  COUNT(*) AS n
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
 
+  /** Explicit GROUPING SETS with `grouping_id()` (completes the
+    * grouping-sets family beside rollup and cube, which are just fixed
+    * set-lists): three chosen sets — (status, priority), (status), () —
+    * and the grouping-id bitmask distinguishing real NULL-keyed rows from
+    * subtotal rows (the thing COALESCE-only outputs cannot do). One hash
+    * aggregate with an Expand node — each input row fans out to the 3
+    * sets map-side, so the shuffle carries pre-aggregated partials, never
+    * sets× the raw rows. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq($"o_orderstatus", $"o_orderpriority"), Seq($"o_orderstatus"), Seq()),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(grouping_id().cast("int").as("gid"), count(lit(1)).as("n"),
+        (sum(round($"o_totalprice" * 100).cast("long")) / lit(100.0)).as("total"))
+      .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"gid", $"n", $"total")
+  }
+
+  private val groupingSetsSql =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin
+
   /** Exact percentiles (Spark `percentile`, not approx) per group — linear
     * interpolation, matching DuckDB quantile_cont. */
   def percentiles(spark: SparkSession, dir: String): DataFrame = {
@@ -291,7 +321,110 @@ object Funcs {
       |FROM c JOIN b USING (l_returnflag)
       |GROUP BY 1, 2, 3""".stripMargin
 
+  /** Date/time function battery (beyond the reference's year/month/
+    * dow/dom extraction): truncation, quarter/ISO-week/day-of-year,
+    * month-end, date arithmetic and month-add with end-of-month clamping
+    * — each function with engine-identical semantics, dates rendered as
+    * ISO strings (the established timestamp parity rule). Distinct
+    * ship-dates of one year keep the output compact while every code
+    * path (leap handling, week-53 boundaries, clamping) is exercised. */
+  def datetimeFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select(to_date($"l_shipdate").as("d"))
+      .filter(year($"d") === 1997)
+      .distinct()
+      .select($"d".cast("string").as("d"),
+        date_trunc("month", $"d").cast("date").cast("string").as("month_start"),
+        quarter($"d").as("q"),
+        weekofyear($"d").as("iso_week"),
+        dayofyear($"d").as("doy"),
+        last_day($"d").cast("string").as("month_end"),
+        datediff($"d", lit("1995-01-01").cast("date")).as("days_since"),
+        add_months($"d", 2).cast("string").as("plus2m"))
+  }
+
+  private val datetimeFuncsSql =
+    """SELECT CAST(d AS VARCHAR) AS d,
+      |  CAST(date_trunc('month', d) AS VARCHAR) AS month_start,
+      |  CAST(quarter(d) AS INTEGER) AS q,
+      |  CAST(week(d) AS INTEGER) AS iso_week,
+      |  CAST(dayofyear(d) AS INTEGER) AS doy,
+      |  CAST(last_day(d) AS VARCHAR) AS month_end,
+      |  CAST(date_diff('day', DATE '1995-01-01', d) AS INTEGER) AS days_since,
+      |  CAST(CAST(d + INTERVAL 2 MONTH AS DATE) AS VARCHAR) AS plus2m
+      |FROM (SELECT DISTINCT CAST(l_shipdate AS DATE) AS d FROM lineitem
+      |      WHERE year(CAST(l_shipdate AS DATE)) = 1997)""".stripMargin
+
+  /** Analytic window battery (completes the window family beside
+    * lag/lead/rank/ntile): percent_rank and cume_dist — rank-derived, so
+    * their doubles are identical integer divisions in any engine — and
+    * nth_value over an EXPLICIT ROWS frame (the default RANGE frame's
+    * peer semantics is an engine-parity trap; unique (price, key)
+    * ordering + ROWS pins it). */
+  def windowAnalytic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderstatus")
+      .orderBy($"price_c", $"o_orderkey")
+    val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderstatus",
+        round($"o_totalprice" * 100).cast("long").as("price_c"))
+      .select($"o_orderkey", $"o_orderstatus",
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        nth_value($"o_orderkey", 3).over(wRows).as("third_key"))
+  }
+
+  private val windowAnalyticSql =
+    """SELECT o_orderkey, o_orderstatus,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  nth_value(o_orderkey, 3) OVER (PARTITION BY o_orderstatus
+      |    ORDER BY CAST(round(o_totalprice*100) AS BIGINT), o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus
+      |  ORDER BY CAST(round(o_totalprice*100) AS BIGINT), o_orderkey)""".stripMargin
+
+  /** Higher-order-function battery over the embedding arrays (the HOF
+    * surface a vector pipeline leans on): filter/size, aggregate folds,
+    * exists/forall (as ints for type-stable compare), array_max, and a
+    * zip_with product fold — every double fold is SEQUENTIAL in array
+    * order, so Spark `aggregate` and DuckDB `list_reduce`/
+    * `list_dot_product` are bit-identical (established equivalence,
+    * see the ANN oracles). */
+  def hofFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+      .select($"vec_id",
+        size(filter($"e", x => x > 0)).as("n_pos"),
+        aggregate($"e", lit(0.0), (a, x) => a + x * x).as("ssq"),
+        array_max($"e").as("amax"),
+        exists($"e", x => x > lit(0.9)).cast("int").as("has_big"),
+        forall($"e", x => abs(x) <= lit(2.0)).cast("int").as("bounded"),
+        aggregate(zip_with($"e", reverse($"e"), (a, b) => a * b),
+          lit(0.0), (a, x) => a + x).as("rev_dot"))
+  }
+
+  private val hofFuncsSql =
+    """SELECT vec_id,
+      |  CAST(len(list_filter(e, x -> x > 0)) AS INTEGER) AS n_pos,
+      |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(e, x -> x * x)), (a, b) -> a + b) AS ssq,
+      |  list_max(e) AS amax,
+      |  CASE WHEN len(list_filter(e, x -> x > CAST(0.9 AS DOUBLE))) > 0
+      |       THEN 1 ELSE 0 END AS has_big,
+      |  CASE WHEN len(list_filter(e, x -> abs(x) > CAST(2.0 AS DOUBLE))) = 0
+      |       THEN 1 ELSE 0 END AS bounded,
+      |  list_dot_product(e, list_reverse(e)) AS rev_dot
+      |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)""".stripMargin
+
   val all: Seq[VerifiedQuery] = Seq(
+    VerifiedQuery("q_datetime_funcs", datetimeFuncs, Some(datetimeFuncsSql)),
+    VerifiedQuery("q_window_analytic", windowAnalytic, Some(windowAnalyticSql)),
+    VerifiedQuery("q_hof_funcs", hofFuncs, Some(hofFuncsSql)),
     VerifiedQuery("q_winsorize", winsorize, Some(winsorizeSql)),
     VerifiedQuery("q_nested_struct", nestedStruct, Some(nestedStructSql)),
     VerifiedQuery("q_sql_entry", sqlEntry, Some(sqlEntrySql)),
@@ -302,6 +435,7 @@ object Funcs {
     VerifiedQuery("q_json_funcs", jsonFuncs, Some(jsonFuncsSql)),
     VerifiedQuery("q_pivot", pivotAgg, Some(pivotAggSql)),
     VerifiedQuery("q_cube", cubeAgg, Some(cubeAggSql)),
+    VerifiedQuery("q_grouping_sets", groupingSets, Some(groupingSetsSql)),
     VerifiedQuery("q_percentiles", percentiles, Some(percentilesSql)),
   )
 }

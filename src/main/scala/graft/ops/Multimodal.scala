@@ -197,6 +197,130 @@ object Multimodal {
     }
   }
 
+  /** REAL video decode via the JDK's built-in animated-GIF codec
+    * (`javax.imageio` ships a GIF reader AND writer — the one true video
+    * container the JRE can both produce and parse, zero new
+    * dependencies): a multi-frame GIF is read frame by frame through the
+    * `ImageReader` sequence API. GIF stores 8-bit palette indices
+    * LOSSLESSLY (LZW), so grayscale frames round-trip bit-exactly and the
+    * whole encode→decode→per-frame-pixel-stats path sits under a hash
+    * oracle — completing the real-codec matrix (PNG image / WAV audio /
+    * GIF video). Gray values are read through the palette
+    * (`ColorModel.getRed`), not as raw indices, so a writer that permutes
+    * the color table still decodes correctly. */
+  object GifVideoDecoder extends Serializable {
+    import java.awt.image.{BufferedImage, DataBuffer, IndexColorModel}
+
+    /** Identity 256-level grayscale palette (index i → rgb(i,i,i)). */
+    private def grayPalette: IndexColorModel = {
+      val cmap = Array.tabulate(256)(i => (0xFF << 24) | (i << 16) | (i << 8) | i)
+      new IndexColorModel(8, 256, cmap, 0, false, -1, DataBuffer.TYPE_BYTE)
+    }
+
+    /** Encode frames of gray samples (frame ⇒ w×h values 0–255,
+      * row-major) as one animated GIF. */
+    def encode(frames: Seq[Array[Int]], w: Int, h: Int): Array[Byte] = {
+      javax.imageio.ImageIO.setUseCache(false)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { vs =>
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, vs(y * w + x)); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+      writer.dispose()
+      ios.close()
+      bos.toByteArray
+    }
+
+    /** Decode every frame back to gray samples (palette-resolved). */
+    def decode(bytes: Array[Byte]): Seq[Array[Array[Int]]] = {
+      javax.imageio.ImageIO.setUseCache(false)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "payload is not a decodable image sequence")
+      val reader = readers.next()
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      val out = (0 until n).map { i =>
+        val img = reader.read(i)
+        val raster = img.getRaster
+        val cm = img.getColorModel
+        Array.tabulate(img.getHeight, img.getWidth) { (y, x) =>
+          cm.getRed(raster.getSample(x, y, 0))
+        }
+      }
+      reader.dispose()
+      iis.close()
+      out
+    }
+  }
+
+  /** Per-frame decoded-video statistics. */
+  final case class VideoFrameStats(
+      media_id: Long, frame_idx: Int, pixel_sum: Long,
+      hist_bin0: Long, hist_bin15: Long)
+
+  /** Deterministic REAL-video table: one small animated GIF per document —
+    * doc_id mod 3 + 2 frames of w×h gray pixels, w = doc_id mod 12 + 8,
+    * h = doc_id mod 8 + 8, pixel (f,x,y) = (doc_id·31 + f·97 + x·7 +
+    * y·13) mod 256. GIF is lossless for 8-bit palette data and the
+    * formula is pure integer math, so the whole encode→decode→stats
+    * pipeline is reproducible in SQL — the video member of the real-codec
+    * family ([[imagesFromDocuments]] / [[audioFromDocuments]]). */
+  def videosFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (id % 12 + 8).toInt
+        val h = (id % 8 + 8).toInt
+        val nf = (id % 3 + 2).toInt
+        val frames = (0 until nf).map { f =>
+          Array.tabulate(h * w) { i =>
+            val x = i % w
+            val y = i / w
+            ((id * 31 + f * 97 + x * 7 + y * 13) % 256).toInt
+          }
+        }
+        MediaRecord(id, "video", GifVideoDecoder.encode(frames, w, h), w, h, "gif")
+      }
+    }
+  }
+
+  /** Decode video payloads frame by frame (one decoder per partition,
+    * flatMap — the batch shape of [[sampleFrames]] over a real codec). */
+  def videoFrameStats(media: Dataset[MediaRecord]): Dataset[VideoFrameStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        GifVideoDecoder.decode(m.bytes).zipWithIndex.map { case (rows, f) =>
+          var sum = 0L
+          var b0 = 0L
+          var b15 = 0L
+          rows.foreach(_.foreach { v =>
+            sum += v
+            if (v < 16) b0 += 1
+            if (v >= 240) b15 += 1
+          })
+          VideoFrameStats(m.media_id, f, sum, b0, b15)
+        }
+      }
+    }
+  }
+
   /** Synthesize a media table from `documents` (utf-8 payloads, kind/dims
     * derived deterministically) — the corpus has no real binary column, and
     * this keeps the oracle able to recompute the features from text. */
@@ -405,8 +529,40 @@ object Multimodal {
       |  CAST(COUNT(*) FILTER (WHERE a >= 30720) AS BIGINT) AS hist_bin15
       |FROM s GROUP BY doc_id""".stripMargin
 
+  /** Oracled REAL-codec video query: animated-GIF-encode a deterministic
+    * multi-frame clip per doc ([[videosFromDocuments]]), decode with the
+    * JDK's ImageIO GIF reader ([[GifVideoDecoder]]), and emit per-FRAME
+    * pixel statistics — one row per (video, frame), so a wrong frame
+    * count, frame order, palette resolution, or LZW decode hash-fails.
+    * The GIF byte length is encoder-dependent and deliberately excluded
+    * (same rule as the PNG path). */
+  def videoFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    videoFrameStats(
+        videosFromDocuments(graft.Tuning.spread(Tables.documents(spark, dir))))
+      .toDF()
+  }
+
+  private val videoFeaturesSql =
+    """WITH f AS (
+      |  SELECT d.doc_id, CAST(fr.i AS INTEGER) AS frame_idx
+      |  FROM documents d, range(4) fr(i)
+      |  WHERE fr.i < d.doc_id % 3 + 2
+      |), px AS (
+      |  SELECT f.doc_id, f.frame_idx,
+      |         (f.doc_id * 31 + f.frame_idx * 97 + x.i * 7 + y.i * 13) % 256 AS v
+      |  FROM f, range(19) x(i), range(15) y(i)
+      |  WHERE x.i < f.doc_id % 12 + 8 AND y.i < f.doc_id % 8 + 8
+      |)
+      |SELECT doc_id AS media_id, frame_idx,
+      |  CAST(SUM(v) AS BIGINT) AS pixel_sum,
+      |  CAST(COUNT(*) FILTER (WHERE v < 16) AS BIGINT) AS hist_bin0,
+      |  CAST(COUNT(*) FILTER (WHERE v >= 240) AS BIGINT) AS hist_bin15
+      |FROM px GROUP BY doc_id, frame_idx""".stripMargin
+
   val all: Seq[VerifiedQuery] = Seq(
     VerifiedQuery("q_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
+    VerifiedQuery("q_video_features", videoFeatures, Some(videoFeaturesSql)),
     VerifiedQuery("q_frame_sample", frameSampleQuery, Some(frameSampleSql)),
     VerifiedQuery("q_image_features", imageFeatures, Some(imageFeaturesSql)),
     VerifiedQuery("q_audio_features", audioFeatures, Some(audioFeaturesSql)),

@@ -417,6 +417,44 @@ object Relational {
     """SELECT c_custkey, c_name, c_acctbal FROM customer c
       |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin
 
+  /** Full-outer join (completes the join-type matrix beside inner/left/
+    * semi/anti): one side is a customer segment, the other is per-customer
+    * big-order aggregates — each side has rows the other lacks, so both
+    * null-extension paths are exercised and oracled. Scale shape: both
+    * sides shuffle on the key (standard SMJ/shuffled-hash full join); a
+    * full join can never broadcast, which is exactly why it gets its own
+    * verified plan here. */
+  def joinFull(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seg = Tables.customer(spark, dir)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey", $"c_name")
+    val big = Tables.orders(spark, dir)
+      .filter($"o_totalprice" > 250000)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_big"), sum(cents($"o_totalprice")).as("big_c"))
+    seg.join(big, seg("c_custkey") === big("o_custkey"), "full_outer")
+      .select(
+        coalesce($"c_custkey", $"o_custkey").as("custkey"),
+        when($"c_custkey".isNull, 0).otherwise(1).as("in_segment"),
+        coalesce($"n_big", lit(0L)).as("n_big"),
+        (coalesce($"big_c", lit(0L)) / lit(100.0)).as("big_total"))
+  }
+
+  private val joinFullSql =
+    """WITH seg AS (
+      |  SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+      |), big AS (
+      |  SELECT o_custkey, COUNT(*) AS n_big,
+      |         SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS big_c
+      |  FROM orders WHERE o_totalprice > 250000 GROUP BY o_custkey
+      |)
+      |SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+      |       CASE WHEN c_custkey IS NULL THEN 0 ELSE 1 END AS in_segment,
+      |       COALESCE(n_big, 0) AS n_big,
+      |       CAST(COALESCE(big_c, 0) AS DOUBLE)/100.0 AS big_total
+      |FROM seg FULL OUTER JOIN big ON seg.c_custkey = big.o_custkey""".stripMargin
+
   /** Multi-table star join (TPC-H Q5 shape): revenue per nation. Scale
     * shape for 100 TB: lineitem⋈orders shuffles on orderkey
     * (co-partitionable / bucketable); that result shuffles on custkey to
@@ -672,6 +710,7 @@ object Relational {
     VerifiedQuery("q_broadcast_fill", broadcastFill, Some(broadcastFillSql)),
     VerifiedQuery("q_join_semi", joinSemi, Some(joinSemiSql)),
     VerifiedQuery("q_join_anti", joinAnti, Some(joinAntiSql)),
+    VerifiedQuery("q_join_full", joinFull, Some(joinFullSql)),
     VerifiedQuery("q_join_multi", joinMulti, Some(joinMultiSql)),
     VerifiedQuery("q_topk", topK, Some(topKSql)),
     VerifiedQuery("q_set_ops", setOps, Some(setOpsSql)),

@@ -1,0 +1,303 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Tables, VerifiedQuery}
+
+/** Deterministic sketch tier — the approximate data structures a 100 TB
+  * pipeline uses for frequency / membership / cardinality questions
+  * (count-min, Bloom, HyperLogLog), built on md5-derived integer hashes
+  * (identical hex in every engine) so each sketch is bit-reproducible and
+  * carries a FULL DuckDB oracle. This is the oracled twin of
+  * `q_sketch_agg` (Spark's built-in HLL++/KLL, whose sketch internals are
+  * engine-specific and therefore registered rows-only).
+  *
+  * Why md5 and not the text tier's Rabin–Karp rolling hash: sketches need
+  * AVALANCHE-quality bits. Near-consecutive keys give polynomial hashes
+  * that form dense arithmetic runs — measured here: an HLL on rolling
+  * hashes under-estimated by 40–80% because the register index (low bits)
+  * and the rho value (next bits) stay correlated, and an affine
+  * post-mix mod 2³¹−1 did not fix it. md5 is uniform by construction,
+  * produced identically by Spark (`md5` over utf-8 bytes) and DuckDB
+  * (`md5(VARCHAR)`), and hex substrings parse to integers on both sides
+  * (`conv(...,16,10)` / `('0x'||...)::BIGINT`). Rows of a sketch take
+  * DISJOINT 28-bit digest chunks — independent by construction, no
+  * overflow-prone arithmetic anywhere.
+  *
+  * Scale shape shared by all three: per-row work is a digest + a few
+  * integer ops; the shuffle carries (cell, partial) pairs bounded by the
+  * SKETCH size (d·w / m bits / registers — constants), never by the data;
+  * the finished sketch is O(KB) and broadcast over the probe side. That
+  * is the whole point of sketches at 100 TB: one linear scan, constant
+  * mergeable state — `groupBy.agg(count/max)` gives Spark the map-side
+  * combine for free.
+  *
+  * The `exact` audit columns beside each estimate are part of the
+  * VERIFICATION design, not the production shape — a real run emits only
+  * the sketch/estimates and skips the exact pass.
+  */
+object Sketches {
+
+  /** The hex digest, computed ONCE per row — chunk extraction then costs
+    * a substring, not a fresh md5 per sketch row. */
+  private def digest(c: Column): Column = md5(c.cast("binary"))
+
+  /** 28-bit integer from digest chunk j (hex chars 1+7j … 7+7j of the
+    * md5; j < 4 — disjoint chunks of the 32-hex digest). */
+  private def chunk(d: Column, j: Int): Column =
+    conv(substring(d, 1 + 7 * j, 7), 16, 10).cast("long")
+
+  private def chunkSql(expr: String, j: Int): String =
+    s"('0x' || substr(md5($expr), ${1 + 7 * j}, 7))::BIGINT"
+
+  /** 60-bit integer from the first 15 hex chars of the md5. */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  private def h60Sql(expr: String): String =
+    s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+
+  // ------------------------------------------------------------- count-min
+
+  private val CmDepth = 4
+  private val CmWidth = 512
+
+  /** Count-min sketch (Cormode–Muthukrishnan): d=4 hash rows × w=512
+    * buckets over the lineitem part-key stream, then every part probed
+    * for its estimated frequency beside the exact count. The CMS
+    * guarantee — estimate ≥ true count, overcount bounded by bucket
+    * collisions — is visible in the output (`overcount` ≥ 0 on every
+    * row) and asserted in scalatest.
+    *
+    * Build is ONE linear scan: each row contributes d (row, bucket)
+    * increments, pre-aggregated map-side, so the exchange carries at most
+    * d·w = 2048 cells per mapper. The ≤2048-row sketch is broadcast to
+    * the probe side — the probe never shuffles against the corpus. */
+  def countMin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sketch = Tables.lineitem(spark, dir)
+      .select(digest($"l_partkey".cast("string")).as("d"))
+      .select(explode(array((0 until CmDepth).map(j =>
+        struct(lit(j).as("j"),
+          (chunk($"d", j) % CmWidth).as("bucket"))): _*)).as("cell"))
+      .groupBy($"cell.j", $"cell.bucket")
+      .agg(count(lit(1)).as("cnt"))
+    val probes = Tables.part(spark, dir)
+      .select($"p_partkey", digest($"p_partkey".cast("string")).as("d"))
+      .select($"p_partkey", explode(array((0 until CmDepth).map(j =>
+        struct(lit(j).as("j"),
+          (chunk($"d", j) % CmWidth).as("bucket"))): _*)).as("cell"))
+    val est = probes
+      .join(broadcast(sketch), probes("cell.j") === sketch("j") &&
+        probes("cell.bucket") === sketch("bucket"), "left")
+      .groupBy($"p_partkey")
+      .agg(min(coalesce($"cnt", lit(0L))).as("est"))
+    val exact = Tables.lineitem(spark, dir)
+      .groupBy($"l_partkey").agg(count(lit(1)).as("exact"))
+    est.join(exact, est("p_partkey") === exact("l_partkey"), "left")
+      .select($"p_partkey",
+        $"est",
+        coalesce($"exact", lit(0L)).as("exact"),
+        // "over" is a reserved word in DuckDB — overcount
+        ($"est" - coalesce($"exact", lit(0L))).as("overcount"))
+  }
+
+  private val countMinSql = {
+    val buildCells = (0 until CmDepth).map(j =>
+      s"SELECT $j AS j, ${chunkSql("CAST(l_partkey AS VARCHAR)", j)} % $CmWidth AS bucket FROM lineitem")
+      .mkString("\n  UNION ALL\n  ")
+    val probeCells = (0 until CmDepth).map(j =>
+      s"SELECT p_partkey, $j AS j, ${chunkSql("CAST(p_partkey AS VARCHAR)", j)} % $CmWidth AS bucket FROM part")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH cells AS (
+       |  $buildCells
+       |), sketch AS (
+       |  SELECT j, bucket, COUNT(*) AS cnt FROM cells GROUP BY j, bucket
+       |), pcells AS (
+       |  $probeCells
+       |), est AS (
+       |  SELECT p_partkey, MIN(COALESCE(s.cnt, 0)) AS est
+       |  FROM pcells c LEFT JOIN sketch s ON c.j = s.j AND c.bucket = s.bucket
+       |  GROUP BY p_partkey
+       |), exact AS (
+       |  SELECT l_partkey, COUNT(*) AS exact FROM lineitem GROUP BY l_partkey
+       |)
+       |SELECT p_partkey, est, COALESCE(exact, 0) AS exact,
+       |       est - COALESCE(exact, 0) AS overcount
+       |FROM est LEFT JOIN exact ON est.p_partkey = exact.l_partkey""".stripMargin
+  }
+
+  // ----------------------------------------------------------------- bloom
+
+  private val BloomBits = 8192
+  private val BloomK = 4
+
+  /** Bloom filter: m=8192 bits, k=4 hash functions over the set of
+    * customers holding an order above 150k; every customer is then probed
+    * and the per-segment tally compares claimed membership (all k bits
+    * set) against actual membership. A Bloom filter can have false
+    * positives but NEVER false negatives — `n_claimed ≥ n_actual` and
+    * `n_false_neg = 0` are both in the output, so the oracle hash-checks
+    * the guarantee itself.
+    *
+    * Build: the member-key scan emits k bit positions per key; DISTINCT
+    * bounds the exchange at m rows total. The ≤8192-row bit set is
+    * broadcast to the probe side. */
+  def bloom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val members = Tables.orders(spark, dir)
+      .filter($"o_totalprice" > 150000)
+      .select($"o_custkey").distinct()
+    val bits = members
+      .select(digest($"o_custkey".cast("string")).as("d"))
+      .select(explode(array((0 until BloomK).map(j =>
+        chunk($"d", j) % BloomBits): _*)).as("bit"))
+      .distinct()
+    val probed = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment", digest($"c_custkey".cast("string")).as("d"))
+      .select($"c_custkey", $"c_mktsegment", explode(array((0 until BloomK).map(j =>
+        chunk($"d", j) % BloomBits): _*)).as("bit"))
+      .join(broadcast(bits.withColumn("hit", lit(1))), Seq("bit"), "left")
+      .groupBy($"c_custkey", $"c_mktsegment")
+      .agg((count(lit(1)) === sum(coalesce($"hit", lit(0)))).as("claimed"))
+    probed
+      .join(members.withColumn("actual", lit(1)),
+        probed("c_custkey") === members("o_custkey"), "left")
+      .groupBy($"c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_probed"),
+        sum(coalesce($"actual", lit(0))).as("n_actual"),
+        sum($"claimed".cast("long")).as("n_claimed"),
+        sum(when($"claimed" && $"actual".isNull, 1L).otherwise(0L)).as("n_false_pos"),
+        sum(when(!$"claimed" && $"actual" === 1, 1L).otherwise(0L)).as("n_false_neg"))
+  }
+
+  private val bloomSql = {
+    val memberBits = (0 until BloomK).map(j =>
+      s"SELECT ${chunkSql("CAST(o_custkey AS VARCHAR)", j)} % $BloomBits AS bit FROM members")
+      .mkString("\n  UNION ALL\n  ")
+    val probeBits = (0 until BloomK).map(j =>
+      s"SELECT c_custkey, c_mktsegment, ${chunkSql("CAST(c_custkey AS VARCHAR)", j)} % $BloomBits AS bit FROM customer")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH members AS (
+       |  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000
+       |), bits AS (
+       |  SELECT DISTINCT bit FROM (
+       |  $memberBits
+       |  )
+       |), pbits AS (
+       |  $probeBits
+       |), probed AS (
+       |  SELECT c_custkey, c_mktsegment,
+       |         COUNT(*) = SUM(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS claimed
+       |  FROM pbits p LEFT JOIN bits b ON p.bit = b.bit
+       |  GROUP BY c_custkey, c_mktsegment
+       |)
+       |SELECT c_mktsegment,
+       |  COUNT(*) AS n_probed,
+       |  CAST(SUM(CASE WHEN m.o_custkey IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_actual,
+       |  CAST(SUM(CASE WHEN claimed THEN 1 ELSE 0 END) AS BIGINT) AS n_claimed,
+       |  CAST(SUM(CASE WHEN claimed AND m.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       |  CAST(SUM(CASE WHEN NOT claimed AND m.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+       |FROM probed LEFT JOIN members m ON probed.c_custkey = m.o_custkey
+       |GROUP BY c_mktsegment""".stripMargin
+  }
+
+  // ------------------------------------------------------------------- hll
+
+  private val HllRegisters = 256
+  private val HllValueBits = 52 // 60-bit hash minus the 8 register bits
+  /** alpha_256 · m² · 2^(HllValueBits+1), folded to ONE double constant so
+    * the estimate is a single identical IEEE division in both engines. */
+  private val HllEstNumerator: Double =
+    0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * math.pow(2.0, HllValueBits + 1)
+
+  /** Deterministic HyperLogLog: 256 registers over the 60-bit md5 hash —
+    * register = h mod 256, register value = position of the lowest set
+    * bit of v = h div 256 (rho = bit_count((v & −v) − 1) + 1; v = 0 caps
+    * at 53). Distinct part-key cardinality per return flag, estimate
+    * beside the exact count.
+    *
+    * Everything except the final division stays in integer math: the
+    * harmonic sum Σ 2^(−M_r) is carried as the integer Σ 2^(53−M_r), so
+    * the register state hash-checks exactly, and the one double division
+    * at the end uses a single folded constant — the same IEEE op in both
+    * engines. `n_zero_regs` (registers never hit) is emitted because the
+    * standard small-range LinearCounting correction needs it — that
+    * estimator uses ln(), which libm implementations need not round
+    * identically, so it stays OUT of the hash-compared oracle; the
+    * scalatest applies it and bounds the error instead. Raw HLL is known
+    * biased-high below ~2.5m distincts (the sf0.001 fixture, n=200,
+    * sits there deliberately: the output exposes exactly the state a
+    * production estimator switches on).
+    *
+    * Scale shape: groupBy(flag, register).max(rho) — max is the ideal
+    * map-side combine (each mapper emits ≤ groups·256 cells); the grid
+    * completion join is O(groups·256). */
+  def hllDet(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_partkey",
+        h60($"l_partkey".cast("string")).as("h"))
+    val rhos = keyed
+      .withColumn("reg", $"h" % HllRegisters)
+      // h div 256 of the non-negative hash == logical right shift 8
+      .withColumn("v", shiftrightunsigned($"h", 8))
+      .withColumn("rho",
+        when($"v" === 0, lit(HllValueBits + 1))
+          .otherwise(bit_count($"v".bitwiseAND(-$"v") - 1) + 1))
+      .groupBy($"l_returnflag", $"reg")
+      .agg(max($"rho").as("m_r"))
+    val grid = keyed.select($"l_returnflag").distinct()
+      .select($"l_returnflag", explode(sequence(lit(0), lit(HllRegisters - 1))).as("reg"))
+    val sums = grid.join(rhos, Seq("l_returnflag", "reg"), "left")
+      // scala-side shiftleft only takes a literal shift; the SQL form
+      // accepts an expression
+      .withColumn("term",
+        expr(s"shiftleft(CAST(1 AS BIGINT), ${HllValueBits + 1} - coalesce(m_r, 0))"))
+      .groupBy($"l_returnflag")
+      .agg(sum($"term").as("reg_sum"),
+        sum(when($"m_r".isNull, 1L).otherwise(0L)).as("n_zero_regs"))
+    val exact = keyed.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("n_exact"))
+    sums.join(exact, Seq("l_returnflag"))
+      .select($"l_returnflag", $"reg_sum", $"n_zero_regs", $"n_exact",
+        (lit(HllEstNumerator) / $"reg_sum").as("est_raw"))
+  }
+
+  private val hllDetSql = {
+    val h = h60Sql("CAST(l_partkey AS VARCHAR)")
+    // Double.toString round-trips exactly and DuckDB's string→double parse
+    // is correctly rounded, so both engines divide by the same constant
+    val numer = HllEstNumerator.toString
+    s"""WITH keyed AS (
+       |  SELECT l_returnflag, l_partkey, $h AS h FROM lineitem
+       |), rhos AS (
+       |  SELECT l_returnflag, h % $HllRegisters AS reg,
+       |         MAX(CASE WHEN h // $HllRegisters = 0 THEN ${HllValueBits + 1}
+       |             ELSE bit_count(((h // $HllRegisters) & -(h // $HllRegisters)) - 1) + 1
+       |             END) AS m_r
+       |  FROM keyed GROUP BY 1, 2
+       |), grid AS (
+       |  SELECT l_returnflag, CAST(r.range AS BIGINT) AS reg
+       |  FROM (SELECT DISTINCT l_returnflag FROM keyed) f, range($HllRegisters) r
+       |), sums AS (
+       |  SELECT g.l_returnflag,
+       |         CAST(SUM((1::BIGINT) << (${HllValueBits + 1} - COALESCE(m_r, 0))) AS BIGINT) AS reg_sum,
+       |         CAST(SUM(CASE WHEN m_r IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_regs
+       |  FROM grid g LEFT JOIN rhos USING (l_returnflag, reg)
+       |  GROUP BY 1
+       |), exact AS (
+       |  SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_exact FROM keyed GROUP BY 1
+       |)
+       |SELECT l_returnflag, reg_sum, n_zero_regs, n_exact,
+       |       CAST('$numer' AS DOUBLE) / reg_sum AS est_raw
+       |FROM sums JOIN exact USING (l_returnflag)""".stripMargin
+  }
+
+  val all: Seq[VerifiedQuery] = Seq(
+    VerifiedQuery("q_countmin", countMin, Some(countMinSql)),
+    VerifiedQuery("q_bloom", bloom, Some(bloomSql)),
+    VerifiedQuery("q_hll_det", hllDet, Some(hllDetSql)),
+  )
+}

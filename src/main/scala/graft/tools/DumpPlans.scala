@@ -61,7 +61,15 @@ object DumpPlans {
       "q_gini_diversity" -> "token Gini: explode + two keyed hash aggs, rational math only",
       "q_label_centroids" -> "quantized centroids: per-row scalar + posexplode + one (label,dim) agg",
       "q_knn_eval" -> "kNN eval: broadcast queries x linear scan with native dot, k-row windows",
-      "q_nested_struct" -> "nested structs: schema'd from_json, struct array agg, HOFs — one shuffle")
+      "q_nested_struct" -> "nested structs: schema'd from_json, struct array agg, HOFs — one shuffle",
+      "q_countmin" -> "count-min: one digest/row, explode to d cells, sketch-sized agg, sketch broadcast to probes",
+      "q_bloom" -> "bloom: member bits distinct (≤m rows) broadcast into the probe-bit join",
+      "q_hll_det" -> "deterministic HLL: (flag,register) max-agg (map-side combine), O(groups·256) grid join",
+      "q_pagerank#round" -> "PageRank, ONE round (the repeating shape; the full query cache-materializes 5 of these): ranks join on src + dst agg",
+      "q_entity_match" -> "entity resolution: blocking keys ARE the join keys — in-block pairs only, thresholded levenshtein",
+      "q_funnel" -> "3-step funnel: three user_id-keyed aggregates, exchanges line up on one key",
+      "q_cohort" -> "cohort matrix: user-day dedup before the first-seen join, O(days²) output agg",
+      "q_grouping_sets" -> "GROUPING SETS via Expand: 3 sets fan out map-side, partials pre-aggregated")
 
     val qs = graft.SparkEntry.queries
     val sb = new StringBuilder
@@ -70,7 +78,9 @@ object DumpPlans {
     sb.append("operators inside a WholeStageCodegen stage; look for PushedFilters,\n")
     sb.append("ReadSchema (pruning), Exchange placement, and broadcast sides.\n")
     headline.foreach { case (name, note) =>
-      val df = qs(name)(spark, dir)
+      val df =
+        if (name == "q_pagerank#round") graft.ops.Graph.oneRoundPlan(spark, dir)
+        else qs(name)(spark, dir)
       sb.append(s"\n## $name — $note\n\n```\n")
       sb.append(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

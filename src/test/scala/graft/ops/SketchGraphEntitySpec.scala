@@ -1,0 +1,140 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Properties of the round-5 operator families that an SQL oracle cannot
+  * state directly: the sketch guarantees (one-sided CMS error, no Bloom
+  * false negatives, bounded HLL relative error), PageRank's recurrence
+  * checked against an independent in-memory evaluation, and the
+  * entity-matching block/score contract on planted names.
+  */
+class SketchGraphEntitySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("count-min estimates are one-sided: est >= exact on every probe") {
+    val out = Sketches.countMin(spark, sf).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("overcount") < 0).count() === 0)
+    // at least the present keys estimate exactly-or-over, and keys absent
+    // from the stream estimate >= 0
+    assert(out.filter(col("exact") > 0 && col("est") < col("exact")).count() === 0)
+    out.unpersist()
+  }
+
+  test("bloom filter never false-negatives and claimed >= actual per segment") {
+    val out = Sketches.bloom(spark, sf).cache()
+    assert(out.count() > 0)
+    assert(out.agg(sum("n_false_neg")).first().getLong(0) === 0L)
+    assert(out.filter(col("n_claimed") < col("n_actual")).count() === 0)
+    out.unpersist()
+  }
+
+  test("deterministic HLL (with the standard small-range switch) lands within 15%") {
+    val rows = Sketches.hllDet(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val estRaw = r.getAs[Double]("est_raw")
+      val zeros = r.getAs[Long]("n_zero_regs")
+      val m = 256.0
+      // the production estimator: LinearCounting below 2.5m (ln() lives
+      // HERE, not in the hash-compared oracle — libm rounding isn't
+      // portable); raw HLL above. The sf0.001 fixture (n=200) exercises
+      // the LC branch, larger SFs the raw branch.
+      val est = if (estRaw <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else estRaw
+      assert(math.abs(est - exact) / exact < 0.15,
+        s"flag ${r.get(0)}: est $est vs exact $exact")
+    }
+  }
+
+  test("pageRank matches an independent in-memory evaluation of the recurrence") {
+    import spark.implicits._
+    // small directed graph with a hub, a chain, and mutual edges
+    val edgeList = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (4L, 1L), (5L, 1L))
+    val edges = edgeList.toDF("src", "dst")
+    val got = Graph.pageRank(edges, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // reference evaluation: same integer-micros recurrence, plain Scala
+    val nodes = edgeList.flatMap(e => Seq(e._1, e._2)).distinct.filter(n =>
+      edgeList.exists(_._1 == n)) // pageRank keys nodes off edge sources
+    val outdeg = edgeList.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 5) {
+      val in = edgeList
+        .filter(e => r.contains(e._1))
+        .groupBy(_._2).map { case (dst, es) =>
+          dst -> es.map(e => r(e._1) / outdeg(e._1)).sum
+        }
+      r = nodes.map(n => n -> (150000L + 85L * in.getOrElse(n, 0L) / 100L)).toMap
+    }
+    assert(got === r)
+    // damping floor: every rank at least the teleport mass
+    got.values.foreach(v => assert(v >= 150000L))
+
+    // the completeGraph fast path (skips the node-completion join) must
+    // agree with the generic path on a symmetric edge set
+    val sym = edgeList.flatMap(e => Seq(e, e.swap)).distinct.toDF("src", "dst")
+    val generic = Graph.pageRank(sym, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = Graph.pageRank(sym, iters = 5, completeGraph = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === generic)
+  }
+
+  test("pageRank favors the hub over leaf nodes") {
+    import spark.implicits._
+    // star: every leaf points at the hub, hub points at one leaf
+    val edges = (Seq((100L, 1L)) ++ (1L to 9L).map(i => (i, 100L))).toDF("src", "dst")
+    val ranks = Graph.pageRank(edges, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks(100L) > ranks(1L))
+    assert(ranks(100L) > 9L * ranks(2L) / 2L) // hub collects ~all leaf mass
+  }
+
+  test("entity matching finds planted near-duplicate names and scores exactly") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("entity-fix-").toFile.getAbsolutePath
+    // same 14-char prefix + nation → in-block; planted distances 1 and 2;
+    // the >2 pair and the cross-nation twin must NOT match
+    Seq(
+      (1L, "Customer#000000001", 7),
+      (2L, "Customer#000000002", 7),  // dist 1 from #1
+      (3L, "Customer#000000033", 7),  // dist 2 from #1, dist 2 from #2
+      (4L, "Customer#000099999", 7),  // same prefix? no — differs at pos 14
+      (5L, "Customer#000000001", 9)   // identical name, different nation
+    ).toDF("c_custkey", "c_name", "c_nationkey")
+      .withColumn("c_acctbal", lit(0.0)).withColumn("c_mktsegment", lit("X"))
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = Entity.entityMatch(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((2L, 1, 2L)))  // best = #2 at distance 1
+    assert(out(2L) === ((2L, 1, 1L)))
+    assert(out(3L)._2 === 2)
+    assert(!out.contains(4L)) // prefix block excludes it (documented trade)
+    assert(!out.contains(5L)) // nation key separates it
+  }
+
+  test("GIF video codec round-trips gray frames bit-exactly") {
+    val w = 11
+    val h = 7
+    val frames = Seq(
+      Array.tabulate(w * h)(i => (i * 37 + 5) % 256),
+      Array.tabulate(w * h)(i => (i * 11 + 200) % 256),
+      Array.tabulate(w * h)(i => 255 - (i % 256)))
+    val bytes = Multimodal.GifVideoDecoder.encode(frames, w, h)
+    val decoded = Multimodal.GifVideoDecoder.decode(bytes)
+    assert(decoded.size === 3)
+    decoded.zip(frames).foreach { case (rows, expect) =>
+      assert(rows.length === h)
+      rows.zipWithIndex.foreach { case (row, y) =>
+        row.zipWithIndex.foreach { case (v, x) =>
+          assert(v === expect(y * w + x))
+        }
+      }
+    }
+  }
+}
