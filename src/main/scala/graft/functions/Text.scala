@@ -114,6 +114,18 @@ object Text {
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** 60-bit engine-portable UNIFORM integer hash: the first 15 hex chars
+    * of the md5 digest. Both engines produce identical hex (Spark `md5`
+    * over utf-8 bytes == DuckDB `md5(VARCHAR)`) and can parse it
+    * (`conv(...,16,10)` / `('0x'||substr(md5(x),1,15))::BIGINT`). Use
+    * this — not [[rollingHash]] — wherever hash QUALITY matters
+    * (sketches, sampling priorities): polynomial hashes of
+    * near-consecutive keys form dense arithmetic runs whose bit fields
+    * stay correlated (measured: an HLL keyed on rolling hashes
+    * under-estimated by 40–80%). */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
   private val RollPrime = 2147483647L // 2^31 - 1
   private val RollBase = 31L
   private val RollSeed = 7L

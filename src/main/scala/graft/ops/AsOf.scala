@@ -164,7 +164,46 @@ object AsOf {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_close_c
       |FROM g LEFT JOIN h ON h.event_type = g.event_type AND h.hr = g.hr""".stripMargin
 
+  /** Rolling event-time window features: per user, the trailing-hour
+    * event count / cents-sum / max over a RANGE frame keyed on epoch
+    * seconds — the time-decayed feature shape (txn velocity, rate
+    * limiting, rolling spend) that ROWS frames cannot express when event
+    * spacing is irregular. Numeric RANGE on epoch seconds (not an
+    * interval frame) keeps both engines in integer frame arithmetic, and
+    * peers at the same second are included identically by definition of
+    * RANGE. One shuffle on user_id; in-partition the frame is a sliding
+    * two-pointer over the sorted run — O(n) per partition.
+    */
+  def rollingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_s")
+      .rangeBetween(-3599, Window.currentRow)
+    Tables.events(spark, dir)
+      .select($"event_id", $"user_id",
+        unix_timestamp($"ts").as("ts_s"),
+        round($"value" * 100).cast("long").as("v_c"))
+      .select($"event_id", $"user_id", $"ts_s",
+        count(lit(1)).over(w).as("roll_n"),
+        sum($"v_c").over(w).as("roll_sum_c"),
+        max($"v_c").over(w).as("roll_max_c"))
+  }
+
+  private val rollingWindowSql =
+    """SELECT event_id, user_id, ts_s,
+      |  COUNT(*) OVER w AS roll_n,
+      |  CAST(SUM(v_c) OVER w AS BIGINT) AS roll_sum_c,
+      |  MAX(v_c) OVER w AS roll_max_c
+      |FROM (
+      |  SELECT event_id, user_id,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+      |         CAST(round(value*100) AS BIGINT) AS v_c
+      |  FROM events
+      |)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+      |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""".stripMargin
+
   val all: Seq[VerifiedQuery] = Seq(
+    VerifiedQuery("q_rolling_window", rollingWindow, Some(rollingWindowSql)),
     VerifiedQuery("q_asof_join", asofQuery, Some(asofSql)),
     VerifiedQuery("q_range_join", rangeJoinQuery, Some(rangeJoinSql)),
     VerifiedQuery("q_gapfill", gapFill, Some(gapFillSql)),

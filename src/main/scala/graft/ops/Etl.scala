@@ -562,9 +562,52 @@ object Etl {
       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
       |FROM r GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------- priority sampling
+
+  /** Deterministic fixed-SIZE per-group sample by hash priority: within
+    * each market segment keep the K customers with the smallest md5
+    * hash — the engine-portable equivalent of a per-group reservoir
+    * sample (uniform over the group, stable under repartitioning and
+    * across engines, and UNLIKE `sample(fraction)` it yields an exact
+    * count per group). The hash-bucket sample ([[hashBucket]]) fixes the
+    * RATE; this fixes the SIZE — the two sampling contracts a pipeline
+    * needs. md5 (not the rolling hash) because selection must be
+    * uniform; ties are impossible (distinct keys hash distinctly at
+    * 60 bits for any real table) but the (hash, key) order pins
+    * determinism anyway.
+    *
+    * Scale shape: one window shuffle on the group key; rank ≤ K prunes
+    * everything else. At very hot groups, replace with the two-phase
+    * per-partition top-K + merge (TakeOrdered shape) — same contract. */
+  def prioritySample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 20
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"c_mktsegment")
+      .orderBy($"h", $"c_custkey")
+    Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment",
+        graft.functions.Text.md5Long($"c_custkey".cast("string")).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"c_custkey", $"c_mktsegment", $"rk")
+  }
+
+  private val prioritySampleSql =
+    """SELECT c_custkey, c_mktsegment, CAST(rk AS INTEGER) AS rk
+      |FROM (
+      |  SELECT c_custkey, c_mktsegment,
+      |         row_number() OVER (PARTITION BY c_mktsegment
+      |           ORDER BY ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT,
+      |                    c_custkey) AS rk
+      |  FROM customer
+      |)
+      |WHERE rk <= 20""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[VerifiedQuery] = Seq(
+    VerifiedQuery("q_priority_sample", prioritySample, Some(prioritySampleSql)),
     VerifiedQuery("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     VerifiedQuery("q_etl_features", etlFeatures, Some(etlFeaturesSql)),
     VerifiedQuery("q_weather_csv", weatherCsv, Some(weatherCsvSql)),

@@ -1217,7 +1217,55 @@ object LlmData {
       |  MAX(event_id) AS max_event_id
       |FROM events GROUP BY 1""".stripMargin
 
+  /** TF-IDF keyword extraction: top-5 terms per document by tf × idf,
+    * with the idf as the log-free rational (N+1)·10⁶ div (df+1) in
+    * integer micros (the same monotone stand-in the BM25 operator uses —
+    * a log would rank identically but not hash-check across libm
+    * implementations). Deterministic tie-break (score desc, term asc).
+    *
+    * Scale shape: explode → (doc, term) hash agg → term-keyed df agg
+    * (vocabulary-sized) joined back — at 100 TB the df side is still
+    * vocabulary-sized and broadcastable; the corpus size N is the one
+    * O(1) driver scalar (the reference's own global-fill pattern,
+    * SURVEY §2.4 A5). Top-k per doc is one doc-keyed window. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    val tf = docs
+      .select($"doc_id", explode(Text.tokensLower($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score_micros".desc, $"term")
+    tf.join(df, Seq("term"))
+      .withColumn("score_micros",
+        expr(s"CAST(tf * (${(n + 1) * 1000000L} div (df + 1)) AS BIGINT)"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"doc_id", $"term", $"tf", $"df", $"score_micros", $"rk")
+  }
+
+  private val tfidfSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+      |), df AS (
+      |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+      |), s AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |         CAST(tf.tf * ((((SELECT COUNT(*) FROM documents) + 1) * 1000000)
+      |              // (df.df + 1)) AS BIGINT) AS score_micros
+      |  FROM tf JOIN df USING (term)
+      |)
+      |SELECT doc_id, term, tf, df, score_micros, CAST(rk AS INTEGER) AS rk
+      |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY score_micros DESC, term) AS rk FROM s)
+      |WHERE rk <= 5""".stripMargin
+
   val all: Seq[VerifiedQuery] = Seq(
+    VerifiedQuery("q_tfidf", tfidf, Some(tfidfSql)),
     VerifiedQuery("q_text_stats", textStats, Some(textStatsSql)),
     VerifiedQuery("q_quality_score", qualityScore, Some(qualityScoreSql)),
     VerifiedQuery("q_source_cap", (s, d) => sourceCap(s, d), Some(sourceCapSql)),

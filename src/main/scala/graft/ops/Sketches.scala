@@ -50,9 +50,9 @@ object Sketches {
   private def chunkSql(expr: String, j: Int): String =
     s"('0x' || substr(md5($expr), ${1 + 7 * j}, 7))::BIGINT"
 
-  /** 60-bit integer from the first 15 hex chars of the md5. */
-  private def h60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+  /** 60-bit integer from the first 15 hex chars of the md5
+    * ([[graft.functions.Text.md5Long]]). */
+  private def h60(c: Column): Column = graft.functions.Text.md5Long(c)
 
   private def h60Sql(expr: String): String =
     s"('0x' || substr(md5($expr), 1, 15))::BIGINT"

@@ -69,7 +69,10 @@ object DumpPlans {
       "q_entity_match" -> "entity resolution: blocking keys ARE the join keys — in-block pairs only, thresholded levenshtein",
       "q_funnel" -> "3-step funnel: three user_id-keyed aggregates, exchanges line up on one key",
       "q_cohort" -> "cohort matrix: user-day dedup before the first-seen join, O(days²) output agg",
-      "q_grouping_sets" -> "GROUPING SETS via Expand: 3 sets fan out map-side, partials pre-aggregated")
+      "q_grouping_sets" -> "GROUPING SETS via Expand: 3 sets fan out map-side, partials pre-aggregated",
+      "q_priority_sample" -> "fixed-size per-group sample: one window shuffle on the group key, rank<=K prune",
+      "q_rolling_window" -> "trailing-hour RANGE frame on epoch seconds: one shuffle on user_id, sliding frame in-partition",
+      "q_tfidf" -> "TF-IDF: explode -> (doc,term) agg -> vocabulary-sized df join-back -> per-doc top-k window")
 
     val qs = graft.SparkEntry.queries
     val sb = new StringBuilder

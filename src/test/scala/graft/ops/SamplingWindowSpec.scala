@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants for the priority sample, rolling event-time window, and
+  * TF-IDF operators beyond their SQL-oracle equality. */
+class SamplingWindowSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("priority sample returns exactly min(K, group size) rows per group, stably") {
+    import spark.implicits._
+    val out = Etl.prioritySample(spark, sf).cache()
+    val sizes = out.groupBy($"c_mktsegment").agg(count(lit(1)).as("n"),
+        max($"rk").as("max_rk")).collect()
+    val groupTotals = graft.Tables.customer(spark, sf)
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { r =>
+      val expect = math.min(20L, groupTotals(r.getString(0)))
+      assert(r.getLong(1) === expect)
+      assert(r.getInt(2).toLong === expect) // ranks are 1..n, no gaps
+    }
+    // determinism: a second evaluation picks the identical members
+    val again = Etl.prioritySample(spark, sf)
+    assert(out.unionByName(again).distinct().count() === out.count())
+    out.unpersist()
+  }
+
+  test("rolling window matches a brute-force recomputation per user") {
+    import spark.implicits._
+    val got = AsOf.rollingWindow(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val evs = graft.Tables.events(spark, sf)
+      .select($"event_id", $"user_id", unix_timestamp($"ts").as("ts_s"),
+        round($"value" * 100).cast("long").as("v_c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byUser = evs.groupBy(_._2)
+    evs.foreach { case (id, user, ts, _) =>
+      val frame = byUser(user).filter(e => e._3 >= ts - 3599 && e._3 <= ts)
+      val expect = (frame.size.toLong, frame.map(_._4).sum, frame.map(_._4).max)
+      assert(got(id) === expect, s"event $id")
+    }
+  }
+
+  test("tfidf emits at most 5 ranked terms per doc with consistent scores") {
+    import spark.implicits._
+    val out = LlmData.tfidf(spark, sf).cache()
+    val n = graft.Tables.documents(spark, sf).count()
+    assert(out.filter($"rk" < 1 || $"rk" > 5).count() === 0)
+    assert(out.groupBy($"doc_id").agg(count(lit(1)).as("c"))
+      .filter($"c" > 5).count() === 0)
+    // score definition holds row by row
+    assert(out.filter(
+      $"score_micros" =!= $"tf" * expr(s"(${(n + 1) * 1000000L} div (df + 1))"))
+      .count() === 0)
+    // within a doc, ranks follow non-increasing scores
+    val bad = out.as[(Long, String, Long, Long, Long, Int)].collect()
+      .groupBy(_._1).values.exists { rows =>
+        val sorted = rows.toSeq.sortBy(_._6)
+        sorted.sliding(2).exists(w => w.size == 2 && w(1)._5 > w(0)._5)
+      }
+    assert(!bad)
+    out.unpersist()
+  }
+}
