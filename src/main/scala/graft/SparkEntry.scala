@@ -15,7 +15,8 @@ object SparkEntry {
     ops.Relational.all ++ ops.Etl.all ++ ops.Ml.all ++
       ops.LlmData.all ++ ops.Similarity.all ++ ops.Multimodal.all ++
       ops.Funcs.all ++ ops.Scale.all ++ ops.AsOf.all ++ ops.Sources.all ++
-      ops.Sketches.all ++ ops.Graph.all ++ ops.Entity.all ++ ops.Analytics.all
+      ops.Sketches.all ++ ops.Graph.all ++ ops.Entity.all ++ ops.Analytics.all ++
+      ops.Bpe.all ++ ops.Robust.all ++ ops.Url.all ++ ops.Reconcile.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Tables, VerifiedQuery}
+import graft.functions.Text
 
 /** Product/behavioral analytics over the events stream — the classic
   * query shapes an analytics engine is asked for daily: ordered funnel
@@ -127,9 +128,113 @@ object Analytics {
       |)
       |GROUP BY bin""".stripMargin
 
+  /** A/B experiment analysis with DETERMINISTIC variant assignment: the
+    * variant is a hash of the user id (the industry-standard bucketing —
+    * reproducible across engines and reruns, no assignment table to
+    * store), conversion is "made a purchase over $200" (plain "purchased"
+    * saturates at p=1 on this corpus — zero pooled variance would make the
+    * z-score divide by zero; the threshold keeps 0 < p < 1 at every SF),
+    * and the readout is the two-proportion z-test.
+    *
+    * Oracle parity for the statistics: every double is derived from
+    * BIGINT counts through the IDENTICAL expression tree on both sides
+    * (explicit casts, pinned operation order) — `sqrt` and the four
+    * arithmetic ops are IEEE correctly-rounded, so p0/p1/lift/z are
+    * bit-exact, not approximately equal.
+    *
+    * Shape: one hash-agg per user (user_id shuffle), then a single-row
+    * summary agg — the per-variant totals are partial-aggregated
+    * map-side, so the final reduce carries O(1) rows. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perUser = Tables.events(spark, dir)
+      .select($"user_id",
+        ($"event_type" === "purchase" && $"value" > 200.0).cast("long").as("purchased"))
+      .groupBy($"user_id").agg(max($"purchased").as("converted"))
+      .withColumn("variant", (Text.md5Long($"user_id".cast("string")) % 2).cast("int"))
+    perUser.agg(
+        sum(when($"variant" === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when($"variant" === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when($"variant" === 0, $"converted").otherwise(0L)).as("c0"),
+        sum(when($"variant" === 1, $"converted").otherwise(0L)).as("c1"))
+      .selectExpr("n0", "n1", "c0", "c1",
+        "CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0",
+        "CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1",
+        "CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS lift",
+        """(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+           / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                  * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                  * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) AS z""")
+  }
+
+  private val abTestSql =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'purchase' AND value > 200.0 THEN 1 ELSE 0 END) AS converted,
+      |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS INTEGER) AS variant
+      |  FROM events GROUP BY user_id
+      |), s AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS c0,
+      |    CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS c1
+      |  FROM pu
+      |)
+      |SELECT n0, n1, c0, c1,
+      |  CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+      |  CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+      |  CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS lift,
+      |  (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+      |    / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+      |           * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+      |           * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) AS z
+      |FROM s""".stripMargin
+
+  /** Time-decay engagement scoring — the recency weighting behind user
+    * ranking / churn features: each event contributes its value halved
+    * per day of age (relative to the newest event in the table).
+    *
+    * The decay is an INTEGER BIT-SHIFT, not `pow`: contribution =
+    * value-in-tenth-milli-dollars div 2^age_days (clamped at 40) — exact
+    * BIGINT math any engine reproduces, where a float `0.5^age` would be
+    * summation-order- and libm-dependent. The reference timestamp is a
+    * single-row global agg cross-joined in (O(1), broadcast), not a
+    * driver round-trip. */
+  def decayScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("day"),
+        round($"value" * 100).cast("long").as("value_c"))
+    val refDay = ev.agg(max($"day").as("ref_day"))
+    ev.crossJoin(broadcast(refDay))
+      .select($"user_id", $"day", $"value_c",
+        least(datediff($"ref_day", $"day"), lit(40)).cast("int").as("age_d"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("(value_c * 10000) div shiftleft(cast(1 as bigint), age_d)")).as("score_tmd"),
+        max($"day").cast("string").as("last_day"))
+  }
+
+  private val decayScoreSql =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |         CAST(round(value*100) AS BIGINT) AS value_c
+      |  FROM events
+      |), r AS (
+      |  SELECT MAX(day) AS ref_day FROM ev
+      |)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM((value_c * 10000) // (CAST(1 AS BIGINT) << LEAST(date_diff('day', day, ref_day), 40))) AS BIGINT) AS score_tmd,
+      |  CAST(MAX(day) AS VARCHAR) AS last_day
+      |FROM ev CROSS JOIN r
+      |GROUP BY user_id""".stripMargin
+
   val all: Seq[VerifiedQuery] = Seq(
     VerifiedQuery("q_funnel", funnel, Some(funnelSql)),
+    VerifiedQuery("q_decay_score", decayScore, Some(decayScoreSql)),
     VerifiedQuery("q_cohort", cohort, Some(cohortSql)),
     VerifiedQuery("q_histogram", histogram, Some(histogramSql)),
+    VerifiedQuery("q_ab_test", abTest, Some(abTestSql)),
   )
 }

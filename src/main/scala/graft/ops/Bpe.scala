@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Tables, VerifiedQuery}
+import graft.functions.Text
+
+/** BPE vocabulary learning — the tokenizer-training step of an LLM data
+  * pipeline (Sennrich et al. 2016, the algorithm behind GPT-2/LLaMA-style
+  * tokenizers): iteratively count adjacent symbol pairs over the word-
+  * frequency table, merge the most frequent pair everywhere, repeat.
+  *
+  * Distributed shape: the working set is the VOCABULARY (distinct words +
+  * counts), not the corpus — one corpus scan builds it, then each of the K
+  * rounds is one narrow projection (the merge rewrite) + one explode/
+  * hash-agg shuffle (pair counts) + a TakeOrdered(1) whose single row is
+  * the only driver round-trip (same O(1)-scalar budget as the CC loop's
+  * convergence counter). Nothing in the loop is corpus-sized.
+  *
+  * Determinism/oracle design:
+  *  - Words are held as DOUBLE-DELIMITED symbol strings: `low` as
+  *    `||l||o||w||`. Doubling the delimiter makes ADJACENT pair occurrences
+  *    non-overlapping, so the built-in literal `replace` — which both Spark
+  *    and DuckDB scan left-to-right over non-overlapping matches — applies a
+  *    merge with exactly BPE's greedy-leftmost semantics (`aaaa` + merge
+  *    `a,a` → `(aa)(aa)`, not three overlapping pairs). Symbols are
+  *    `[a-z0-9]+` (normalized text), so `|` can never appear inside one.
+  *  - Ties on pair count break by (lhs, rhs) ascending — binary string
+  *    order, identical in both engines (exercised for real: at sf0.01
+  *    steps 9 and 10 tie at count 1758).
+  *  - The oracle unrolls the K rounds as MATERIALIZED CTEs (each round is
+  *    referenced twice — pair counts and the rewrite — so inlined CTEs
+  *    would expand 2^K scans).
+  */
+object Bpe {
+
+  /** Merge rounds for the registered query (enough to reach multi-symbol
+    * merges on the test corpus: `m+er`, `p+ar` appear from round 6). */
+  val Rounds = 10
+
+  /** Symbol array of a double-delimited word: split on `||`, drop the
+    * empty outer fragments. */
+  private def syms(w: Column): Column =
+    filter(split(w, "\\|\\|"), x => length(x) > 0)
+
+  /** Word-frequency table of the documents corpus, words pre-encoded into
+    * the double-delimited symbol form (`low` → `||l||o||w||`). */
+  def vocabulary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(explode(Text.tokens(Text.normalized($"text"))).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+      .select(
+        concat(lit("|"), regexp_replace($"word", "(.)", "|$1|"), lit("|")).as("w"),
+        $"cnt")
+  }
+
+  /** Run `k` BPE merge rounds over a (w: delimited word, cnt) frame and
+    * return the learned merge table (step, lhs, rhs, pair_count).
+    *
+    * The input vocabulary is cached once; each round's rewrite is a narrow
+    * codegen'd projection stacked on that cache, so round k recomputes k
+    * cheap string replaces over a vocab-sized frame instead of paying a
+    * cache materialization per round (K is small and fixed; a
+    * convergence-driven variant at large K would adopt
+    * [[Similarity.connectedComponents]]'s checkpoint-every-5 cadence). */
+  def train(vocab: DataFrame, k: Int): DataFrame = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val base = vocab.cache()
+    var words = base
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (step <- 1 to k) {
+      val pairs = words
+        .select(syms($"w").as("s"), $"cnt")
+        .select(explode(adjacentPairs($"s")).as("p"), $"cnt")
+        .groupBy($"p.lhs".as("lhs"), $"p.rhs".as("rhs"))
+        .agg(sum($"cnt").as("c"))
+      val (lhs, rhs, c) = pairs.orderBy($"c".desc, $"lhs", $"rhs").limit(1)
+        .as[(String, String, Long)].head()
+      merges += ((step, lhs, rhs, c))
+      // literal replace: |lhs||rhs| → |lhsrhs| — greedy leftmost by the
+      // double-delimiter construction (symbols are [a-z0-9]+, no quoting)
+      words = words.select(
+        expr(s"replace(w, '|$lhs||$rhs|', '|$lhs$rhs|')").as("w"), $"cnt")
+    }
+    base.unpersist()
+    merges.result().toDF("step", "lhs", "rhs", "pair_count")
+  }
+
+  /** Adjacent (lhs, rhs) symbol pairs of a symbol array (empty below 2
+    * symbols — `sequence(1, 0)` would count DOWN, the same guard
+    * [[Text.ngramsFromTokens]] uses). */
+  private[ops] def adjacentPairs(s: Column): Column =
+    when(size(s) < 2, array().cast("array<struct<lhs:string,rhs:string>>"))
+      .otherwise(transform(sequence(lit(1), size(s) - 1),
+        i => struct(element_at(s, i).as("lhs"), element_at(s, i + 1).as("rhs"))))
+
+  /** Registered query: the first [[Rounds]] merges learned from the
+    * documents corpus. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    train(vocabulary(spark, dir), Rounds)
+
+  /** Plan-audit helper: ONE un-executed pair-count round over the
+    * vocabulary — the shape that repeats K times (the registered query's
+    * result is a driver-side K-row merge table, whose plan shows nothing).
+    */
+  def pairCountPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    vocabulary(spark, dir)
+      .select(syms($"w").as("s"), $"cnt")
+      .select(explode(adjacentPairs($"s")).as("p"), $"cnt")
+      .groupBy($"p.lhs".as("lhs"), $"p.rhs".as("rhs"))
+      .agg(sum($"cnt").as("c"))
+      .orderBy($"c".desc, $"lhs", $"rhs").limit(1)
+  }
+
+  private val bpeMergesSql: String = {
+    def stepSql(i: Int): String = {
+      val prev = s"w${i - 1}"
+      s"""p$i AS MATERIALIZED (
+         |  SELECT s[i] AS lhs, s[i+1] AS rhs, CAST(SUM(cnt) AS BIGINT) AS c
+         |  FROM (
+         |    SELECT s, cnt, unnest(generate_series(1, len(s)-1)) AS i FROM (
+         |      SELECT list_filter(string_split(w, '||'), x -> x <> '') AS s, cnt FROM $prev
+         |    )
+         |  ) GROUP BY lhs, rhs
+         |), b$i AS MATERIALIZED (
+         |  SELECT lhs, rhs, c FROM p$i ORDER BY c DESC, lhs, rhs LIMIT 1
+         |), w$i AS MATERIALIZED (
+         |  SELECT replace($prev.w, '|' || b.lhs || '||' || b.rhs || '|',
+         |                 '|' || b.lhs || b.rhs || '|') AS w, cnt
+         |  FROM $prev CROSS JOIN b$i b
+         |)""".stripMargin
+    }
+    val steps = (1 to Rounds).map(stepSql).mkString(",\n")
+    val union = (1 to Rounds)
+      .map(i => s"SELECT CAST($i AS INTEGER) AS step, lhs, rhs, c AS pair_count FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT '|' || regexp_replace(word, '(.)', '|\\1|', 'g') || '|' AS w,
+       |         CAST(cnt AS BIGINT) AS cnt
+       |  FROM (
+       |    SELECT word, COUNT(*) AS cnt FROM (
+       |      SELECT unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+       |        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS word
+       |      FROM documents
+       |    ) WHERE word <> '' GROUP BY word
+       |  )
+       |),
+       |$steps
+       |$union""".stripMargin
+  }
+
+  val all: Seq[VerifiedQuery] = Seq(
+    VerifiedQuery("q_bpe_merges", bpeMerges, Some(bpeMergesSql)),
+  )
+}

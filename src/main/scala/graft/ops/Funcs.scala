@@ -421,7 +421,33 @@ object Funcs {
       |  list_dot_product(e, list_reverse(e)) AS rev_dot
       |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)""".stripMargin
 
+  /** Ordered string aggregation — the reporting/export primitive
+    * (`string_agg`/`listagg`): per nation the alphabetized, comma-joined
+    * supplier names plus a parallel ordered key list. Spark side is
+    * `array_join(array_sort(collect_list(...)))` — an unordered collect
+    * pinned by an explicit sort, since aggregation ORDER is undefined in
+    * a distributed engine; the DuckDB oracle's `string_agg(... ORDER BY)`
+    * must match it byte-for-byte. Group sizes are dimension-bounded
+    * (suppliers per nation), the precondition for any collect_list. */
+  def stringAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        array_join(array_sort(collect_list($"s_name")), ",").as("names"),
+        array_join(array_sort(collect_list($"s_suppkey".cast("string"))), ",").as("keys"))
+  }
+
+  private val stringAggSql =
+    """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+      |       string_agg(s_name, ',' ORDER BY s_name) AS names,
+      |       string_agg(CAST(s_suppkey AS VARCHAR), ',' ORDER BY CAST(s_suppkey AS VARCHAR)) AS keys
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
   val all: Seq[VerifiedQuery] = Seq(
+    VerifiedQuery("q_string_agg", stringAgg, Some(stringAggSql)),
     VerifiedQuery("q_datetime_funcs", datetimeFuncs, Some(datetimeFuncsSql)),
     VerifiedQuery("q_window_analytic", windowAnalytic, Some(windowAnalyticSql)),
     VerifiedQuery("q_hof_funcs", hofFuncs, Some(hofFuncsSql)),

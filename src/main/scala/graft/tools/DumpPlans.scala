@@ -72,7 +72,13 @@ object DumpPlans {
       "q_grouping_sets" -> "GROUPING SETS via Expand: 3 sets fan out map-side, partials pre-aggregated",
       "q_priority_sample" -> "fixed-size per-group sample: one window shuffle on the group key, rank<=K prune",
       "q_rolling_window" -> "trailing-hour RANGE frame on epoch seconds: one shuffle on user_id, sliding frame in-partition",
-      "q_tfidf" -> "TF-IDF: explode -> (doc,term) agg -> vocabulary-sized df join-back -> per-doc top-k window")
+      "q_tfidf" -> "TF-IDF: explode -> (doc,term) agg -> vocabulary-sized df join-back -> per-doc top-k window",
+      "q_bpe_merges#round" -> "BPE, ONE pair-count round over the vocab (repeats K times; full query returns a driver-side K-row merge table): explode pairs -> hash agg -> TakeOrdered(1)",
+      "q_triangle_count#plan" -> "triangles, un-materialized: degree-oriented wedge self-join -> closing-edge join -> explode -> per-node agg",
+      "q_mad_outliers" -> "median/MAD: two count-histogram passes (distinct values shuffled, not rows) + O(groups) broadcast join-backs",
+      "q_quantile_bucket" -> "stratified quartile bucketing: histogram bounds + broadcast join-back (no global sort, unlike ntile)",
+      "q_url_normalize" -> "URL canonicalization: per-row codegen'd regex chain, one hash agg on the canonical key",
+      "q_ab_test" -> "A/B readout: per-user hash agg -> single-row summary agg (partials map-side)")
 
     val qs = graft.SparkEntry.queries
     val sb = new StringBuilder
@@ -83,6 +89,8 @@ object DumpPlans {
     headline.foreach { case (name, note) =>
       val df =
         if (name == "q_pagerank#round") graft.ops.Graph.oneRoundPlan(spark, dir)
+        else if (name == "q_bpe_merges#round") graft.ops.Bpe.pairCountPlan(spark, dir)
+        else if (name == "q_triangle_count#plan") graft.ops.Graph.trianglePlan(spark, dir)
         else qs(name)(spark, dir)
       sb.append(s"\n## $name — $note\n\n```\n")
       sb.append(df.queryExecution.explainString(
