@@ -5,17 +5,22 @@ import org.apache.spark.sql.functions._
 import graft.{Tables, VerifiedQuery}
 import graft.functions.Text
 
-/** BPE vocabulary learning — the tokenizer-training step of an LLM data
-  * pipeline (Sennrich et al. 2016, the algorithm behind GPT-2/LLaMA-style
-  * tokenizers): iteratively count adjacent symbol pairs over the word-
-  * frequency table, merge the most frequent pair everywhere, repeat.
+/** BPE vocabulary learning and application — the tokenizer tier of an LLM
+  * data pipeline (Sennrich et al. 2016, the algorithm behind
+  * GPT-2/LLaMA-style tokenizers): iteratively count adjacent symbol pairs
+  * over the word-frequency table, merge the most frequent pair everywhere,
+  * repeat; then ENCODE the corpus with the learned merges and audit
+  * fertility (tokens per word) — the metric that decides whether a
+  * tokenizer fits a corpus.
   *
-  * Distributed shape: the working set is the VOCABULARY (distinct words +
-  * counts), not the corpus — one corpus scan builds it, then each of the K
-  * rounds is one narrow projection (the merge rewrite) + one explode/
-  * hash-agg shuffle (pair counts) + a TakeOrdered(1) whose single row is
-  * the only driver round-trip (same O(1)-scalar budget as the CC loop's
-  * convergence counter). Nothing in the loop is corpus-sized.
+  * Distributed shape: the learning working set is the VOCABULARY (distinct
+  * words + counts), not the corpus — one corpus scan builds it, then each
+  * of the K rounds is one narrow projection (the merge rewrite) + one
+  * explode/hash-agg shuffle (pair counts) + a TakeOrdered(1) whose single
+  * row is the only driver round-trip (same O(1)-scalar budget as the CC
+  * loop's convergence counter). ENCODING tokenizes the vocabulary once
+  * (vocab-sized) and joins the per-word token count back to the exploded
+  * corpus stream — the corpus itself is never rewritten K times.
   *
   * Determinism/oracle design:
   *  - Words are held as DOUBLE-DELIMITED symbol strings: `low` as
@@ -30,11 +35,11 @@ import graft.functions.Text
   *    steps 9 and 10 tie at count 1758).
   *  - The oracle unrolls the K rounds as MATERIALIZED CTEs (each round is
   *    referenced twice — pair counts and the rewrite — so inlined CTEs
-  *    would expand 2^K scans).
+  *    would expand 2^K scans); both queries share one CTE generator.
   */
 object Bpe {
 
-  /** Merge rounds for the registered query (enough to reach multi-symbol
+  /** Merge rounds for the registered queries (enough to reach multi-symbol
     * merges on the test corpus: `m+er`, `p+ar` appear from round 6). */
   val Rounds = 10
 
@@ -43,21 +48,30 @@ object Bpe {
   private def syms(w: Column): Column =
     filter(split(w, "\\|\\|"), x => length(x) > 0)
 
-  /** Word-frequency table of the documents corpus, words pre-encoded into
-    * the double-delimited symbol form (`low` → `||l||o||w||`). */
+  /** Word-frequency table of the documents corpus: (word, w =
+    * double-delimited symbol form, cnt). */
   def vocabulary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select(explode(Text.tokens(Text.normalized($"text"))).as("word"))
       .filter(length($"word") > 0)
       .groupBy($"word").agg(count(lit(1)).as("cnt"))
-      .select(
+      .select($"word",
         concat(lit("|"), regexp_replace($"word", "(.)", "|$1|"), lit("|")).as("w"),
         $"cnt")
   }
 
-  /** Run `k` BPE merge rounds over a (w: delimited word, cnt) frame and
-    * return the learned merge table (step, lhs, rhs, pair_count).
+  /** Adjacent (lhs, rhs) symbol pairs of a symbol array (empty below 2
+    * symbols — `sequence(1, 0)` would count DOWN, the same guard
+    * [[Text.ngramsFromTokens]] uses). */
+  private[ops] def adjacentPairs(s: Column): Column =
+    when(size(s) < 2, array().cast("array<struct<lhs:string,rhs:string>>"))
+      .otherwise(transform(sequence(lit(1), size(s) - 1),
+        i => struct(element_at(s, i).as("lhs"), element_at(s, i + 1).as("rhs"))))
+
+  /** Run `k` BPE merge rounds over a (word, w, cnt) frame: the learned
+    * merge list plus the final rewritten vocabulary frame (lineage on top
+    * of the cached input — callers release `vocab`'s cache when done).
     *
     * The input vocabulary is cached once; each round's rewrite is a narrow
     * codegen'd projection stacked on that cache, so round k recomputes k
@@ -65,11 +79,10 @@ object Bpe {
     * cache materialization per round (K is small and fixed; a
     * convergence-driven variant at large K would adopt
     * [[Similarity.connectedComponents]]'s checkpoint-every-5 cadence). */
-  def train(vocab: DataFrame, k: Int): DataFrame = {
+  private def learn(vocab: DataFrame, k: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
     val spark = vocab.sparkSession
     import spark.implicits._
-    val base = vocab.cache()
-    var words = base
+    var words = vocab
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (step <- 1 to k) {
       val pairs = words
@@ -82,25 +95,120 @@ object Bpe {
       merges += ((step, lhs, rhs, c))
       // literal replace: |lhs||rhs| → |lhsrhs| — greedy leftmost by the
       // double-delimiter construction (symbols are [a-z0-9]+, no quoting)
-      words = words.select(
-        expr(s"replace(w, '|$lhs||$rhs|', '|$lhs$rhs|')").as("w"), $"cnt")
+      words = words.withColumn("w", expr(s"replace(w, '|$lhs||$rhs|', '|$lhs$rhs|')"))
     }
-    base.unpersist()
-    merges.result().toDF("step", "lhs", "rhs", "pair_count")
+    (merges.result(), words)
   }
 
-  /** Adjacent (lhs, rhs) symbol pairs of a symbol array (empty below 2
-    * symbols — `sequence(1, 0)` would count DOWN, the same guard
-    * [[Text.ngramsFromTokens]] uses). */
-  private[ops] def adjacentPairs(s: Column): Column =
-    when(size(s) < 2, array().cast("array<struct<lhs:string,rhs:string>>"))
-      .otherwise(transform(sequence(lit(1), size(s) - 1),
-        i => struct(element_at(s, i).as("lhs"), element_at(s, i + 1).as("rhs"))))
+  /** Train `k` merge rounds over a (word?, w, cnt) frame and return the
+    * merge table (step, lhs, rhs, pair_count). Exposed for tests. */
+  def train(vocab: DataFrame, k: Int): DataFrame = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val base = vocab.cache()
+    val (merges, _) = learn(base, k)
+    base.unpersist()
+    merges.toDF("step", "lhs", "rhs", "pair_count")
+  }
 
   /** Registered query: the first [[Rounds]] merges learned from the
     * documents corpus. */
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
     train(vocabulary(spark, dir), Rounds)
+
+  /** Registered query: ENCODE the corpus with the learned merges and
+    * audit per-source fertility — token totals before (chars) and after
+    * the merges, words, and fertility (tokens per word) in exact micros.
+    *
+    * Scale shape: the merge rewrite chain runs over the VOCABULARY only;
+    * the corpus stream (one row per word occurrence) joins the per-word
+    * token count on the word key — one shuffle join (broadcastable when
+    * the vocabulary is dimension-sized) + one hash agg per source. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = vocabulary(spark, dir).cache()
+    val (_, rewritten) = learn(vocab, Rounds)
+    val tokPerWord = rewritten
+      .select($"word", length($"word").cast("long").as("n_chars"),
+        size(syms($"w")).cast("long").as("n_tokens"))
+    val out = Tables.documents(spark, dir)
+      .select($"source", explode(Text.tokens(Text.normalized($"text"))).as("word"))
+      .filter(length($"word") > 0)
+      .join(tokPerWord, Seq("word"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"n_chars").as("n_chars"),
+        sum($"n_tokens").as("n_tokens"))
+      .select($"source", $"n_words", $"n_chars", $"n_tokens",
+        expr("(n_tokens * 1000000) div n_words").as("fertility_micro"),
+        expr("(n_chars * 1000000) div n_tokens").as("compression_micro"))
+    out.cache().count() // materialize before releasing the vocab cache
+    vocab.unpersist()
+    out
+  }
+
+  /** Shared oracle CTE chain: w0..wK over the vocabulary, each w_i
+    * carrying (word, w, cnt), plus p_i (pair counts) and b_i (best pair)
+    * per round. */
+  private def learnCtes: String = {
+    def stepSql(i: Int): String = {
+      val prev = s"w${i - 1}"
+      s"""p$i AS MATERIALIZED (
+         |  SELECT s[i] AS lhs, s[i+1] AS rhs, CAST(SUM(cnt) AS BIGINT) AS c
+         |  FROM (
+         |    SELECT s, cnt, unnest(generate_series(1, len(s)-1)) AS i FROM (
+         |      SELECT list_filter(string_split(w, '||'), x -> x <> '') AS s, cnt FROM $prev
+         |    )
+         |  ) GROUP BY lhs, rhs
+         |), b$i AS MATERIALIZED (
+         |  SELECT lhs, rhs, c FROM p$i ORDER BY c DESC, lhs, rhs LIMIT 1
+         |), w$i AS MATERIALIZED (
+         |  SELECT word, replace($prev.w, '|' || b.lhs || '||' || b.rhs || '|',
+         |                 '|' || b.lhs || b.rhs || '|') AS w, cnt
+         |  FROM $prev CROSS JOIN b$i b
+         |)""".stripMargin
+    }
+    val steps = (1 to Rounds).map(stepSql).mkString(",\n")
+    s"""w0 AS MATERIALIZED (
+       |  SELECT word, '|' || regexp_replace(word, '(.)', '|\\1|', 'g') || '|' AS w,
+       |         CAST(cnt AS BIGINT) AS cnt
+       |  FROM (
+       |    SELECT word, COUNT(*) AS cnt FROM (
+       |      SELECT unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+       |        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS word
+       |      FROM documents
+       |    ) WHERE word <> '' GROUP BY word
+       |  )
+       |),
+       |$steps""".stripMargin
+  }
+
+  private val bpeMergesSql: String = {
+    val union = (1 to Rounds)
+      .map(i => s"SELECT CAST($i AS INTEGER) AS step, lhs, rhs, c AS pair_count FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"WITH $learnCtes\n$union"
+  }
+
+  private val bpeEncodeSql: String =
+    s"""WITH $learnCtes,
+       |tok AS MATERIALIZED (
+       |  SELECT word, CAST(len(word) AS BIGINT) AS n_chars,
+       |         CAST(len(list_filter(string_split(w, '||'), x -> x <> '')) AS BIGINT) AS n_tokens
+       |  FROM w$Rounds
+       |), stream AS (
+       |  SELECT source, unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+       |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS word
+       |  FROM documents
+       |)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(t.n_chars) AS BIGINT) AS n_chars,
+       |       CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(t.n_tokens) AS BIGINT) * 1000000 // CAST(COUNT(*) AS BIGINT) AS fertility_micro,
+       |       CAST(SUM(t.n_chars) AS BIGINT) * 1000000 // CAST(SUM(t.n_tokens) AS BIGINT) AS compression_micro
+       |FROM stream s JOIN tok t USING (word)
+       |WHERE word <> ''
+       |GROUP BY source""".stripMargin
 
   /** Plan-audit helper: ONE un-executed pair-count round over the
     * vocabulary — the shape that repeats K times (the registered query's
@@ -116,44 +224,8 @@ object Bpe {
       .orderBy($"c".desc, $"lhs", $"rhs").limit(1)
   }
 
-  private val bpeMergesSql: String = {
-    def stepSql(i: Int): String = {
-      val prev = s"w${i - 1}"
-      s"""p$i AS MATERIALIZED (
-         |  SELECT s[i] AS lhs, s[i+1] AS rhs, CAST(SUM(cnt) AS BIGINT) AS c
-         |  FROM (
-         |    SELECT s, cnt, unnest(generate_series(1, len(s)-1)) AS i FROM (
-         |      SELECT list_filter(string_split(w, '||'), x -> x <> '') AS s, cnt FROM $prev
-         |    )
-         |  ) GROUP BY lhs, rhs
-         |), b$i AS MATERIALIZED (
-         |  SELECT lhs, rhs, c FROM p$i ORDER BY c DESC, lhs, rhs LIMIT 1
-         |), w$i AS MATERIALIZED (
-         |  SELECT replace($prev.w, '|' || b.lhs || '||' || b.rhs || '|',
-         |                 '|' || b.lhs || b.rhs || '|') AS w, cnt
-         |  FROM $prev CROSS JOIN b$i b
-         |)""".stripMargin
-    }
-    val steps = (1 to Rounds).map(stepSql).mkString(",\n")
-    val union = (1 to Rounds)
-      .map(i => s"SELECT CAST($i AS INTEGER) AS step, lhs, rhs, c AS pair_count FROM b$i")
-      .mkString("\nUNION ALL\n")
-    s"""WITH w0 AS MATERIALIZED (
-       |  SELECT '|' || regexp_replace(word, '(.)', '|\\1|', 'g') || '|' AS w,
-       |         CAST(cnt AS BIGINT) AS cnt
-       |  FROM (
-       |    SELECT word, COUNT(*) AS cnt FROM (
-       |      SELECT unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
-       |        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS word
-       |      FROM documents
-       |    ) WHERE word <> '' GROUP BY word
-       |  )
-       |),
-       |$steps
-       |$union""".stripMargin
-  }
-
   val all: Seq[VerifiedQuery] = Seq(
     VerifiedQuery("q_bpe_merges", bpeMerges, Some(bpeMergesSql)),
+    VerifiedQuery("q_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
   )
 }

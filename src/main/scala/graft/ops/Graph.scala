@@ -266,8 +266,89 @@ object Graph {
       |       CAST(COALESCE(tn.n_tri, 0) AS BIGINT) AS n_tri
       |FROM deg d LEFT JOIN tn ON d.node = tn.node""".stripMargin
 
+  /** Fixed-round label propagation (community detection): every node
+    * starts labeled with its own id; each SYNCHRONOUS round relabels every
+    * node with the MODE of its neighbors' labels (ties broken by smallest
+    * label — the determinism knob async LPA lacks). Three rounds over the
+    * symmetrized bulk co-supplier graph.
+    *
+    * Distinct from [[Similarity.connectedComponents]] (min-label
+    * propagation → components): mode-voting converges to DENSE
+    * neighborhoods, splitting a weakly-bridged component into
+    * communities.
+    *
+    * Shape per round: one join (labels onto edges by src), one (dst,
+    * label) count agg, one per-dst argmin — all keyed shuffles; no driver
+    * traffic at all for fixed K (the same contract as [[pageRank]]). */
+  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // symmetrize: votes flow both ways along each undirected edge
+    val sym = edges.select($"u".as("src"), $"v".as("dst"))
+      .unionByName(edges.select($"v".as("src"), $"u".as("dst")))
+      .cache()
+    var labels = sym.select($"src".as("node")).distinct()
+      .select($"node", $"node".as("label"))
+    for (_ <- 1 to iters) {
+      labels = sym.join(labels, sym("src") === labels("node"))
+        .groupBy(sym("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        // mode with smallest-label tie-break: min over (-cnt, label) structs
+        .groupBy(col("dst").as("node"))
+        .agg(min(struct((-col("cnt")).as("negc"), col("label"))).as("m"))
+        .select(col("node"), col("m.label").as("label"))
+    }
+    val out = labels.cache()
+    out.count() // materialize before releasing the edge cache
+    sym.unpersist()
+    out
+  }
+
+  /** Registered query: communities of the bulk co-supplier graph — the
+    * final (node, community) labeling plus each community's size as a
+    * join-back. */
+  def labelPropQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val labels = labelPropagation(coSupplierEdges(spark, dir), iters = 3)
+    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("label"))
+      .select($"node".as("suppkey"), $"label".as("community"), $"community_size")
+  }
+
+  private val labelPropSql = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT e.dst AS node, l.label, COUNT(*) AS cnt,
+         |           row_number() OVER (PARTITION BY e.dst ORDER BY COUNT(*) DESC, l.label) AS rn
+         |    FROM sym e JOIN $prev l ON e.src = l.node
+         |    GROUP BY e.dst, l.label
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    val rounds = Seq(round("l0", "l1"), round("l1", "l2"), round("l2", "l3"))
+      .mkString(",\n")
+    s"""WITH os AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem
+       |  WHERE l_quantity > 45
+       |), pairs AS (
+       |  SELECT DISTINCT a.s AS u, b.s AS v
+       |  FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+       |), sym AS MATERIALIZED (
+       |  SELECT u AS src, v AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT v AS src, u AS dst FROM pairs
+       |), l0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node, src AS label FROM sym
+       |),
+       |$rounds
+       |SELECT l3.node AS suppkey, l3.label AS community, s.community_size
+       |FROM l3 JOIN (
+       |  SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size FROM l3 GROUP BY label
+       |) s ON l3.label = s.label""".stripMargin
+  }
+
   val all: Seq[VerifiedQuery] = Seq(
     VerifiedQuery("q_pagerank", pageRankQuery, Some(pageRankSql)),
     VerifiedQuery("q_triangle_count", triangleQuery, Some(triangleSql)),
+    VerifiedQuery("q_label_prop", labelPropQuery, Some(labelPropSql)),
   )
 }

@@ -47,7 +47,7 @@ object LlmData {
   /** The composite-quality column over a `text` column — shared by
     * [[qualityScore]] (per-doc emission) and [[sourceCap]] (rank-based
     * curation) so both rank by the identical IEEE expression. */
-  private def qualityCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[ops] def qualityCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val stops = Text.occurrenceCount(text, Seq("the", "a", "of", "and", "to", "in", "is"))
     val nTok = Text.tokenCount(text)
     val stopRatio = stops * lit(1.0) / nTok
@@ -145,6 +145,58 @@ object LlmData {
       |  CAST(SUM(CASE WHEN rk <= 40 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum,
       |  MIN(CASE WHEN rk <= 40 THEN quality END) AS min_kept_quality,
       |  MAX(quality) AS max_quality
+      |FROM r GROUP BY 1""".stripMargin
+
+  /** Token-budget curation — [[sourceCap]]'s sibling with the budget in
+    * TOKENS instead of documents (the contract a mixture recipe actually
+    * states: "at most N tokens per source"): per source, documents are
+    * taken in (quality desc, doc_id) order while the RUNNING token total
+    * stays within budget. One cumulative-sum row window per source + one
+    * hash agg — same single-shuffle shape as sourceCap; the quality
+    * ordering doubles are oracle-matched (q_quality_score), so the
+    * cumulative cut is engine-identical. */
+  def tokenBudget(spark: SparkSession, dir: String, budget: Long = 1000L): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"quality".desc, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source", qualityCol($"text").as("quality"),
+        Text.tokenCount($"text").cast("long").as("n_tok"))
+      .withColumn("cum", sum($"n_tok").over(w))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_total"),
+        sum($"n_tok").as("total_tokens"),
+        sum(when($"cum" <= budget, 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"cum" <= budget, $"n_tok").otherwise(0L)).as("kept_tokens"),
+        sum(when($"cum" <= budget, $"doc_id").otherwise(0L)).as("kept_id_sum"))
+  }
+
+  private val tokenBudgetSql =
+    """WITH t AS (
+      |  SELECT doc_id, source, text,
+      |    string_split_regex(trim(lower(text)), '\s+') AS toks,
+      |    string_split_regex(trim(text), '\s+') AS rawtoks
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, source,
+      |    len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) * 1.0
+      |        / len(rawtoks) * 0.4
+      |      + (1.0 - len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / length(text)) * 0.2
+      |      + CAST(CASE WHEN length(text) BETWEEN 100 AND 100000 THEN 1.0 ELSE 0.0 END AS DOUBLE) * 0.2
+      |      + CAST(CASE WHEN list_sum(list_transform(rawtoks, x -> length(x))) * 1.0 / len(rawtoks)
+      |              BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END AS DOUBLE) * 0.2 AS quality,
+      |    CAST(len(rawtoks) AS BIGINT) AS n_tok
+      |  FROM t
+      |), r AS (
+      |  SELECT *, SUM(n_tok) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM s
+      |)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+      |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(CASE WHEN cum <= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN cum <= 1000 THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+      |  CAST(SUM(CASE WHEN cum <= 1000 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
       |FROM r GROUP BY 1""".stripMargin
 
   /** Language-ID confusion matrix: the marker-occurrence heuristic's
@@ -1269,6 +1321,7 @@ object LlmData {
     VerifiedQuery("q_text_stats", textStats, Some(textStatsSql)),
     VerifiedQuery("q_quality_score", qualityScore, Some(qualityScoreSql)),
     VerifiedQuery("q_source_cap", (s, d) => sourceCap(s, d), Some(sourceCapSql)),
+    VerifiedQuery("q_token_budget", (s, d) => tokenBudget(s, d), Some(tokenBudgetSql)),
     VerifiedQuery("q_lang_id", langId, Some(langIdSql)),
     VerifiedQuery("q_word_count", wordCount, Some(wordCountSql)),
     VerifiedQuery("q_exact_dedup", exactDedup, Some(exactDedupSql)),

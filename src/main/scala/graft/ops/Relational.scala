@@ -694,7 +694,43 @@ object Relational {
 
   // ---------------------------------------------------------------- registry
 
+  /** UNPIVOT (melt) — the inverse of q_pivot and the missing half of the
+    * reshape pair: the four lineitem money/quantity measures rotate from
+    * columns into (measure, value) rows via the Spark 4 `Dataset.unpivot`
+    * operator (an Expand node: each input row fans out to 4 measure rows
+    * map-side, no shuffle), then one hash agg profiles each measure.
+    * Values go through integer cents so every aggregate is BIGINT-exact.
+    */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select(round($"l_quantity" * 100).cast("long").as("qty_c"),
+        round($"l_extendedprice" * 100).cast("long").as("price_c"),
+        round($"l_discount" * 100).cast("long").as("disc_c"),
+        round($"l_tax" * 100).cast("long").as("tax_c"))
+      .unpivot(Array.empty, Array($"qty_c", $"price_c", $"disc_c", $"tax_c"),
+        "measure", "value_c")
+      .groupBy($"measure")
+      .agg(count(lit(1)).as("n"), sum($"value_c").as("sum_c"),
+        min($"value_c").as("min_c"), max($"value_c").as("max_c"))
+  }
+
+  private val unpivotMeasuresSql =
+    """WITH m AS (
+      |  SELECT 'qty_c' AS measure, CAST(round(l_quantity*100) AS BIGINT) AS value_c FROM lineitem
+      |  UNION ALL
+      |  SELECT 'price_c', CAST(round(l_extendedprice*100) AS BIGINT) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'disc_c', CAST(round(l_discount*100) AS BIGINT) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'tax_c', CAST(round(l_tax*100) AS BIGINT) FROM lineitem
+      |)
+      |SELECT measure, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(value_c) AS BIGINT) AS sum_c,
+      |       MIN(value_c) AS min_c, MAX(value_c) AS max_c
+      |FROM m GROUP BY measure""".stripMargin
+
   val all: Seq[VerifiedQuery] = Seq(
+    VerifiedQuery("q_unpivot", unpivotMeasures, Some(unpivotMeasuresSql)),
     VerifiedQuery("q_shipping_priority", shippingPriority, Some(shippingPrioritySql)),
     VerifiedQuery("q_regional_volume", regionalVolume, Some(regionalVolumeSql)),
     VerifiedQuery("q_hist_rate", histRate, Some(histRateSql)),

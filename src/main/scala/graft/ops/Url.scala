@@ -109,7 +109,76 @@ object Url {
       |FROM canon
       |GROUP BY canonical_url""".stripMargin
 
+  /** Survivorship (golden record) over the canonical-URL clusters: when
+    * re-crawls of the same page collapse under [[canonical]], ONE record
+    * must survive — deterministically the longest text, ties to the
+    * smallest doc_id (the MDM survivorship rule, with provenance: how many
+    * records merged, which sources contributed). One row_number window
+    * over the cluster key + one agg — both shuffle on the canonical URL.
+    */
+  def urlSurvivorship(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", length($"text").as("text_len"),
+        canonical(plantedUrl($"source", $"doc_id")).as("canonical_url"))
+    val ranked = docs.withColumn("rn", row_number().over(
+      Window.partitionBy($"canonical_url")
+        .orderBy($"text_len".desc, $"doc_id")))
+    val survivors = ranked.filter($"rn" === 1)
+      .select($"canonical_url", $"doc_id".as("survivor_id"),
+        $"text_len".as("survivor_len"))
+    val provenance = docs.groupBy($"canonical_url")
+      .agg(count(lit(1)).as("n_merged"),
+        array_join(array_sort(collect_set($"source")), ",").as("sources"),
+        sum($"doc_id").as("id_sum"))
+    survivors.join(provenance, Seq("canonical_url"))
+  }
+
+  private val urlSurvivorshipSql =
+    """WITH raw AS (
+      |  SELECT doc_id, source, len(text) AS text_len,
+      |    (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'https' END) || '://'
+      |    || (CASE WHEN doc_id % 9 = 0 THEN upper(source || (doc_id % 3) || '.example.com')
+      |             ELSE source || (doc_id % 3) || '.example.com' END)
+      |    || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+      |    || '/p/' || (doc_id % 10)
+      |    || (CASE WHEN doc_id % 8 = 0 THEN '/' ELSE '' END)
+      |    || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&utm_campaign=c' || (doc_id % 9) || '&ref=1'
+      |             WHEN doc_id % 11 = 0 THEN '?ref=1' ELSE '' END)
+      |    || (CASE WHEN doc_id % 7 = 0 THEN '#sec' || (doc_id % 3) ELSE '' END) AS url
+      |  FROM documents
+      |), canon AS (
+      |  SELECT doc_id, source, text_len,
+      |    lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) || '://'
+      |    || regexp_replace(lower(regexp_extract(nofrag, '^[A-Za-z]+://([^/?#]+)', 1)), ':443$', '')
+      |    || regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '(.)/$', '\1')
+      |    || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canonical_url
+      |  FROM (
+      |    SELECT doc_id, source, text_len, nofrag,
+      |      regexp_replace(nofrag, '^[A-Za-z]+://[^/?#]+', '') AS rest,
+      |      regexp_replace(regexp_replace(
+      |        regexp_extract(regexp_replace(nofrag, '^[A-Za-z]+://[^/?#]+', ''), '\?(.*)$', 1),
+      |        'utm_[a-z_]+=[^&]*&?', '', 'g'), '&$', '') AS q
+      |    FROM (SELECT doc_id, source, text_len, regexp_replace(url, '#.*$', '') AS nofrag FROM raw)
+      |  )
+      |), ranked AS (
+      |  SELECT doc_id, source, text_len, canonical_url,
+      |         row_number() OVER (PARTITION BY canonical_url
+      |                            ORDER BY text_len DESC, doc_id) AS rn
+      |  FROM canon
+      |)
+      |SELECT c.canonical_url,
+      |       MAX(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+      |       MAX(CASE WHEN rn = 1 THEN text_len END) AS survivor_len,
+      |       CAST(COUNT(*) AS BIGINT) AS n_merged,
+      |       string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+      |       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |FROM ranked c
+      |GROUP BY c.canonical_url""".stripMargin
+
   val all: Seq[VerifiedQuery] = Seq(
     VerifiedQuery("q_url_normalize", urlNormalize, Some(urlNormalizeSql)),
+    VerifiedQuery("q_url_survivorship", urlSurvivorship, Some(urlSurvivorshipSql)),
   )
 }

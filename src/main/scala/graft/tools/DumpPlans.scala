@@ -78,7 +78,15 @@ object DumpPlans {
       "q_mad_outliers" -> "median/MAD: two count-histogram passes (distinct values shuffled, not rows) + O(groups) broadcast join-backs",
       "q_quantile_bucket" -> "stratified quartile bucketing: histogram bounds + broadcast join-back (no global sort, unlike ntile)",
       "q_url_normalize" -> "URL canonicalization: per-row codegen'd regex chain, one hash agg on the canonical key",
-      "q_ab_test" -> "A/B readout: per-user hash agg -> single-row summary agg (partials map-side)")
+      "q_ab_test" -> "A/B readout: per-user hash agg -> single-row summary agg (partials map-side)",
+      "q_bpe_encode" -> "tokenizer application: vocab rewritten K times (vocab-sized), corpus stream joins per-word token counts",
+      "q_unpivot" -> "UNPIVOT via Expand: 4 measure rows fan out map-side, no shuffle before the final agg",
+      "q_dataset_diff" -> "snapshot reconciliation: full-outer SMJ on the key (full joins cannot broadcast) + O(classes) agg",
+      "q_drift_chi2" -> "drift monitor: two pushed date-range scans -> O(bins) aggs -> tiny full-outer bin join",
+      "q_decay_score" -> "recency scoring: single-row ref-day agg broadcast in, integer bit-shift decay, one user agg",
+      "q_label_prop" -> "label propagation (3 rounds): per-round label join + (dst,label) count agg + per-dst argmin",
+      "q_url_survivorship" -> "golden record: one row_number window + one provenance agg, both on the canonical key",
+      "q_token_budget" -> "token-budget curation: one cumulative-sum row window per source + one hash agg")
 
     val qs = graft.SparkEntry.queries
     val sb = new StringBuilder

@@ -72,6 +72,99 @@ class ReconcileSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("BPE encoding: merges only shrink, fertility and compression bounded") {
+    val rows = Bpe.bpeEncode(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, nc, nt) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("n_tokens"))
+      assert(nt <= nc, "a merge can only shrink the token count")
+      assert(nt >= nw, "every word is at least one token")
+      assert(r.getAs[Long]("fertility_micro") === nt * 1000000L / nw)
+      assert(r.getAs[Long]("compression_micro") === nc * 1000000L / nt)
+      assert(r.getAs[Long]("compression_micro") >= 1000000L)
+    }
+    // the 10 merges genuinely compress this corpus below 1 token/char
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum <
+      rows.map(_.getAs[Long]("n_chars")).sum)
+  }
+
+  test("unpivot profiles every measure over every row") {
+    val rows = Relational.unpivotMeasures(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val n = graft.Tables.lineitem(spark, sf).count()
+    assert(rows.keySet === Set("qty_c", "price_c", "disc_c", "tax_c"))
+    rows.values.foreach { case (cnt, _) => assert(cnt === n) }
+    val direct = graft.Tables.lineitem(spark, sf)
+      .agg(sum(round(col("l_quantity") * 100).cast("long"))).head().getLong(0)
+    assert(rows("qty_c")._2 === direct)
+  }
+
+  test("label propagation separates planted communities and matches the recurrence") {
+    import spark.implicits._
+    // two 4-cliques bridged by one edge: mode-voting keeps them distinct
+    def clique(ns: Seq[Long]) = for (a <- ns; b <- ns if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L)) :+ (4L, 10L))
+      .toDF("u", "v")
+    val got = Graph.labelPropagation(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent reference: same synchronous mode recurrence
+    val sym = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L)) :+ (4L, 10L))
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val nodes = sym.map(_._1).distinct
+    var labels = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      labels = nodes.map { n =>
+        val votes = sym.collect { case (s, d) if d == n => labels(s) }
+          .groupBy(identity).map { case (l, xs) => (l, xs.size) }
+        n -> votes.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }.toMap
+    }
+    assert(got === labels)
+    val c1 = Set(1L, 2L, 3L, 4L).map(got)
+    val c2 = Set(10L, 11L, 12L, 13L).map(got)
+    assert(c1.size === 1 && c2.size === 1 && c1 != c2, "cliques form distinct communities")
+  }
+
+  test("survivorship picks the longest-then-smallest record per canonical URL") {
+    val out = Url.urlSurvivorship(spark, sf).collect()
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), length(col("text")),
+        Url.canonical(Url.plantedUrl(col("source"), col("doc_id"))))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+      .groupBy(_._4)
+    assert(out.map(_.getAs[Long]("n_merged")).sum === docs.values.map(_.size).sum)
+    out.foreach { r =>
+      val cluster = docs(r.getAs[String]("canonical_url"))
+      val want = cluster.minBy { case (id, _, len, _) => (-len, id) }
+      assert(r.getAs[Long]("survivor_id") === want._1)
+      assert(r.getAs[Long]("n_merged") === cluster.size)
+      assert(r.getAs[String]("sources").split(",").toSet === cluster.map(_._2).toSet)
+    }
+  }
+
+  test("token budget keeps a maximal quality-first prefix within 1000 tokens") {
+    import graft.functions.Text
+    val out = LlmData.tokenBudget(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("kept_tokens"), r.getAs[Long]("total_tokens"))).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), LlmData.qualityCol(col("text")).as("q"),
+        Text.tokenCount(col("text")).cast("long").as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1)
+    docs.foreach { case (src, ds) =>
+      val ordered = ds.sortBy { case (_, id, q, _) => (-q, id) }
+      val cum = ordered.scanLeft(0L)(_ + _._4).tail
+      val kept = ordered.zip(cum).takeWhile(_._2 <= 1000L)
+      val (nKept, keptTok, totalTok) = out(src)
+      assert(nKept === kept.size, s"source $src")
+      assert(keptTok === kept.map(_._1._4).sum)
+      assert(totalTok === ds.map(_._4).sum)
+      assert(keptTok <= 1000L)
+    }
+  }
+
   test("string agg is sorted, complete and consistent with the count") {
     val rows = Funcs.stringAgg(spark, sf).collect()
     assert(rows.nonEmpty)
