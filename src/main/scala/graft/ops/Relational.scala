@@ -361,6 +361,45 @@ object Relational {
       |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
       |FROM events GROUP BY 1, 2, 3""".stripMargin
 
+  /** The same scalar-function surface as [[caseBin]] (F2 when/otherwise,
+    * F3 chained CASE, F4 isin, F6 isNull) exercised over `orders` instead
+    * of `events` (r4 verdict #7): the events source has regenerated with a
+    * different physical schema once already, and these §2 function rows
+    * should not be blind-able by a single-table regression.
+    */
+  def caseBinOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .withColumn("price_tier",
+        when($"o_totalprice" < 50000, "small")
+          .when($"o_totalprice" < 150000, "medium")
+          .when($"o_totalprice" < 300000, "large")
+          .otherwise("jumbo"))
+      .withColumn("is_urgent",
+        when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+      // nullable derivation so isNull has real nulls to see: open orders
+      // null out, everything else keeps its status
+      .withColumn("closed_status",
+        when($"o_orderstatus" === "O", lit(null).cast("string"))
+          .otherwise($"o_orderstatus"))
+      .groupBy($"price_tier", $"is_urgent")
+      .agg(count(lit(1)).as("n"),
+        count(when($"closed_status".isNull, lit(1))).as("n_open"),
+        (sum(cents($"o_totalprice")) / lit(100.0)).as("sum_price"))
+  }
+
+  private val caseBinOrdersSql =
+    """SELECT
+      |  CASE WHEN o_totalprice < 50000 THEN 'small'
+      |       WHEN o_totalprice < 150000 THEN 'medium'
+      |       WHEN o_totalprice < 300000 THEN 'large'
+      |       ELSE 'jumbo' END AS price_tier,
+      |  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS is_urgent,
+      |  COUNT(*) AS n,
+      |  COUNT(CASE WHEN NULLIF(o_orderstatus, 'O') IS NULL THEN 1 END) AS n_open,
+      |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_price
+      |FROM orders GROUP BY 1, 2""".stripMargin
+
   // ----------------------------------------------------------------- joins
 
   /** Broadcast left join + na.fill (SURVEY §2.3 J2, §2.2 P8;
@@ -743,6 +782,7 @@ object Relational {
     VerifiedQuery("q_proj_filter", projFilter, Some(projFilterSql)),
     VerifiedQuery("q_time_features", timeFeatures, Some(timeFeaturesSql)),
     VerifiedQuery("q_case_bin", caseBin, Some(caseBinSql)),
+    VerifiedQuery("q_case_bin_orders", caseBinOrders, Some(caseBinOrdersSql)),
     VerifiedQuery("q_broadcast_fill", broadcastFill, Some(broadcastFillSql)),
     VerifiedQuery("q_join_semi", joinSemi, Some(joinSemiSql)),
     VerifiedQuery("q_join_anti", joinAnti, Some(joinAntiSql)),
