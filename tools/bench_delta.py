@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Dev-only: markdown delta table between two bench JSON artifacts.
+
+Usage: python3 tools/bench_delta.py BENCH_r03.json BENCH_r05.json [min_sec]
+
+Accepts either the driver's wrapper format ({"parsed": {...}, "tail": "..."})
+or a raw Bench.scala JSON line. Queries present in only one run are listed
+as added/removed. Rows with both medians under min_sec (default 1.0) are
+collapsed into a single summary line — sub-second jitter isn't signal.
+"""
+import json, re, sys
+
+
+def load(path):
+    with open(path) as f:
+        doc = json.load(f)
+    if "queries" in doc:
+        return doc
+    if isinstance(doc, dict) and doc.get("parsed"):
+        return doc["parsed"]
+    # fall back: find the JSON line inside the captured tail
+    tail = doc.get("tail", "")
+    m = re.search(r'\{"metric":.*\}', tail)
+    if m:
+        return json.loads(m.group(0))
+    # last resort: the tail is front-truncated (driver keeps only the end of
+    # stdout) — regex the per-query medians and iteration totals back out.
+    qs = {k: float(v) for k, v in re.findall(r'"(q_\w+)":([0-9.]+)', tail)}
+    if not qs:
+        raise SystemExit(f"{path}: no parsed bench JSON found")
+    it = re.search(r'"iter_totals":(\[[0-9.,]*\])', tail)
+    load_avg = re.search(r'"iter_load_avg":(\[[0-9.,]*\])', tail)
+    return {"queries": qs, "value": sum(qs.values()),
+            "iter_totals": json.loads(it.group(1)) if it else None,
+            "iter_load_avg": json.loads(load_avg.group(1)) if load_avg else None}
+
+
+def main(old_path, new_path, min_sec=1.0):
+    old, new = load(old_path), load(new_path)
+    oq, nq = old["queries"], new["queries"]
+    both = sorted(set(oq) & set(nq), key=lambda k: -max(oq[k], nq[k]))
+    print(f"| query | {old_path} (s) | {new_path} (s) | delta |")
+    print("|---|---|---|---|")
+    small = 0
+    for k in both:
+        a, b = oq[k], nq[k]
+        if a < min_sec and b < min_sec:
+            small += 1
+            continue
+        sign = "+" if b > a else ""
+        print(f"| {k} | {a:.1f} | {b:.1f} | {sign}{b - a:.1f} ({b / a:.2f}x) |")
+    if small:
+        print(f"| _{small} more queries_ | <{min_sec} | <{min_sec} | jitter-level |")
+    added = sorted(set(nq) - set(oq))
+    removed = sorted(set(oq) - set(nq))
+    if added:
+        tot = sum(nq[k] for k in added)
+        print(f"\nAdded since {old_path}: {len(added)} queries, "
+              f"{tot:.1f} s total median.")
+    if removed:
+        print(f"Removed: {', '.join(removed)}")
+    print(f"\nTotals: {old_path} {old['value']:.1f} s ({len(oq)} queries) → "
+          f"{new_path} {new['value']:.1f} s ({len(nq)} queries); "
+          f"shared-query total {sum(oq[k] for k in both):.1f} → "
+          f"{sum(nq[k] for k in both):.1f} s.")
+    print(f"iter_totals: {old_path} {old.get('iter_totals')} "
+          f"load {old.get('iter_load_avg', 'n/a')} | {new_path} "
+          f"{new.get('iter_totals')} load {new.get('iter_load_avg')}")
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    main(args[0], args[1], float(args[2]) if len(args) > 2 else 1.0)
