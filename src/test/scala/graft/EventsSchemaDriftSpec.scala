@@ -129,4 +129,54 @@ class EventsSchemaDriftSpec extends SparkSpec {
     assert(fromNtz == expected, "MICROS-NTZ path drifted")
     assert(fromUtc == expected, "MICROS-UTC path drifted")
   }
+
+  test("Tables.lineitem/orders survive a NANOS-encoded date regeneration and keep NTZ pass-through today") {
+    // Pass-through on the real testdata: the native NTZ encoding must NOT
+    // be cast (a cast would sit between range filters and the scan and
+    // kill parquet predicate pushdown on the engine's biggest table).
+    val sf = "/root/testdata/sf0.001"
+    assert(Tables.lineitem(spark, sf).schema("l_shipdate").dataType == TimestampNTZType)
+    assert(Tables.orders(spark, sf).schema("o_orderdate").dataType == TimestampNTZType)
+
+    // Survival: a NANOS-regenerated lineitem must still load (this is the
+    // encoding that crashes a non-adaptive reader at load time).
+    val root = Files.createTempDirectory("lineitem-drift-").toFile
+    try {
+      val dir = new java.io.File(s"${root.getAbsolutePath}/lineitem.parquet")
+      dir.mkdirs()
+      val nanosDate = org.apache.parquet.schema.Types.required(
+          org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.NANOS))
+        .named("l_shipdate")
+      val key = org.apache.parquet.schema.Types.required(
+          org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64)
+        .named("l_orderkey")
+      val schema = new org.apache.parquet.schema.MessageType("lineitem",
+        java.util.List.of[org.apache.parquet.schema.Type](key, nanosDate))
+      val factory = new SimpleGroupFactory(schema)
+      val writer = ExampleParquetWriter.builder(new Path(s"${dir.getAbsolutePath}/part-0.parquet"))
+        .withConf(new Configuration())
+        .withType(schema)
+        .withCompressionCodec(CompressionCodecName.UNCOMPRESSED)
+        .build()
+      try micros.zipWithIndex.foreach { case (us, i) =>
+        val g = factory.newGroup()
+        g.add("l_orderkey", i.toLong)
+        g.add("l_shipdate", us * 1000L)
+        writer.write(g)
+      } finally writer.close()
+      val df = Tables.lineitem(spark, root.getAbsolutePath)
+      assert(df.schema("l_shipdate").dataType == TimestampType)
+      import org.apache.spark.sql.functions.unix_micros
+      val got = df.select(col("l_orderkey"), unix_micros(col("l_shipdate")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+      assert(got == micros.zipWithIndex.map { case (us, i) => (i.toLong, us) })
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+        f.delete()
+      }
+      rm(root)
+    }
+  }
 }
