@@ -101,11 +101,29 @@ object Ml {
       DelayModel.labelCol)
   }
 
+  /** Beyond-reference M-surface: hyperparameter selection
+    * (ml.ModelSelection) — TrainValidationSplit screen over the tree-count
+    * grid on a light sample of the congestion frame. One row per grid
+    * point with its validation AUC and the winner flag. Rows-only driver
+    * check (learned floats); fold math and winner selection are asserted
+    * exactly in ModelSelectionSpec. */
+  def modelSelect(spark: SparkSession, dir: String): DataFrame = {
+    val df = features(spark, dir).sample(withReplacement = false, 0.1, 42)
+    val cols = Seq("trip_distance", "hour", "minute", "day_of_week",
+      "day_of_month", "month", "is_holiday", "time_period_ohe",
+      "avg_speed_time_period", "expected_duration")
+    // same sampled-set right-sizing as RandomForestPipeline.trainPredict
+    val tvs = graft.ml.ModelSelection.trainValidationSelect(
+      df.repartition(4), cols, CongestionModel.labelCol)
+    graft.ml.ModelSelection.report(spark, tvs.getEstimatorParamMaps, tvs.validationMetrics)
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[VerifiedQuery] = Seq(
     VerifiedQuery("q_string_index", stringIndex, Some(stringIndexSql)),
     VerifiedQuery("q_rf_congestion", rfCongestion, None),
     VerifiedQuery("q_rf_delay", rfDelay, None),
+    VerifiedQuery("q_model_select", modelSelect, None),
   )
 }
