@@ -1259,6 +1259,16 @@ object LlmData {
       |  AND CAST(floor(epoch(b.ts)) AS BIGINT) >= CAST(floor(epoch(a.ts)) AS BIGINT)
       |  AND CAST(floor(epoch(b.ts)) AS BIGINT) <= CAST(floor(epoch(a.ts)) AS BIGINT) + 600""".stripMargin
 
+  /** Oracle for the stream-static enrich: the same left join in plain
+    * SQL (every user_id resolves in customer at all SFs, but the
+    * null-extension path is kept and coalesced for generality). */
+  private val streamEnrichSql =
+    """SELECT e.event_id, e.user_id,
+      |  COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+      |  COALESCE(c.c_nationkey, -1) AS nation_key,
+      |  CAST(round(e.value*100) AS BIGINT) AS value_c
+      |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin
+
   /** Oracle for the streaming dedup: aggregate of the ORIGINAL (distinct)
     * events — the stream saw every row twice. */
   private val streamDedupSql =
@@ -1354,6 +1364,9 @@ object LlmData {
     VerifiedQuery("q_stream_join",
       (s, d) => graft.streaming.StreamSessionize.availableNowStreamJoin(s, d),
       Some(streamJoinSql)),
+    VerifiedQuery("q_stream_enrich",
+      (s, d) => graft.streaming.StreamSessionize.availableNowStaticEnrich(s, d),
+      Some(streamEnrichSql)),
     VerifiedQuery("q_llm_pipeline", llmPipeline, Some(llmPipelineSql)),
     VerifiedQuery("q_decontaminate", (s, d) => decontaminate(s, d), Some(decontaminateSql)),
     VerifiedQuery("q_repetition", (s, d) => repetition(s, d), Some(repetitionSql)),

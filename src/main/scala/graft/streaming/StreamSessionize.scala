@@ -366,6 +366,42 @@ object StreamSessionize {
         round($"value" * 100).cast("long").as("value_c"))
   }
 
+  /** Stream-static enrich: the streaming fact joined to a static
+    * dimension — the canonical production enrich shape and the one the
+    * stream tier was missing beside its stateful ops. The static side is
+    * `broadcast()`-hinted and re-resolved per micro-batch; the join holds
+    * NO state (nothing watermarked, nothing evicted) because the static
+    * side is complete by definition — at 100 TB this is a broadcast hash
+    * join inside every micro-batch, the stream side never shuffles, and
+    * dimension updates between batches are picked up automatically
+    * (Spark re-plans the static side each trigger).
+    */
+  def availableNowStaticEnrich(spark: SparkSession, dir: String,
+                               fixtureRoot: String = defaultFixtureRoot): DataFrame = {
+    import spark.implicits._
+    val (inDir, ckpt, sinkName) = freshFixture("stream_enrich", fixtureRoot, dir)
+
+    val ev = graft.Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    ev.coalesce(1).write.parquet(inDir)
+
+    val src = spark.readStream.schema(ev.schema).parquet(inDir)
+    val dim = broadcast(graft.Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment", $"c_nationkey"))
+    val query = src.join(dim, src("user_id") === dim("c_custkey"), "left")
+      .select($"event_id", $"user_id",
+        coalesce($"c_mktsegment", lit("UNKNOWN")).as("segment"),
+        coalesce($"c_nationkey", lit(-1L)).as("nation_key"),
+        round($"value" * 100).cast("long").as("value_c"))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(sinkName)
+  }
+
   /** Watermarked tumbling-window counts per event type — the canonical
     * streaming aggregate (late data beyond the watermark dropped, state
     * evicted per closed window). */

@@ -82,6 +82,26 @@ class StreamSessionizeSpec extends SparkSpec {
     assert(s == b, s"stream/batch diverge: only-stream=${(s -- b).take(5)} only-batch=${(b -- s).take(5)}")
   }
 
+  test("availableNowStaticEnrich equals the batch broadcast left join row-for-row") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = availableNowStaticEnrich(spark, dir,
+      fixtureRoot = "target/test-tmp/stream_enrich_fixture")
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val dim = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+    val batch = ev.join(broadcast(dim), ev("user_id") === dim("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+        coalesce(col("c_nationkey"), lit(-1L)).as("nation_key"),
+        round(col("value") * 100).cast("long").as("value_c"))
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s.nonEmpty, "stream enrich emitted nothing")
+    assert(s == b, s"stream/batch diverge: only-stream=${(s -- b).take(5)} only-batch=${(b -- s).take(5)}")
+  }
+
   test("availableNowDedup over a doubled corpus equals the batch aggregate of the original") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
