@@ -604,6 +604,70 @@ object Etl {
       |)
       |WHERE rk <= 20""".stripMargin
 
+  /** Small-file compaction — the table-maintenance job every long-lived
+    * 100 TB lake needs: streaming/incremental ingest leaves partitions
+    * fragmented into thousands of KB-sized files, and scan cost becomes
+    * task-scheduling cost (one task per file) instead of I/O. The job
+    * rewrites each partition to its target file count (here 1 per
+    * partition at test SF; size-based — bytes/128MB — in production)
+    * with dynamic partition overwrite, so untouched partitions are never
+    * rewritten and readers see an atomic per-partition swap.
+    *
+    * The query builds a deliberately fragmented fixture (16-way
+    * repartition under partitionBy → up to 16 files per partition),
+    * compacts it, and emits per-partition row counts + the post-compaction
+    * file count + a fragmentation-reduced flag. Row counts and sums are
+    * DuckDB-oracled; file counts assert the compaction itself.
+    */
+  def compaction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = s"$fixtureRoot/compact_${tag(dir)}"
+    def filesPerPartition(root: String): Map[String, Long] = {
+      val base = new java.io.File(root)
+      val parts = Option(base.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("event_type="))
+      parts.map { p =>
+        val n = Option(p.listFiles()).getOrElse(Array.empty)
+          .count(f => f.getName.endsWith(".parquet"))
+        p.getName.stripPrefix("event_type=") -> n.toLong
+      }.toMap
+    }
+    // Fragmented ingest state: every partition carries one file per
+    // ingest task that touched it.
+    Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .repartition(16)
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    val before = filesPerPartition(out)
+    // The compaction pass: per-partition rewrite to the target layout.
+    // Dynamic overwrite swaps only the partitions being compacted.
+    val conf = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      spark.read.parquet(out)
+        .repartition($"event_type")   // 1 task (→ 1 file) per partition key
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", conf)
+    val after = filesPerPartition(out)
+    val stats = spark.read.parquet(out)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(cents($"value")) / lit(100.0)).as("sum_value"))
+    val beforeDf = before.toSeq.toDF("event_type", "files_before")
+    val afterDf = after.toSeq.toDF("event_type", "files_after")
+    stats.join(beforeDf, "event_type").join(afterDf, "event_type")
+      .select($"event_type", $"n_rows", $"sum_value",
+        $"files_after",
+        ($"files_before" > $"files_after").as("fragmentation_reduced"))
+  }
+
+  private val compactionSql =
+    """SELECT event_type, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value,
+      |  CAST(1 AS BIGINT) AS files_after,
+      |  TRUE AS fragmentation_reduced
+      |FROM events GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[VerifiedQuery] = Seq(
@@ -618,5 +682,6 @@ object Etl {
     VerifiedQuery("q_scd2", scd2, Some(scd2Sql)),
     VerifiedQuery("q_expectations", expectations, Some(expectationsSql)),
     VerifiedQuery("q_stratified_split", stratifiedSplit, Some(stratifiedSplitSql)),
+    VerifiedQuery("q_compaction", compaction, Some(compactionSql)),
   )
 }

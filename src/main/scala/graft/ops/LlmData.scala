@@ -1367,6 +1367,12 @@ object LlmData {
     VerifiedQuery("q_stream_enrich",
       (s, d) => graft.streaming.StreamSessionize.availableNowStaticEnrich(s, d),
       Some(streamEnrichSql)),
+    // same oracle as q_stream_dedup: the sink aggregate must equal the
+    // batch aggregate of the original events exactly when the
+    // per-batch-overwrite sink neither duplicated nor dropped rows
+    VerifiedQuery("q_stream_fbsink",
+      (s, d) => graft.streaming.StreamSessionize.availableNowForeachBatchSink(s, d),
+      Some(streamDedupSql)),
     VerifiedQuery("q_llm_pipeline", llmPipeline, Some(llmPipelineSql)),
     VerifiedQuery("q_decontaminate", (s, d) => decontaminate(s, d), Some(decontaminateSql)),
     VerifiedQuery("q_repetition", (s, d) => repetition(s, d), Some(repetitionSql)),

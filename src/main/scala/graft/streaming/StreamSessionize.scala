@@ -402,6 +402,58 @@ object StreamSessionize {
     spark.table(sinkName)
   }
 
+  /** foreachBatch idempotent sink — exactly-once parquet output on top of
+    * the source's at-least-once redelivery: every micro-batch lands
+    * wholesale in its own `batch_id=<id>` directory with overwrite
+    * semantics, so a redelivered batch (failure/restart replay from the
+    * checkpoint) REPLACES its own previous attempt instead of appending
+    * beside it. This is the standard exactly-once recipe for sinks with
+    * no transactional commit (plain parquet/object storage); at 100 TB
+    * the per-batch overwrite is a directory swap and readers see
+    * batch-atomic output. `maxFilesPerTrigger=1` forces a multi-batch run
+    * so the per-batch layout is actually exercised.
+    *
+    * Returns the aggregate read back from the sink directory (batch_id
+    * discovered as a partition column and ignored) — equal to the batch
+    * aggregate of the input exactly when no batch duplicated or dropped
+    * rows. Idempotence under full redelivery is asserted in
+    * StreamSessionizeSpec by re-running the whole stream into the same
+    * sink with a fresh checkpoint.
+    */
+  def availableNowForeachBatchSink(spark: SparkSession, dir: String,
+                                   fixtureRoot: String = defaultFixtureRoot): DataFrame = {
+    import spark.implicits._
+    val (inDir, ckpt, _) = freshFixture("stream_fbsink", fixtureRoot, dir)
+    // The sink survives across calls (idempotence is cross-run); only
+    // input + checkpoint are fresh per call.
+    val outDir = s"$fixtureRoot/stream_fbsink_sink_${tag(dir)}"
+
+    val ev = graft.Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    ev.repartition(4).write.mode("overwrite").parquet(inDir)
+
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val query = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+
+    spark.read.parquet(outDir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round($"value" * 100).cast("long")) / lit(100.0)).as("sum_value"),
+        min($"event_id").as("min_event_id"),
+        max($"event_id").as("max_event_id"))
+  }
+
+  private def tag(dir: String): String = dir.replaceAll("[^A-Za-z0-9.]", "_")
+
   /** Watermarked tumbling-window counts per event type — the canonical
     * streaming aggregate (late data beyond the watermark dropped, state
     * evicted per closed window). */

@@ -102,6 +102,27 @@ class StreamSessionizeSpec extends SparkSpec {
     assert(s == b, s"stream/batch diverge: only-stream=${(s -- b).take(5)} only-batch=${(b -- s).take(5)}")
   }
 
+  test("foreachBatch sink is idempotent under full redelivery (two runs, one copy of the data)") {
+    val dir = "/root/testdata/sf0.001"
+    val root = "target/test-tmp/stream_fbsink_fixture"
+    // Run the whole stream TWICE into the same sink: run 2 gets a fresh
+    // checkpoint, so every batch is redelivered from scratch — the
+    // per-batch-id overwrite must replace run 1's output, not append.
+    availableNowForeachBatchSink(spark, dir, fixtureRoot = root)
+    val second = availableNowForeachBatchSink(spark, dir, fixtureRoot = root)
+    import org.apache.spark.sql.functions._
+    val expected = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast("long")) / lit(100.0)).as("sum_value"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+    val s = second.collect().map(_.toSeq).toSet
+    val b = expected.collect().map(_.toSeq).toSet
+    assert(s == b, s"redelivered sink diverges from one-copy aggregate: " +
+      s"only-sink=${(s -- b).take(3)} only-batch=${(b -- s).take(3)}")
+  }
+
   test("availableNowDedup over a doubled corpus equals the batch aggregate of the original") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
