@@ -93,5 +93,29 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame =
     readNormalized(spark, s"$dir/events.parquet", Seq("ts"), castNtz = true)
   def documents(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/documents.parquet")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** `embeddings.embedding` contract: `array<float>` (the ANN tier's
+    * native `graft_dot` and the quantizers are float-width); `label`
+    * contract: INT. Same drift rationale as the timestamp columns — a
+    * regeneration writing `list<double>` (pyarrow's default for Python
+    * floats) or INT64 labels must degrade to a cast, not a crash across
+    * the whole similarity tier. Float-encoded files (today's) pass
+    * through untouched.
+    */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType}
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+    val vec = raw.schema("embedding").dataType match {
+      case ArrayType(FloatType, _)  => raw
+      case ArrayType(DoubleType, _) => raw.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+      case other => throw new IllegalStateException(
+        s"embeddings.embedding: unsupported element encoding $other (expected array<float|double>)")
+    }
+    vec.schema("label").dataType match {
+      case IntegerType => vec
+      case LongType    => vec.withColumn("label", col("label").cast(IntegerType))
+      case other => throw new IllegalStateException(
+        s"embeddings.label: unsupported encoding $other (expected INT32/INT64)")
+    }
+  }
 }

@@ -130,6 +130,44 @@ class EventsSchemaDriftSpec extends SparkSpec {
     assert(fromUtc == expected, "MICROS-UTC path drifted")
   }
 
+  test("Tables.embeddings survives a double-encoded regeneration and passes float through today") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, StructField, StructType}
+    // Pass-through on the real testdata.
+    val real = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    assert(real.schema("embedding").dataType == ArrayType(FloatType, containsNull = true)
+      || real.schema("embedding").dataType == ArrayType(FloatType, containsNull = false))
+    assert(real.schema("label").dataType == IntegerType)
+
+    // Survival: list<double> + INT64 label degrade to casts, not crashes.
+    val root = Files.createTempDirectory("emb-drift-").toFile
+    try {
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(DoubleType, containsNull = false), nullable = false),
+        StructField("label", LongType, nullable = false)))
+      val data = Seq(
+        Row(0L, Seq(0.5, -1.25, 2.0), 3L),
+        Row(1L, Seq(1.0, 0.75, -0.5), 7L))
+      spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+        .write.mode("overwrite").parquet(s"${root.getAbsolutePath}/embeddings.parquet")
+      val df = Tables.embeddings(spark, root.getAbsolutePath)
+      assert(df.schema("embedding").dataType.asInstanceOf[ArrayType].elementType == FloatType)
+      assert(df.schema("label").dataType == IntegerType)
+      val got = df.orderBy("vec_id").collect().map { r =>
+        (r.getLong(0), r.getSeq[Float](1).toList, r.getInt(2))
+      }.toList
+      assert(got == List(
+        (0L, List(0.5f, -1.25f, 2.0f), 3),
+        (1L, List(1.0f, 0.75f, -0.5f), 7)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+        f.delete()
+      }
+      rm(root)
+    }
+  }
+
   test("Tables.lineitem/orders survive a NANOS-encoded date regeneration and keep NTZ pass-through today") {
     // Pass-through on the real testdata: the native NTZ encoding must NOT
     // be cast (a cast would sit between range filters and the scan and
