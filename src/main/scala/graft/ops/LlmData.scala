@@ -1259,6 +1259,43 @@ object LlmData {
       |  AND CAST(floor(epoch(b.ts)) AS BIGINT) >= CAST(floor(epoch(a.ts)) AS BIGINT)
       |  AND CAST(floor(epoch(b.ts)) AS BIGINT) <= CAST(floor(epoch(a.ts)) AS BIGINT) + 600""".stripMargin
 
+  /** Dataset provenance manifest — the reproducibility record a corpus
+    * release ships beside the data: per-source document/char/token
+    * totals, id range, language spread, and an ORDER-INDEPENDENT content
+    * checksum (bit_xor of per-document 60-bit md5), so two
+    * differently-partitioned materializations of the same corpus produce
+    * the same manifest and a single changed/dropped/duplicated document
+    * changes it. One scan + one hash agg (every column map-side
+    * combinable — bit_xor and sums are commutative monoids), so the
+    * manifest of a 100 TB corpus costs one pass regardless of source
+    * count.
+    */
+  def manifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("h", Text.md5Long($"text"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        sum(Text.tokenCount($"text").cast("long")).as("total_tokens"),
+        expr("bit_xor(h)").as("content_checksum"),
+        min($"doc_id").as("min_doc_id"),
+        max($"doc_id").as("max_doc_id"),
+        countDistinct($"lang").as("n_langs"))
+  }
+
+  private val manifestSql =
+    """SELECT source,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+      |  BIT_XOR(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_checksum,
+      |  MIN(doc_id) AS min_doc_id,
+      |  MAX(doc_id) AS max_doc_id,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      |FROM documents GROUP BY 1""".stripMargin
+
   /** Oracle for the stream-static enrich: the same left join in plain
     * SQL (every user_id resolves in customer at all SFs, but the
     * null-extension path is kept and coalesced for generality). */
@@ -1373,6 +1410,7 @@ object LlmData {
     VerifiedQuery("q_stream_fbsink",
       (s, d) => graft.streaming.StreamSessionize.availableNowForeachBatchSink(s, d),
       Some(streamDedupSql)),
+    VerifiedQuery("q_manifest", manifest, Some(manifestSql)),
     VerifiedQuery("q_llm_pipeline", llmPipeline, Some(llmPipelineSql)),
     VerifiedQuery("q_decontaminate", (s, d) => decontaminate(s, d), Some(decontaminateSql)),
     VerifiedQuery("q_repetition", (s, d) => repetition(s, d), Some(repetitionSql)),

@@ -427,6 +427,43 @@ class LlmDataSpec extends SparkSpec {
     assert(rows.forall { case (id, chk, _, _) => again(id) == chk })
   }
 
+  test("manifest checksum is partition-order-independent and document-sensitive") {
+    val dir = "/root/testdata/sf0.001"
+    def bysrc(df: org.apache.spark.sql.DataFrame): Map[String, Seq[Any]] =
+      df.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val base = bysrc(LlmData.manifest(spark, dir))
+    assert(base.nonEmpty)
+    // Same corpus, scrambled partitioning → identical manifest (the
+    // checksum is a commutative fold, not an ordered one).
+    val scrambled = graft.Tables.documents(spark, dir)
+      .repartition(7, $"doc_id")
+      .withColumn("h", graft.functions.Text.md5Long($"text"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        sum(graft.functions.Text.tokenCount($"text").cast("long")).as("total_tokens"),
+        expr("bit_xor(h)").as("content_checksum"),
+        min($"doc_id").as("min_doc_id"),
+        max($"doc_id").as("max_doc_id"),
+        countDistinct($"lang").as("n_langs"))
+    assert(bysrc(scrambled) == base)
+    // One flipped document changes exactly its source's checksum.
+    val docs = graft.Tables.documents(spark, dir)
+    val mutated = docs.withColumn("text",
+      when($"doc_id" === 0, concat($"text", lit(" tampered"))).otherwise($"text"))
+    val mutSrc = docs.filter($"doc_id" === 0).select($"source").collect()(0).getString(0)
+    val mut = mutated
+      .withColumn("h", graft.functions.Text.md5Long($"text"))
+      .groupBy($"source")
+      .agg(expr("bit_xor(h)").as("content_checksum"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val baseCk = LlmData.manifest(spark, dir)
+      .select($"source", $"content_checksum")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mut(mutSrc) != baseCk(mutSrc), "tampered doc left its source checksum unchanged")
+    assert((mut - mutSrc) == (baseCk - mutSrc), "untouched sources drifted")
+  }
+
   test("bruteForceTopK is exact; lshTopK recall@10 >= 0.7 on real embeddings") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val exact = Similarity.bruteForceTopK(emb, nQueries = 3, k = 10)
