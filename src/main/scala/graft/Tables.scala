@@ -92,7 +92,20 @@ object Tables {
     readNormalized(spark, s"$dir/lineitem.parquet", Seq("l_shipdate"), castNtz = false)
   def events(spark: SparkSession, dir: String): DataFrame =
     readNormalized(spark, s"$dir/events.parquet", Seq("ts"), castNtz = true)
-  def documents(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/documents.parquet")
+  /** `documents` contract: BIGINT `doc_id`/`n_chars` (an INT32-encoded
+    * regeneration degrades to a cast — same drift rationale as the
+    * timestamp and embedding columns; today's INT64 files pass through
+    * untouched). */
+  def documents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.IntegerType
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+    Seq("doc_id", "n_chars").foldLeft(raw) { (df, c) =>
+      df.schema(c).dataType match {
+        case IntegerType => df.withColumn(c, col(c).cast("long"))
+        case _           => df
+      }
+    }
+  }
 
   /** `embeddings.embedding` contract: `array<float>` (the ANN tier's
     * native `graft_dot` and the quantizers are float-width); `label`

@@ -168,6 +168,33 @@ class EventsSchemaDriftSpec extends SparkSpec {
     }
   }
 
+  test("Tables.documents upgrades INT32-encoded id/char columns to the BIGINT contract") {
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    val root = Files.createTempDirectory("docs-drift-").toFile
+    try {
+      val schema = StructType(Seq(
+        StructField("doc_id", IntegerType, nullable = false),
+        StructField("text", StringType, nullable = false),
+        StructField("lang", StringType, nullable = false),
+        StructField("source", StringType, nullable = false),
+        StructField("n_chars", IntegerType, nullable = false)))
+      val data = Seq(Row(1, "a b c", "en", "s0", 5), Row(2, "d e", "en", "s1", 3))
+      spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+        .write.mode("overwrite").parquet(s"${root.getAbsolutePath}/documents.parquet")
+      val df = Tables.documents(spark, root.getAbsolutePath)
+      assert(df.schema("doc_id").dataType == LongType)
+      assert(df.schema("n_chars").dataType == LongType)
+      assert(df.select("doc_id", "n_chars").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        == Set((1L, 5L), (2L, 3L)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+        f.delete()
+      }
+      rm(root)
+    }
+  }
+
   test("Tables.lineitem/orders survive a NANOS-encoded date regeneration and keep NTZ pass-through today") {
     // Pass-through on the real testdata: the native NTZ encoding must NOT
     // be cast (a cast would sit between range filters and the scan and
