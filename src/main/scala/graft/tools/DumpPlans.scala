@@ -86,7 +86,10 @@ object DumpPlans {
       "q_decay_score" -> "recency scoring: single-row ref-day agg broadcast in, integer bit-shift decay, one user agg",
       "q_label_prop" -> "label propagation (3 rounds): per-round label join + (dst,label) count agg + per-dst argmin",
       "q_url_survivorship" -> "golden record: one row_number window + one provenance agg, both on the canonical key",
-      "q_token_budget" -> "token-budget curation: one cumulative-sum row window per source + one hash agg")
+      "q_token_budget" -> "token-budget curation: one cumulative-sum row window per source + one hash agg",
+      "q_manifest" -> "provenance manifest: one scan, per-row 60-bit md5, one map-side-combinable hash agg (bit_xor checksum)",
+      "q_compaction" -> "small-file compaction READ-BACK: post-rewrite scan shows 1 file/partition; stats agg + two tiny file-count joins",
+      "q_case_bin_orders" -> "scalar-function surface over orders: value-range CASE chain fused in one codegen stage, one hash agg")
 
     val qs = graft.SparkEntry.queries
     val sb = new StringBuilder
