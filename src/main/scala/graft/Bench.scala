@@ -40,6 +40,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Loader contract (Tables.scala): every graft session pins UTC so the
+      // NTZ→TimestampType cast for events.ts yields host-independent instants.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -112,8 +115,23 @@ object Bench {
     val itJson = iterTotals.mkString("[", ",", "]")
     val loadJson = iterLoadAvg.mkString("[", ",", "]")
     val nCpus = Runtime.getRuntime.availableProcessors
-    println(s"""{"metric":"total_median","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"iter_totals":$itJson,"per_query_iters":$perIter,"iter_load_avg":$loadJson,"failed_queries":$failJson,"host_cpus":$nCpus,"load_avg_start_of_report":${osBean.getSystemLoadAverage},"spark_cpus":$cpus}""")
+    val fullLine = s"""{"metric":"total_median","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"iter_totals":$itJson,"per_query_iters":$perIter,"iter_load_avg":$loadJson,"failed_queries":$failJson,"host_cpus":$nCpus,"load_avg_start_of_report":${osBean.getSystemLoadAverage},"spark_cpus":$cpus}"""
+    println(fullLine)
+    // The full line above is ~10 KB (146 queries × per-iteration arrays); the
+    // driver's artifact keeps only the last ~2000 chars of stdout, which
+    // front-truncates it — BENCH_r03..r05 all recorded `parsed: null` because
+    // of this. Persist the full record to a file for local analysis
+    // (tools/bench_delta.py reads it), then emit a compact (<1 KB) summary as
+    // the FINAL stdout line so the driver's tail window always ends with one
+    // complete, parseable JSON object carrying the headline number.
+    try {
+      val out = java.nio.file.Paths.get("/root/repo/target/bench_full.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // reporting must not fail the bench
     spark.stop()
+    val failNames = failures.keys.toSeq.sorted.mkString(",").take(600)
+    println(s"""{"metric":"total_median","value":$total,"unit":"sec","sf":"$sfDir","iters":$iters,"n_queries":${queries.size},"iter_totals":$itJson,"iter_load_avg":$loadJson,"n_failed":${failures.size},"failed_names":${jStr(failNames)},"host_cpus":$nCpus,"spark_cpus":$cpus,"full_record":"target/bench_full.json"}""")
     if (failures.nonEmpty) {
       System.err.println(s"BENCH: ${failures.size} quer${if (failures.size == 1) "y" else "ies"} FAILED: ${failures.keys.toSeq.sorted.mkString(", ")}")
       sys.exit(1)

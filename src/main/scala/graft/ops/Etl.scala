@@ -609,9 +609,20 @@ object Etl {
     * fragmented into thousands of KB-sized files, and scan cost becomes
     * task-scheduling cost (one task per file) instead of I/O. The job
     * rewrites each partition to its target file count (here 1 per
-    * partition at test SF; size-based — bytes/128MB — in production)
-    * with dynamic partition overwrite, so untouched partitions are never
-    * rewritten and readers see an atomic per-partition swap.
+    * partition at test SF; size-based — bytes/128MB — in production).
+    *
+    * The rewrite stages into a sibling directory and then swaps it in
+    * with a filesystem rename — NEVER `spark.read.parquet(p).write
+    * .mode("overwrite").parquet(p)`: reading the directory being
+    * overwritten only "works" while dynamic partition overwrite happens
+    * to stage output before commit, is the read-under-write pattern
+    * Spark rejects outright for INSERT, and a mid-commit failure loses
+    * the table. Stage+rename costs one extra directory of transient
+    * space and gives readers an atomic switch (HDFS rename is atomic;
+    * on object stores use a metastore/table-format pointer swap —
+    * Iceberg/Delta do exactly this). On a table format with snapshot
+    * isolation, per-partition dynamic overwrite of only the fragmented
+    * partitions is the cheaper production variant.
     *
     * The query builds a deliberately fragmented fixture (16-way
     * repartition under partitionBy → up to 16 files per partition),
@@ -639,15 +650,18 @@ object Etl {
       .repartition(16)
       .write.mode("overwrite").partitionBy("event_type").parquet(out)
     val before = filesPerPartition(out)
-    // The compaction pass: per-partition rewrite to the target layout.
-    // Dynamic overwrite swaps only the partitions being compacted.
-    val conf = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      spark.read.parquet(out)
-        .repartition($"event_type")   // 1 task (→ 1 file) per partition key
-        .write.mode("overwrite").partitionBy("event_type").parquet(out)
-    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", conf)
+    // The compaction pass: per-partition rewrite into a staging sibling,
+    // then an atomic rename swap (see scaladoc for why not in-place).
+    val staging = s"$out.compacting"
+    spark.read.parquet(out)
+      .repartition($"event_type")   // 1 task (→ 1 file) per partition key
+      .write.mode("overwrite").partitionBy("event_type").parquet(staging)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(out), spark.sparkContext.hadoopConfiguration)
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    fs.delete(outPath, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), outPath))
+      throw new java.io.IOException(s"compaction swap failed: $staging -> $out")
     val after = filesPerPartition(out)
     val stats = spark.read.parquet(out)
       .groupBy($"event_type")
@@ -668,6 +682,113 @@ object Etl {
       |  TRUE AS fragmentation_reduced
       |FROM events GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------- literal taxi ETL
+
+  /** The LITERAL taxi feature pipeline — [[graft.etl.TaxiFeatures
+    * .featurePipeline]] exactly as composed for the reference schema
+    * (nyc_taxi_final.py:306-614) — under the DuckDB oracle end-to-end.
+    * The events-based `q_etl_features` oracles a structural analog with
+    * exact-integer aggregate math; this query instead runs the real
+    * 8-column taxi schema, the real glob parquet scan (S4: the 4-file
+    * fixture read through `readTaxi` with a star glob and the explicit
+    * schema), and the real DOUBLE-summing `histSpeedAgg`, and still
+    * hash-matches DuckDB because the fixture is constructed so double
+    * addition cannot round: trip_distance/surcharge/extra/tolls are
+    * multiples of 0.25 (dyadic rationals — every partial sum of ≤60k of
+    * them is exactly representable, so Spark's partition-order partial
+    * sums and DuckDB's sequential sum produce the same bits) and
+    * durations are whole minutes (duration_min is an exact integer
+    * double). The fixture derives every column from `events` with pure
+    * integer arithmetic, so the oracle rebuilds it in SQL; the weather
+    * dimension comes from the event dates with day-of-month gaps
+    * (day % 7 == 0 missing) so the broadcast-left-join's na.fill(0) path
+    * is exercised under the hash. Quirk §2.11.4 is load-bearing here:
+    * rows the duration filter later drops (k outside (2,180)) DO
+    * contribute to hist_avg_speed, and the oracle reproduces that by
+    * aggregating pre-filter. */
+  def taxiEtl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = s"$fixtureRoot/taxi_${tag(dir)}"
+    val ev = Tables.events(spark, dir)
+    val taxi = ev.select(
+      $"ts".as("tpep_pickup_datetime"),
+      expr("ts + make_interval(0, 0, 0, 0, 0, CAST(event_id % 200 AS INT) + 1, 0)")
+        .as("tpep_dropoff_datetime"),
+      (($"event_id" % 236 + 3) * 0.25).as("trip_distance"),
+      (($"event_id" % 5 - 1) * 0.25).as("congestion_surcharge"),
+      ($"user_id" % 8).cast("int").as("PULocationID"),
+      (($"user_id" + $"event_id") % 8).cast("int").as("DOLocationID"),
+      (($"event_id" % 41) * 0.25).as("extra"),
+      when($"event_id" % 97 === 0, lit(null).cast("double"))
+        .otherwise(($"event_id" % 201) * 0.25).as("tolls_amount"))
+    taxi.repartition(4).write.mode("overwrite").parquet(path)
+    val weather = ev.select(to_date($"ts").as("date")).distinct()
+      .filter(dayofmonth($"date") % 7 =!= 0)
+      .select($"date",
+        (dayofmonth($"date") % 30).cast("double").as("tmin"),
+        (dayofmonth($"date") * 7 % 25).cast("double").as("prcp"))
+    TaxiFeatures.featurePipeline(
+      TaxiFeatures.readTaxi(spark, s"$path/*.parquet"), weather)
+  }
+
+  private val taxiEtlSql =
+    """WITH taxi AS (
+      |  SELECT ts,
+      |    ((event_id % 236) + 3) * 0.25e0 AS trip_distance,
+      |    ((event_id % 5) - 1) * 0.25e0 AS congestion_surcharge,
+      |    CAST(user_id % 8 AS INTEGER) AS pu,
+      |    CAST((user_id + event_id) % 8 AS INTEGER) AS dol,
+      |    (event_id % 41) * 0.25e0 AS extra,
+      |    CASE WHEN event_id % 97 = 0 THEN NULL
+      |         ELSE (event_id % 201) * 0.25e0 END AS tolls_amount,
+      |    CAST((event_id % 200) + 1 AS DOUBLE) AS duration_min
+      |  FROM events
+      |), clean AS (
+      |  SELECT * FROM taxi
+      |  WHERE tolls_amount IS NOT NULL
+      |    AND trip_distance > 0.5 AND trip_distance < 60.0
+      |    AND congestion_surcharge >= 0
+      |    AND extra >= 0 AND extra < 10.0
+      |    AND tolls_amount >= 0 AND tolls_amount < 50.0
+      |), feat AS (
+      |  SELECT *,
+      |    minute(ts) AS minute, hour(ts) AS hour,
+      |    dayofweek(ts) + 1 AS day_of_week, day(ts) AS day_of_month,
+      |    month(ts) AS month,
+      |    CASE WHEN dayofweek(ts) + 1 IN (1, 7) THEN 1 ELSE 0 END AS is_holiday,
+      |    CAST(ts AS DATE) AS d,
+      |    CASE WHEN hour(ts) BETWEEN 6 AND 11 THEN 'morning'
+      |         WHEN hour(ts) BETWEEN 12 AND 16 THEN 'afternoon'
+      |         WHEN hour(ts) BETWEEN 17 AND 23 THEN 'evening'
+      |         ELSE 'night' END AS time_period
+      |  FROM clean
+      |), hist AS (
+      |  SELECT pu, dol, time_period, day_of_week,
+      |    SUM(trip_distance) / (SUM(duration_min) + 1e-6) * 60 AS hist_avg_speed
+      |  FROM feat GROUP BY 1, 2, 3, 4
+      |), weather AS (
+      |  SELECT d,
+      |    CAST(day(d) % 30 AS DOUBLE) AS tmin,
+      |    CAST(day(d) * 7 % 25 AS DOUBLE) AS prcp
+      |  FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+      |  WHERE day(d) % 7 <> 0
+      |)
+      |SELECT f.month, f.day_of_month, f.hour, f.minute, f.day_of_week,
+      |  f.is_holiday, f.time_period, f.trip_distance, f.congestion_surcharge,
+      |  f.extra, f.tolls_amount,
+      |  round(f.trip_distance / (round(h.hist_avg_speed, 2) + 1e-6) * 60, 2)
+      |    AS expected_duration,
+      |  round(h.hist_avg_speed, 2) AS avg_speed_time_period,
+      |  COALESCE(w.tmin, 0.0) AS tmin, COALESCE(w.prcp, 0.0) AS prcp,
+      |  f.pu AS "PULocationID", f.dol AS "DOLocationID",
+      |  CASE WHEN f.congestion_surcharge > 0 THEN 1 ELSE 0 END AS is_congested,
+      |  f.duration_min
+      |FROM feat f
+      |LEFT JOIN hist h ON f.pu = h.pu AND f.dol = h.dol
+      |  AND f.time_period = h.time_period AND f.day_of_week = h.day_of_week
+      |LEFT JOIN weather w ON f.d = w.d
+      |WHERE f.duration_min > 2 AND f.duration_min < 180""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[VerifiedQuery] = Seq(
@@ -683,5 +804,6 @@ object Etl {
     VerifiedQuery("q_expectations", expectations, Some(expectationsSql)),
     VerifiedQuery("q_stratified_split", stratifiedSplit, Some(stratifiedSplitSql)),
     VerifiedQuery("q_compaction", compaction, Some(compactionSql)),
+    VerifiedQuery("q_taxi_etl", taxiEtl, Some(taxiEtlSql)),
   )
 }

@@ -133,18 +133,25 @@ object Similarity {
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
                           checkpointEvery: Int = 5,
-                          localThreshold: Long = 1000000L): DataFrame = {
+                          localThreshold: Long = 100000L): DataFrame = {
     // symmetric edge list
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
     // Small-graph fast path: LSH candidate graphs are orders of magnitude
     // smaller than the corpus by construction, and the distributed loop
-    // pays several jobs PER ROUND. Up to `localThreshold` edges (~16 MB)
-    // a driver union-find answers in one collect + one local relation —
-    // bounded memory, same (doc_id, min-id cluster) output. Above the
-    // threshold the iterative keyed-join loop below is the scale path
-    // (tests pin it by passing localThreshold = 0).
+    // pays several jobs PER ROUND. Up to `localThreshold` edges a driver
+    // union-find answers in one collect + one local relation — same
+    // (doc_id, min-id cluster) output; equivalence with the distributed
+    // path is test-asserted (tests pin the loop by passing
+    // localThreshold = 0). Heap math behind the 100k default: the collect
+    // materializes Array[(Long, Long)] — ~48 B/edge boxed (Tuple2 header +
+    // two boxed Longs) plus the HashMap at ~80 B/node — so 100k edges is
+    // ~5 MB transient driver heap, noise even on a 1 GB driver; the old
+    // 1M default cost ~50 MB+, fine on a dev box but a needless spike on
+    // a busy production driver that may be collecting other scalars
+    // concurrently. Above the threshold the iterative keyed-join loop
+    // below is the scale path.
     val edgeCount = sym.count()
     if (edgeCount <= localThreshold) {
       val spark = sym.sparkSession
@@ -346,7 +353,7 @@ object Similarity {
     * reachability on the oracle side). */
   def minhashDetDedupTransitive(docs: DataFrame, numHashes: Int = 12,
                                 bandWidth: Int = 2, minAgree: Int = 9,
-                                localThreshold: Long = 1000000L): DataFrame = {
+                                localThreshold: Long = 100000L): DataFrame = {
     val (cand, release) =
       minhashDetCandidatesWithRelease(docs, numHashes, bandWidth, minAgree)
     val comps = connectedComponents(cand, localThreshold = localThreshold)

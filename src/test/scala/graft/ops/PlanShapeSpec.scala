@@ -200,6 +200,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(hints == 2, s"expected 2 broadcast hints (nation, region), got $hints:\n$plan")
   }
 
+  test("plan-regression gate: heavy batch queries never product-join and stay in codegen") {
+    // r5 verdict #5: pin the plan invariants of the heaviest registered
+    // queries so a Spark upgrade, Tables change, or refactor can't silently
+    // introduce a product join on data-sized inputs or drop the narrow
+    // chains out of whole-stage codegen. Plan shape at sf0.001 is identical
+    // to production shape (same code paths, same strategies); only sizes
+    // differ. Queries with a DELIBERATE bounded BNLJ (the IVF/LSH
+    // centroid-probe over O(nlist) rows, asserted separately above) are not
+    // in this list, and neither is q_bm25 (its corpus-wide avgdl scalar is a
+    // deliberate single-ROW broadcast nested-loop — O(1) build side by
+    // construction).
+    val gated = Seq(
+      "q_minhash_det_dedup",      // banded self-join dedup — keyed bucket joins only
+      "q_minhash_det_transitive", // + connected components closure
+      "q_entity_match",           // blocked pair-gen: blocking keys ARE the join keys
+      "q_tfidf",                  // explode → keyed agg → join
+      "q_passage_dedup",          // window + anti-join dedup
+      "q_llm_pipeline",           // multi-stage quality/dedup composition
+      "q_sessionize",             // window over user/ts — one keyed exchange
+      "q_session_window",         // gap-session aggregation
+      // (not q_source_overlap: its result is the documented driver-side
+      // O(sources²) matrix — a LocalTableScan with nothing to codegen;
+      // its one-scan shape is asserted separately above)
+      "q_window_funcs",           // multi-function window pass
+      "q_hist_rate",              // agg + join-back on grouping keys
+      "q_etl_features")           // the full taxi-analog ETL
+    gated.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      df.collect() // AQE finalizes (and codegen-annotates) the plan on execution
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name: CartesianProduct on a data-sized input:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: BroadcastNestedLoopJoin crept in:\n$plan")
+      // the simple-string rendering marks whole-stage-codegen spans `*(n)`;
+      // the verbose rendering spells out WholeStageCodegen — accept either
+      assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+        s"$name: no WholeStageCodegen span left:\n$plan")
+    }
+  }
+
   test("sampleSplit: seed-pinned sample is stable; split is disjoint and covering") {
     import spark.implicits._
     val ord = graft.Tables.orders(spark, dir).select($"o_orderkey")
