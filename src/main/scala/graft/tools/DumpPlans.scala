@@ -89,7 +89,8 @@ object DumpPlans {
       "q_token_budget" -> "token-budget curation: one cumulative-sum row window per source + one hash agg",
       "q_manifest" -> "provenance manifest: one scan, per-row 60-bit md5, one map-side-combinable hash agg (bit_xor checksum)",
       "q_compaction" -> "small-file compaction READ-BACK: post-rewrite scan shows 1 file/partition; stats agg + two tiny file-count joins",
-      "q_case_bin_orders" -> "scalar-function surface over orders: value-range CASE chain fused in one codegen stage, one hash agg")
+      "q_case_bin_orders" -> "scalar-function surface over orders: value-range CASE chain fused in one codegen stage, one hash agg",
+      "q_taxi_etl" -> "LITERAL taxi featurePipeline: glob scan with explicit schema, double-sum hist agg + join-back, broadcast weather join")
 
     val qs = graft.SparkEntry.queries
     val sb = new StringBuilder

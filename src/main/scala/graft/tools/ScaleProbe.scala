@@ -10,13 +10,19 @@ import graft.{Tables, Tuning}
   * synthesized 10× corpus ("sf1"), to measure whether per-round cost
   * scales linearly with data (the flat-per-round claim in SCALE.md).
   *
-  * The 10× corpus is 10 disjoint id-shifted copies of the sf0.1 input
-  * (documents get a per-copy text prefix so cross-copy texts are not
-  * near-duplicates). Structure per copy is identical to sf0.1, so loop
-  * round COUNTS are unchanged and the time ratio isolates per-round
-  * data-volume scaling — exactly the quantity the 100 TB claim rests on.
-  * Components never span copies, which mirrors how a 10× real corpus
-  * grows (more clusters, not deeper ones).
+  * The 10× corpus is 10 disjoint id-shifted copies of the sf0.1 input.
+  * Document text is mutated per copy with a BIJECTIVE character rotation
+  * (`translate` over [a-z0-9]): a bijection preserves every intra-copy
+  * Jaccard similarity exactly (dup structure per copy == sf0.1) while
+  * remapping every shingle, so cross-copy similarity collapses to
+  * background noise. (A first attempt used a 6-char per-copy text PREFIX
+  * — a prefix is precisely the small edit MinHash is designed to see
+  * through, so all 10 copies of each doc formed a cross-copy clique:
+  * 256 → 248k candidate edges. Kept as the ADVERSARIAL variant via
+  * `--adversarial`, because surviving a 970× edge blow-up in 10× wall
+  * clock is itself a scale datapoint.) Loop round counts are unchanged
+  * by construction, so the time ratio isolates per-round data-volume
+  * scaling — exactly the quantity the 100 TB claim rests on.
   *
   * PageRank per-round cost is derived by differencing fixed-iteration
   * runs (T(5)−T(3))/2 and (T(3)−T(1))/2 — no production code is
@@ -46,12 +52,17 @@ object ScaleProbe {
     println(f"[probe] host load at start: ${osBean.getSystemLoadAverage}%.1f")
 
     // ---------------------------------------------------------------- CC
+    val adversarial = args.contains("--adversarial")
     val docs1 = Tuning.spread(Tables.documents(spark, dir))
+    val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
     def docsAt(copies: Int): DataFrame =
       (0 until copies).map { i =>
+        val mutated =
+          if (i == 0) $"text"
+          else if (adversarial) concat(lit(s"copy$i "), $"text")
+          else translate($"text", alpha, alpha.drop(i) + alpha.take(i))
         docs1.select(($"doc_id" + lit(i * 10000000L)).as("doc_id"),
-          (if (i == 0) $"text" else concat(lit(s"copy$i "), $"text")).as("text"),
-          $"lang", $"source", $"n_chars")
+          mutated.as("text"), $"lang", $"source", $"n_chars")
       }.reduce(_ unionByName _)
     for ((label, copies) <- Seq(("sf0.1", 1), ("sf1", 10))) {
       val docs = docsAt(copies).cache()
