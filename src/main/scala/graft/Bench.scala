@@ -26,6 +26,25 @@ object Bench {
     }
   }
 
+  private[graft] def jStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** The FINAL stdout line: a compact summary guaranteed to fit a
+    * tail-truncating (~2000 char) log window whole, no matter how many
+    * queries are registered — per-query data stays in the full record
+    * (target/bench_full.json), never here. BenchSummarySpec pins the
+    * length bound; keep it the last thing printed. */
+  private[graft] def compactSummary(total: Double, sfDir: String, iters: Int,
+                                    nQueries: Int, iterTotals: Seq[Double],
+                                    iterLoads: Seq[Double],
+                                    failedNames: Seq[String], hostCpus: Int,
+                                    sparkCpus: String): String = {
+    val itJson = iterTotals.mkString("[", ",", "]")
+    val loadJson = iterLoads.mkString("[", ",", "]")
+    val fails = failedNames.sorted.mkString(",").take(600)
+    s"""{"metric":"total_median","value":$total,"unit":"sec","sf":"$sfDir","iters":$iters,"n_queries":$nQueries,"iter_totals":$itJson,"iter_load_avg":$loadJson,"n_failed":${failedNames.size},"failed_names":${jStr(fails)},"host_cpus":$hostCpus,"spark_cpus":$sparkCpus,"full_record":"target/bench_full.json"}"""
+  }
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.isEmpty) 0.0
@@ -101,8 +120,6 @@ object Bench {
       iterLoadAvg += osBean.getSystemLoadAverage
       t
     }
-    def jStr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val medians = queries.map { case (name, _) => name -> median(perQuery(name)) }
     val qs = medians.map { case (k, v) => jStr(k) + ":" + v }
       .mkString("{", ",", "}")
@@ -130,8 +147,8 @@ object Bench {
       java.nio.file.Files.write(out, (fullLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // reporting must not fail the bench
     spark.stop()
-    val failNames = failures.keys.toSeq.sorted.mkString(",").take(600)
-    println(s"""{"metric":"total_median","value":$total,"unit":"sec","sf":"$sfDir","iters":$iters,"n_queries":${queries.size},"iter_totals":$itJson,"iter_load_avg":$loadJson,"n_failed":${failures.size},"failed_names":${jStr(failNames)},"host_cpus":$nCpus,"spark_cpus":$cpus,"full_record":"target/bench_full.json"}""")
+    println(compactSummary(total, sfDir, iters, queries.size,
+      iterTotals, iterLoadAvg.toSeq, failures.keys.toSeq, nCpus, cpus))
     if (failures.nonEmpty) {
       System.err.println(s"BENCH: ${failures.size} quer${if (failures.size == 1) "y" else "ies"} FAILED: ${failures.keys.toSeq.sorted.mkString(", ")}")
       sys.exit(1)

