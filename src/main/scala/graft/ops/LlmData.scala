@@ -47,7 +47,7 @@ object LlmData {
   /** The composite-quality column over a `text` column — shared by
     * [[qualityScore]] (per-doc emission) and [[sourceCap]] (rank-based
     * curation) so both rank by the identical IEEE expression. */
-  private[ops] def qualityCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[graft] def qualityCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val stops = Text.occurrenceCount(text, Seq("the", "a", "of", "and", "to", "in", "is"))
     val nTok = Text.tokenCount(text)
     val stopRatio = stops * lit(1.0) / nTok
@@ -1055,6 +1055,84 @@ object LlmData {
       |FROM b LEFT JOIN lm USING (bigram)
       |GROUP BY doc_id""".stripMargin
 
+  /** DSIR-style data selection via importance resampling (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023, arXiv:2302.03169): fit hashed bag-of-words histograms
+    * over a TARGET corpus (here the `en` documents — the Wikipedia/books
+    * stand-in) and over the RAW pool (everything else — the CommonCrawl
+    * stand-in), score each raw document by how much its hashed-unigram mass
+    * sits in buckets the target over-represents, and keep the top-k.
+    *
+    * Portability (per the engine's oracle-parity rules): the paper's
+    * log-likelihood-ratio Σ log(p_b/q_b) is replaced by the log-free
+    * integer form Σ (p_b − q_b) in micros — same "target-like minus
+    * raw-like" ordering signal, but exact integer math both engines
+    * reproduce bit-for-bit (the [[lmScore]] precedent). Buckets are
+    * `md5(term) % B` via [[Text.md5Long]] — the engine's portable string
+    * hash — with add-one smoothing over B so empty buckets stay defined.
+    *
+    * Scale shape: one explode over the corpus feeds (a) two B-row hash
+    * histograms (B=512 — bounded dims regardless of corpus size; the
+    * all-rows window computing totals runs on those B rows, never on
+    * data), and (b) a broadcast join of the B-row weight dim back onto the
+    * raw token stream, then one keyed agg per doc and a TakeOrdered(k).
+    * At 100 TB the corpus is touched twice (histogram pass, scoring pass)
+    * with no data-sized shuffle other than the per-doc agg. */
+  def dsirSelect(spark: SparkSession, dir: String,
+                 targetLang: String = "en", buckets: Int = 512,
+                 k: Int = 50): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        explode(Text.tokensLower($"text")).as("term"))
+      .withColumn("bucket", pmod(Text.md5Long($"term"), lit(buckets.toLong)))
+    val tCounts = toks.filter($"lang" === targetLang)
+      .groupBy($"bucket").agg(count(lit(1)).as("cnt_t"))
+    val rCounts = toks.filter($"lang" =!= targetLang)
+      .groupBy($"bucket").agg(count(lit(1)).as("cnt_r"))
+    val wAll = Window.partitionBy() // B-row dim only — never data-sized
+    val weights = tCounts.join(rCounts, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("cnt_t", "cnt_r"))
+      .withColumn("tot_t", sum($"cnt_t").over(wAll))
+      .withColumn("tot_r", sum($"cnt_r").over(wAll))
+      .select($"bucket", expr(
+        s"((cnt_t + 1) * 1000000) div (tot_t + $buckets)" +
+          s" - ((cnt_r + 1) * 1000000) div (tot_r + $buckets)").as("w_micro"))
+    toks.filter($"lang" =!= targetLang)
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_toks"), sum($"w_micro").as("weight_micro"))
+      .orderBy($"weight_micro".desc, $"doc_id")
+      .limit(k)
+  }
+
+  private val dsirSelectSql =
+    """WITH b AS (
+      |  SELECT doc_id, lang,
+      |    CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % 512 AS bucket
+      |  FROM (SELECT doc_id, lang,
+      |          unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |        FROM documents)
+      |), tc AS (
+      |  SELECT bucket, COUNT(*) AS cnt_t FROM b WHERE lang = 'en' GROUP BY 1
+      |), rc AS (
+      |  SELECT bucket, COUNT(*) AS cnt_r FROM b WHERE lang <> 'en' GROUP BY 1
+      |), w AS (
+      |  SELECT COALESCE(tc.bucket, rc.bucket) AS bucket,
+      |    ((COALESCE(cnt_t, 0) + 1) * 1000000)
+      |      // ((SELECT COUNT(*) FROM b WHERE lang = 'en') + 512)
+      |    - ((COALESCE(cnt_r, 0) + 1) * 1000000)
+      |      // ((SELECT COUNT(*) FROM b WHERE lang <> 'en') + 512) AS w_micro
+      |  FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket
+      |)
+      |SELECT b.doc_id, b.lang, COUNT(*) AS n_toks,
+      |  CAST(SUM(w_micro) AS BIGINT) AS weight_micro
+      |FROM b JOIN w USING (bucket)
+      |WHERE b.lang <> 'en'
+      |GROUP BY 1, 2
+      |ORDER BY weight_micro DESC, doc_id
+      |LIMIT 50""".stripMargin
+
   /** Domain-level curation — the URL/host tier of web-corpus cleaning:
     * extract the host from each document's URL, left-join a host blocklist,
     * and aggregate per (host, status). The synthetic corpus has no URL
@@ -1468,6 +1546,7 @@ object LlmData {
       (s, d) => graft.streaming.StreamSessionize.availableNowHoppingCounts(s, d),
       Some(streamHoppingSql)),
     VerifiedQuery("q_lm_score", (s, d) => lmScore(s, d), Some(lmScoreSql)),
+    VerifiedQuery("q_dsir_select", (s, d) => dsirSelect(s, d), Some(dsirSelectSql)),
     VerifiedQuery("q_domain_stats", domainStats, Some(domainStatsSql)),
     VerifiedQuery("q_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
   )

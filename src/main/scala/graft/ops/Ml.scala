@@ -118,6 +118,28 @@ object Ml {
     graft.ml.ModelSelection.report(spark, tvs.getEstimatorParamMaps, tvs.validationMetrics)
   }
 
+  /** Beyond-reference M-surface: the fastText-style linear quality filter
+    * (ml.QualityFilter — LogisticRegression on hashed bag-of-words), the
+    * model-based tier of corpus curation beside the closed-form
+    * LlmData.dsirSelect. Emits metric rows (held-out AUC/accuracy, split
+    * sizes) plus per-lang keep rates at the 0.5 threshold. Rows-only
+    * driver check (learned floats); separation and keep-rate ordering are
+    * asserted in QualityFilterSpec. */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, heldOut, scored) = graft.ml.QualityFilter.trainScore(spark, dir)
+    val cached = heldOut.cache()
+    val metrics = RandomForestPipeline.evaluate(cached, "is_target")
+      .toSeq.map { case (k, v) => ("metric", k, v) }
+    val sizes = Seq(("metric", "n_heldout", cached.count().toDouble))
+    cached.unpersist()
+    val keepRates = scored.groupBy($"lang")
+      .agg(avg(when($"prediction" === 1.0, 1.0).otherwise(0.0)).as("rate"))
+      .collect().map(r => ("keep_rate", r.getString(0), r.getDouble(1)))
+    (metrics ++ sizes ++ keepRates).toDF("kind", "name", "value")
+      .orderBy($"kind", $"name")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[VerifiedQuery] = Seq(
@@ -125,5 +147,6 @@ object Ml {
     VerifiedQuery("q_rf_congestion", rfCongestion, None),
     VerifiedQuery("q_rf_delay", rfDelay, None),
     VerifiedQuery("q_model_select", modelSelect, None),
+    VerifiedQuery("q_quality_classifier", qualityClassifier, None),
   )
 }

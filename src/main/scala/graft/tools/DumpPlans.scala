@@ -92,7 +92,8 @@ object DumpPlans {
       "q_case_bin_orders" -> "scalar-function surface over orders: value-range CASE chain fused in one codegen stage, one hash agg",
       "q_taxi_etl" -> "LITERAL taxi featurePipeline: glob scan with explicit schema, double-sum hist agg + join-back, broadcast weather join",
       "q_chunk_docs" -> "sliding-window chunking: narrow per-row start-offset generate, zero shuffles",
-      "q_split_leakage" -> "cross-split leakage audit: banded bucket join candidates x narrow split projection, leak-sized agg")
+      "q_split_leakage" -> "cross-split leakage audit: banded bucket join candidates x narrow split projection, leak-sized agg",
+      "q_dsir_select" -> "DSIR importance selection: explode -> two B-row hash histograms -> broadcast weight dim -> per-doc agg -> TakeOrdered(k)")
 
     val qs = graft.SparkEntry.queries
     val sb = new StringBuilder

@@ -256,4 +256,37 @@ class CorpusOpsSpec extends SparkSpec {
       assert(nDups >= 1)
     }
   }
+
+  test("dsirSelect: target-like raw doc outranks target-unlike; target docs never selected") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir-").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+        f.delete()
+      }
+      rm(dir)
+    }))
+    Seq(
+      // target corpus (en): vocabulary {alpha, beta, gamma}
+      (1L, "alpha beta gamma alpha beta gamma", "en"),
+      (2L, "alpha alpha beta gamma gamma beta", "en"),
+      // raw pool: doc 10 speaks the target vocabulary, doc 11 doesn't
+      (10L, "alpha beta gamma alpha beta", "fr"),
+      (11L, "zeta eta theta iota kappa", "fr"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("src1"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val out = LlmData.dsirSelect(spark, dir.getAbsolutePath)
+      .select($"doc_id", $"lang", $"n_toks", $"weight_micro")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.map(_._1).toSet == Set(10L, 11L), "raw pool only, both docs under k")
+    assert(out.forall(_._2 == "fr"), "target-language docs must never be selected")
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(10L)._3 == 5 && byId(11L)._3 == 5)
+    assert(byId(10L)._4 > byId(11L)._4,
+      "doc sharing the target vocabulary must score above the disjoint-vocabulary doc")
+    // ranked output: weights non-increasing in emitted order
+    assert(out.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
 }
