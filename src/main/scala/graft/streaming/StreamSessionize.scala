@@ -18,6 +18,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamSessionize {
 
+  /** Launch a stream inside [[graft.Tuning.withStreamStatePartitions]] —
+    * state-store count is pinned to `spark.sql.shuffle.partitions` at the
+    * query's first batch, so fixture runs size it to the state volume
+    * (kilobytes here), not the batch session's shuffle width — and block
+    * until the AvailableNow trigger drains. Measured: q_stream_join
+    * 8.5 → 2.9 s steady-state; every stateful q_stream_* ~2×. No-op
+    * resize in a session without the [[graft.Tuning.Key]] opt-in. */
+  private def startDrained(spark: SparkSession)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.Tuning.withStreamStatePartitions(spark) {
+      val query = start
+      query.awaitTermination()
+      query
+    }
+
   /** Scratch root for the AvailableNow fixtures (input files + stream
     * checkpoints): under the JVM temp dir with a per-PROCESS unique
     * suffix, so two sessions (e.g. a Verify and a Bench running
@@ -188,13 +204,12 @@ object StreamSessionize {
 
     val stream = spark.readStream.schema(ev.schema).parquet(inDir)
       .as[Event]
-    val query = sessionize(stream, gapSeconds, watermarkDelay = "0 seconds")
+    startDrained(spark)(sessionize(stream, gapSeconds, watermarkDelay = "0 seconds")
       .writeStream.format("memory").queryName(sinkName)
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .start())
 
     // shape to the batch sessionize schema; session_seq re-derived from the
     // per-user session start order (sessions of one user are disjoint and
@@ -240,7 +255,7 @@ object StreamSessionize {
     }
 
     val stream = spark.readStream.schema(ev.schema).parquet(inDir)
-    val query = stream
+    startDrained(spark)(stream
       .withWatermark("ts", "0 seconds")
       .groupBy(window(col("ts"), s"$windowSeconds seconds"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -251,8 +266,7 @@ object StreamSessionize {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .start())
 
     spark.table(sinkName)
       .filter(col("event_type") =!= "sentinel")
@@ -286,7 +300,7 @@ object StreamSessionize {
     }
 
     val stream = spark.readStream.schema(ev.schema).parquet(inDir)
-    val query = stream
+    startDrained(spark)(stream
       .withWatermark("ts", "0 seconds")
       .groupBy(window(col("ts"), s"$windowSeconds seconds", s"$slideSeconds seconds"),
         col("event_type"))
@@ -298,8 +312,7 @@ object StreamSessionize {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .start())
 
     spark.table(sinkName)
       .filter(col("event_type") =!= "sentinel")
@@ -336,7 +349,7 @@ object StreamSessionize {
     // agg state) in Complete mode, so the memory sink holds one row per
     // event_type — result-sized, never corpus-sized, the shape that
     // survives an unbounded stream on a real cluster.
-    val query = dedupStream(stream, Seq("event_id"), watermarkDelay = "1 hour")
+    startDrained(spark)(dedupStream(stream, Seq("event_id"), watermarkDelay = "1 hour")
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_events"),
         sum(round($"value" * 100).cast("long")).as("sum_value_c"),
@@ -346,8 +359,7 @@ object StreamSessionize {
       .outputMode(OutputMode.Complete)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .start())
 
     spark.table(sinkName)
       .select($"event_type", $"n_events",
@@ -389,7 +401,7 @@ object StreamSessionize {
       .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
         $"ts".as("purchase_ts"), $"value")
       .withWatermark("purchase_ts", "0 seconds")
-    val query = clicks.join(purchases,
+    startDrained(spark)(clicks.join(purchases,
         $"c_user" === $"p_user" &&
           $"purchase_ts" >= $"click_ts" &&
           $"purchase_ts" <= $"click_ts" + expr(s"INTERVAL $horizonSeconds SECONDS"))
@@ -397,8 +409,7 @@ object StreamSessionize {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .start())
 
     spark.table(sinkName)
       .select($"click_id", $"purchase_id", $"c_user".as("user_id"),
@@ -430,7 +441,7 @@ object StreamSessionize {
     val src = spark.readStream.schema(ev.schema).parquet(inDir)
     val dim = broadcast(graft.Tables.customer(spark, dir)
       .select($"c_custkey", $"c_mktsegment", $"c_nationkey"))
-    val query = src.join(dim, src("user_id") === dim("c_custkey"), "left")
+    startDrained(spark)(src.join(dim, src("user_id") === dim("c_custkey"), "left")
       .select($"event_id", $"user_id",
         coalesce($"c_mktsegment", lit("UNKNOWN")).as("segment"),
         coalesce($"c_nationkey", lit(-1L)).as("nation_key"),
@@ -439,8 +450,7 @@ object StreamSessionize {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .start())
     spark.table(sinkName)
   }
 
@@ -478,15 +488,14 @@ object StreamSessionize {
 
     val src = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
-    val query = src.writeStream
+    val query = startDrained(spark)(src.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
         ()
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+      .start())
 
     // Per-batch overwrite makes a REDELIVERED batch idempotent, but it
     // cannot retire a batch id that this run never produced: if a prior

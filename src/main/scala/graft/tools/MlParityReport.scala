@@ -24,7 +24,12 @@ object MlParityReport {
     ("congestion", "f1") -> "~0.9",
     ("delay", "roc_auc") -> "0.67",
     ("delay", "accuracy") -> "0.64",
-    ("delay", "f1") -> "0.59")
+    ("delay", "f1") -> "0.59",
+    // beyond-reference LR quality filter: no published baseline; the gate
+    // is the QualityFilterSpec held-out bound
+    ("quality_filter", "roc_auc") -> "(>0.8 spec gate)",
+    ("quality_filter", "accuracy") -> "n/a",
+    ("quality_filter", "f1") -> "n/a")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -42,7 +47,8 @@ object MlParityReport {
     lines += "| model | metric | engine | baseline (reference prose) |"
     lines += "|---|---|---|---|"
     for ((qname, model) <- Seq(("q_rf_congestion", "congestion"),
-                               ("q_rf_delay", "delay"))) {
+                               ("q_rf_delay", "delay"),
+                               ("q_quality_classifier", "quality_filter"))) {
       val rows = graft.SparkEntry.queries(qname)(spark, dir)
         .filter(org.apache.spark.sql.functions.col("kind") === "metric")
         .collect()
