@@ -202,8 +202,88 @@ object AsOf {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
       |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Banded INTERVAL-OVERLAP join between two DATA-SIZED interval sets —
+    * the scale path [[rangeJoinQuery]]'s broadcast trick cannot take (its
+    * dim is O(bands); here BOTH sides grow with the data). Each interval
+    * is discretized into the epoch-day buckets it spans (sessions span 1–2
+    * days, burst windows exactly one by construction); the join is then an
+    * EQUALITY join on the bucket with the true overlap predicate as a
+    * post-filter — a plain shuffle whose pairs are confined to same-day
+    * buckets, never a BroadcastNestedLoopJoin or cartesian. The
+    * discretization is pure derivation, so the result is IDENTICAL to the
+    * naive theta-join semantics the oracle runs.
+    *
+    * Concretely: per-user gap sessions ([[LlmData.sessionize]]'s exact
+    * interval derivation) × per-(event_type, day) burst windows, counting
+    * overlapping pairs, distinct sessions, and total overlap seconds
+    * (integer epoch math — exact). Since a burst lies within one day
+    * bucket, each qualifying pair matches in exactly one bucket: no
+    * dedup pass needed (a multi-bucket right side would add one
+    * `distinct` on the pair key).
+    *
+    * At 100 TB: bucket granularity trades fan-out (intervals × days
+    * spanned) against bucket skew; day buckets keep fan-out ≤ 2 for
+    * gap-bounded sessions while splitting the join into per-day work. A
+    * production variant salts hot buckets exactly like [[Scale.saltedJoin]].
+    */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", unix_timestamp($"ts").as("sec"))
+    val w = Window.partitionBy($"user_id").orderBy($"sec", $"event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = ev
+      .withColumn("gap", $"sec" - lag($"sec", 1).over(w))
+      .withColumn("is_new", when($"gap".isNull || $"gap" > 1800, 1L).otherwise(0L))
+      .withColumn("session_seq", sum($"is_new").over(wRun))
+      .groupBy($"user_id", $"session_seq")
+      .agg(min($"sec").as("start_s"), max($"sec").as("end_s"))
+    val bursts = ev
+      .withColumn("day", expr("sec div 86400"))
+      .groupBy($"event_type", $"day")
+      .agg(min($"sec").as("bstart_s"), max($"sec").as("bend_s"))
+    sessions
+      .withColumn("day", explode(sequence(expr("start_s div 86400"), expr("end_s div 86400"))))
+      .join(bursts, Seq("day"))
+      .filter($"start_s" <= $"bend_s" && $"bstart_s" <= $"end_s")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"user_id" * 1000000L + $"session_seq").as("n_sessions"),
+        sum(least($"end_s", $"bend_s") - greatest($"start_s", $"bstart_s")).as("overlap_s"))
+  }
+
+  private val intervalJoinSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+      |), g AS (
+      |  SELECT user_id, event_id, sec,
+      |    CASE WHEN sec - lag(sec) OVER w IS NULL
+      |           OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+      |), s AS (
+      |  SELECT user_id, sec,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM g
+      |), sess AS (
+      |  SELECT user_id, session_seq, MIN(sec) AS start_s, MAX(sec) AS end_s
+      |  FROM s GROUP BY 1, 2
+      |), bursts AS (
+      |  SELECT event_type, sec // 86400 AS day,
+      |    MIN(sec) AS bstart_s, MAX(sec) AS bend_s
+      |  FROM e GROUP BY 1, 2
+      |)
+      |SELECT b.event_type, COUNT(*) AS n_pairs,
+      |  COUNT(DISTINCT sess.user_id * 1000000 + sess.session_seq) AS n_sessions,
+      |  CAST(SUM(LEAST(sess.end_s, b.bend_s) - GREATEST(sess.start_s, b.bstart_s)) AS BIGINT) AS overlap_s
+      |FROM sess JOIN bursts b
+      |  ON sess.start_s <= b.bend_s AND b.bstart_s <= sess.end_s
+      |GROUP BY 1""".stripMargin
+
   val all: Seq[VerifiedQuery] = Seq(
     VerifiedQuery("q_rolling_window", rollingWindow, Some(rollingWindowSql)),
+    VerifiedQuery("q_interval_join", intervalJoin, Some(intervalJoinSql)),
     VerifiedQuery("q_asof_join", asofQuery, Some(asofSql)),
     VerifiedQuery("q_range_join", rangeJoinQuery, Some(rangeJoinSql)),
     VerifiedQuery("q_gapfill", gapFill, Some(gapFillSql)),

@@ -446,7 +446,39 @@ object Funcs {
       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY n_name""".stripMargin
 
+  /** Top-k per group through the TYPED Aggregator path ([[customAgg]]'s
+    * sibling, SURVEY §7.3) — the map-side-combine leaderboard: partial
+    * buffers hold ≤ k rows per group per task, so the shuffle carries
+    * O(groups × k) rows where the equivalent `row_number` window
+    * ([[Relational.topK]], [[LlmData.sourceCap]]) shuffles and sorts the
+    * whole fact table. Exact integer-cents ordering with doc-key
+    * tie-break makes the emitted leaderboard hash-identical to the
+    * oracle's sequential window. Merge associativity/commutativity (the
+    * partitioning-invariance property) is scalatest-pinned. */
+  def groupTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val topk = udaf(graft.functions.TopKByPrice)
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(topk(round($"o_totalprice" * 100).cast("long"), $"o_orderkey").as("top"))
+      .select($"o_orderpriority", posexplode($"top"))
+      .select($"o_orderpriority", ($"pos" + 1).cast("long").as("rank"),
+        $"col.key".as("o_orderkey"), ($"col.cents" / lit(100.0)).as("price"))
+  }
+
+  private val groupTopKSql =
+    """WITH r AS (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |SELECT o_orderpriority, rn AS rank, o_orderkey,
+      |  CAST(cents AS DOUBLE) / 100.0 AS price
+      |FROM r WHERE rn <= 3""".stripMargin
+
   val all: Seq[VerifiedQuery] = Seq(
+    VerifiedQuery("q_group_topk", groupTopK, Some(groupTopKSql)),
     VerifiedQuery("q_string_agg", stringAgg, Some(stringAggSql)),
     VerifiedQuery("q_datetime_funcs", datetimeFuncs, Some(datetimeFuncsSql)),
     VerifiedQuery("q_window_analytic", windowAnalytic, Some(windowAnalyticSql)),

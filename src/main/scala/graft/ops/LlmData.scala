@@ -673,6 +673,118 @@ object LlmData {
       |WHERE bucket < keep_pct
       |GROUP BY 1, 2""".stripMargin
 
+  /** Temperature-based mixture weighting — the multilingual-corpus recipe
+    * (mT5/XLM-R style: sample source i with p_i ∝ n_i^α, α<1) that UPWEIGHTS
+    * small sources and flattens dominant ones, where [[mixtureSample]]
+    * takes its keep rates from config. α is fixed at 0.5 so the weight is
+    * an integer square root — `floor(sqrt(n_tokens))` is bit-portable
+    * (IEEE-754 requires sqrt correctly rounded, and token counts are far
+    * below 2^53), keeping the whole computation under the DuckDB hash
+    * where a pow(x, 0.3) would not be. Rates land as ppm by exact integer
+    * division, and membership is the same affine doc_id hash as
+    * [[Etl.hashBucket]] at ppm granularity — reproducible in any engine,
+    * stable under repartitioning.
+    *
+    * Scale shape: exactly two corpus passes — one hash agg down to the
+    * O(sources) histogram (collected: a bounded, NON-data-sized dim, same
+    * rule as [[sourceOverlap]]'s matrix — a cache here would be released
+    * before the caller's action and silently re-cost a third pass), rates
+    * derived in exact driver integer math, then the sources-sized rate dim
+    * broadcast back onto the doc frame for one final hash agg. Emits per
+    * source: corpus totals, the √-weight, the ppm rate, and kept doc/token
+    * counts — a single misassigned document hash-fails. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", Text.tokenCount($"text").cast("long").as("n_tok"))
+    val hist = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      .withColumn("w", floor(sqrt($"n_tokens")).cast("long"))
+      .as[(String, Long, Long, Long)].collect() // O(sources), bounded
+    val totalW = hist.map(_._4).sum
+    val rates = hist.toSeq
+      .map { case (src, nd, nt, w) => (src, nd, nt, w, w * 1000000L / totalW) }
+      .toDF("source", "n_docs", "n_tokens", "w", "rate_ppm")
+    docs
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("keep", Etl.hashBucket($"doc_id", 1000000) < $"rate_ppm")
+      .groupBy($"source", $"n_docs", $"n_tokens", $"w", $"rate_ppm")
+      .agg(sum(when($"keep", 1L).otherwise(0L)).as("n_kept_docs"),
+        sum(when($"keep", $"n_tok").otherwise(0L)).as("n_kept_tokens"))
+  }
+
+  private val temperatureMixSql =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents
+      |), s AS (
+      |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |    CAST(floor(sqrt(CAST(SUM(n_tok) AS BIGINT))) AS BIGINT) AS w
+      |  FROM d GROUP BY 1
+      |), r AS (
+      |  SELECT *, CAST(w * 1000000 // (SELECT SUM(w) FROM s) AS BIGINT) AS rate_ppm
+      |  FROM s
+      |)
+      |SELECT r.source, r.n_docs, r.n_tokens, r.w, r.rate_ppm,
+      |  CAST(SUM(CASE WHEN ((d.doc_id % 2147483647) * 1103515245 + 12345)
+      |      % 2147483647 % 1000000 < r.rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_docs,
+      |  CAST(SUM(CASE WHEN ((d.doc_id % 2147483647) * 1103515245 + 12345)
+      |      % 2147483647 % 1000000 < r.rate_ppm THEN d.n_tok ELSE 0 END) AS BIGINT) AS n_kept_tokens
+      |FROM d JOIN r USING (source)
+      |GROUP BY 1, 2, 3, 4, 5""".stripMargin
+
+  /** Token-balanced shard assignment — the "every training shard holds the
+    * same token volume" layout step before a distributed data-loader reads
+    * the corpus: within each language, documents sort by token count
+    * descending (deterministic doc_id tie-break) and deal round-robin
+    * across `nShards` shards — the classic longest-processing-time-first
+    * balance heuristic, made deterministic and engine-portable. Emits per
+    * shard: doc/token totals, a doc_id-sum membership checksum, and the
+    * shard's exact integer-ppm share of all tokens (the balance audit —
+    * DECIMAL(38) math so `tokens × 10^6` cannot overflow at any corpus
+    * size).
+    *
+    * Scale shape: the ranking window partitions by `lang` (a production
+    * run shards finer — any bounded-cardinality key works; the window is
+    * per-partition, never global), then one hash agg down to nShards rows;
+    * the token total joins back as a broadcast single-row frame over those
+    * nShards rows only. No global sort, no driver loop. */
+  def balancedShards(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"n_tok".desc, $"doc_id")
+    val per = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", Text.tokenCount($"text").cast("long").as("n_tok"))
+      .withColumn("shard", ((row_number().over(w) - 1) % nShards).cast("long"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+        sum($"doc_id").as("id_sum"))
+    per
+      .crossJoin(broadcast(per.agg(sum($"n_tokens").as("total"))))
+      .withColumn("share_ppm",
+        expr("CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000 div CAST(total AS DECIMAL(38,0)) AS BIGINT)"))
+      .drop("total")
+  }
+
+  private val balancedShardsSql =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, n_tok,
+      |    CAST((row_number() OVER (PARTITION BY lang ORDER BY n_tok DESC, doc_id) - 1) % 8 AS BIGINT) AS shard
+      |  FROM d
+      |), p AS (
+      |  SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |  FROM s GROUP BY 1
+      |)
+      |SELECT shard, n_docs, n_tokens, id_sum,
+      |  CAST(CAST(n_tokens AS HUGEINT) * 1000000
+      |    // (SELECT CAST(SUM(n_tokens) AS HUGEINT) FROM p) AS BIGINT) AS share_ppm
+      |FROM p""".stripMargin
+
   /** Context packing — the concat-then-chunk step that turns a document
     * stream into fixed-size training windows (every GPT-style pipeline's
     * final shape): per language, documents concatenate in doc_id order and
@@ -1532,6 +1644,8 @@ object LlmData {
     VerifiedQuery("q_decontaminate", (s, d) => decontaminate(s, d), Some(decontaminateSql)),
     VerifiedQuery("q_repetition", (s, d) => repetition(s, d), Some(repetitionSql)),
     VerifiedQuery("q_mixture_sample", mixtureSample, Some(mixtureSampleSql)),
+    VerifiedQuery("q_temperature_mix", temperatureMix, Some(temperatureMixSql)),
+    VerifiedQuery("q_balanced_shards", (s, d) => balancedShards(s, d), Some(balancedShardsSql)),
     VerifiedQuery("q_pack_contexts", (s, d) => packContexts(s, d), Some(packContextsSql)),
     VerifiedQuery("q_chunk_docs", (s, d) => chunkDocs(s, d), Some(chunkDocsSql)),
     VerifiedQuery("q_redact", redactPii, Some(redactPiiSql)),

@@ -450,6 +450,74 @@ object Similarity {
       |SELECT doc_id, source, n_chars FROM documents
       |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin
 
+  /** Quality-based SURVIVORSHIP over near-dup clusters — the curation
+    * policy a real pipeline applies where [[minhashDetDedupTransitive]]
+    * keeps the smallest id: connected components over the deterministic
+    * MinHash candidate graph, then per cluster keep the HIGHEST-QUALITY
+    * member ([[LlmData.qualityCol]] composite, deterministic doc_id
+    * tie-break). "Which copy of a crawled page do we train on" is a
+    * quality question, not an id question. Emits one row per multi-member
+    * cluster: the min-id cluster label, member count, a doc_id-sum
+    * membership checksum (a single mis-clustered doc hash-fails), the
+    * survivor id and its quality (rounded 6dp on both engines; the ARGMAX
+    * itself compares unrounded bit-identical IEEE doubles).
+    *
+    * Scale shape: candidate edges are LSH-banded (never all-pairs), CC is
+    * the checkpointed pointer-jumping loop, and the survivor pick is one
+    * row_number window partitioned by cluster over the CLUSTERED docs only
+    * (near-dups are a small fraction of the corpus) — output is
+    * cluster-count-sized. */
+  def neardupSurvivor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tuning.spread(Tables.documents(spark, dir))
+    val (cand, release) = minhashDetCandidatesWithRelease(docs)
+    val comps = connectedComponents(cand)
+    release() // connectedComponents materialized the edge set eagerly
+    val quality = docs.select($"doc_id", LlmData.qualityCol($"text").as("quality"))
+    val w = Window.partitionBy($"cluster").orderBy($"quality".desc, $"doc_id")
+    comps.join(quality, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n_members"),
+        sum($"doc_id").as("id_sum"),
+        max(when($"rn" === 1, $"doc_id")).as("survivor_id"),
+        round(max(when($"rn" === 1, $"quality")), 6).as("survivor_quality"))
+  }
+
+  private val neardupSurvivorSql =
+    s"""WITH RECURSIVE $detCandSqlCtes, edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM cand WHERE agree >= 9
+      |  UNION
+      |  SELECT doc_b AS src, doc_a AS dst FROM cand WHERE agree >= 9
+      |), reach AS (
+      |  SELECT src AS a, dst AS b FROM edges
+      |  UNION
+      |  SELECT r.a, e.dst AS b FROM reach r JOIN edges e ON r.b = e.src
+      |), labels AS (
+      |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a
+      |), qd AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+      |        x -> list_contains(['the','a','of','and','to','in','is'], x))) * 1.0
+      |      / len(string_split_regex(trim(text), '\\s+')) * 0.4
+      |    + (1.0 - len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / length(text)) * 0.2
+      |    + (CASE WHEN length(text) BETWEEN 100 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.2
+      |    + (CASE WHEN list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+      |          x -> length(x))) * 1.0
+      |        / len(string_split_regex(trim(text), '\\s+')) BETWEEN 2.0 AND 12.0
+      |      THEN 1.0 ELSE 0.0 END) * 0.2 AS quality
+      |  FROM documents
+      |), m AS (
+      |  SELECT l.cluster, l.doc_id, qd.quality,
+      |    row_number() OVER (PARTITION BY l.cluster
+      |      ORDER BY qd.quality DESC, l.doc_id) AS rn
+      |  FROM labels l JOIN qd USING (doc_id)
+      |)
+      |SELECT cluster, COUNT(*) AS n_members, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+      |  MAX(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+      |  round(MAX(CASE WHEN rn = 1 THEN quality END), 6) AS survivor_quality
+      |FROM m GROUP BY 1""".stripMargin
+
   // ----------------------------------------------------------- SimHash dedup
 
   /** SimHash banded dedup candidates: 64-bit simhash per doc, banded into
@@ -1242,6 +1310,7 @@ object Similarity {
     VerifiedQuery("q_minhash_det_dedup", minhashDetDedupQuery, Some(minhashDetDedupSql)),
     VerifiedQuery("q_minhash_det_transitive", minhashDetTransitiveQuery, Some(minhashDetTransitiveSql)),
     VerifiedQuery("q_minhash_det_transitive_dist", minhashDetTransitiveDistQuery, Some(minhashDetTransitiveSql)),
+    VerifiedQuery("q_neardup_survivor", neardupSurvivor, Some(neardupSurvivorSql)),
     VerifiedQuery("q_simhash_dedup", simhashDedupQuery, None),
     VerifiedQuery("q_simhash_det_dedup", simhashDetDedupQuery, Some(simhashDetDedupSql)),
     VerifiedQuery("q_cosine_neardup", cosineNearDupQuery, Some(cosineNearDupSql)),

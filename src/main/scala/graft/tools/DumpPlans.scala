@@ -93,7 +93,12 @@ object DumpPlans {
       "q_taxi_etl" -> "LITERAL taxi featurePipeline: glob scan with explicit schema, double-sum hist agg + join-back, broadcast weather join",
       "q_chunk_docs" -> "sliding-window chunking: narrow per-row start-offset generate, zero shuffles",
       "q_split_leakage" -> "cross-split leakage audit: banded bucket join candidates x narrow split projection, leak-sized agg",
-      "q_dsir_select" -> "DSIR importance selection: explode -> two B-row hash histograms -> broadcast weight dim -> per-doc agg -> TakeOrdered(k)")
+      "q_dsir_select" -> "DSIR importance selection: explode -> two B-row hash histograms -> broadcast weight dim -> per-doc agg -> TakeOrdered(k)",
+      "q_temperature_mix" -> "temperature mixture: one hash agg to the source dim, broadcast rate dim back onto docs, one final agg",
+      "q_balanced_shards" -> "token-balanced shards: per-lang ranking window -> nShards-row agg, broadcast single-row total",
+      "q_neardup_survivor" -> "quality survivorship: banded candidates -> CC labels -> per-cluster row_number over clustered docs only",
+      "q_group_topk" -> "typed top-k aggregator: partial buffers <= k rows/group -> shuffle carries leaderboards, not facts",
+      "q_interval_join" -> "banded interval join: day-bucket equality join + overlap post-filter, no BNLJ between data-sized sides")
 
     val qs = graft.SparkEntry.queries
     val sb = new StringBuilder

@@ -289,4 +289,84 @@ class CorpusOpsSpec extends SparkSpec {
     // ranked output: weights non-increasing in emitted order
     assert(out.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
+
+  test("temperatureMix: sqrt flattening upweights the smallest source, kept counts bounded") {
+    val rows = LlmData.temperatureMix(spark, "/root/testdata/sf0.001")
+      .select($"source", $"n_docs", $"n_tokens", $"w", $"rate_ppm",
+        $"n_kept_docs", $"n_kept_tokens")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length > 1)
+    rows.foreach { case (_, nDocs, nTok, w, ppm, kDocs, kTok) =>
+      assert(w == math.floor(math.sqrt(nTok.toDouble)).toLong)
+      assert(ppm >= 0 && ppm <= 1000000)
+      assert(kDocs <= nDocs && kTok <= nTok)
+    }
+    // rates are exact integer shares of the sqrt weights: sum ≤ 1e6,
+    // truncation loses less than 1 ppm per source
+    val ppmSum = rows.map(_._5).sum
+    assert(ppmSum <= 1000000 && ppmSum > 1000000 - rows.length)
+    // the flattening property: the smallest source's share of the sampling
+    // rate exceeds its share of raw tokens; the largest source's is below
+    val totTok = rows.map(_._3).sum.toDouble
+    val minSrc = rows.minBy(_._3)
+    val maxSrc = rows.maxBy(_._3)
+    assert(minSrc._5 / 1e6 > minSrc._3 / totTok,
+      "sqrt temperature must upweight the smallest source")
+    assert(maxSrc._5 / 1e6 < maxSrc._3 / totTok,
+      "sqrt temperature must downweight the largest source")
+  }
+
+  test("balancedShards: exact LPT round-robin assignment on a planted fixture") {
+    // 16 docs, token counts 16..1 → sorted desc, dealt over 4 shards:
+    // shard0 {16,12,8,4}=40, shard1 {15,11,7,3}=36, shard2 {14,10,6,2}=32,
+    // shard3 {13,9,5,1}=28
+    val dir = docsDir((1L to 16L).map(i => (i, Seq.fill(i.toInt)("w").mkString(" "))))
+    val out = LlmData.balancedShards(spark, dir, nShards = 4)
+      .select($"shard", $"n_docs", $"n_tokens", $"id_sum", $"share_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(out.map(_._3).toSeq == Seq(40L, 36L, 32L, 28L))
+    assert(out.forall(_._2 == 4L))
+    // membership checksum: doc i has i tokens, so shard0 holds ids 16,12,8,4
+    assert(out.map(_._4).toSeq == Seq(40L, 36L, 32L, 28L))
+    // integer ppm shares of the 136-token total, truncated
+    assert(out.map(_._5).toSeq ==
+      Seq(40L * 1000000 / 136, 36L * 1000000 / 136, 32L * 1000000 / 136, 28L * 1000000 / 136))
+  }
+
+  test("balancedShards: corpus conservation and share audit on driver data") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val nDocs = docs.count()
+    val out = LlmData.balancedShards(spark, "/root/testdata/sf0.001")
+      .select($"shard", $"n_docs", $"n_tokens", $"share_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.map(_._2).sum == nDocs, "every document lands in exactly one shard")
+    val ppmSum = out.map(_._4).sum
+    assert(ppmSum <= 1000000 && ppmSum > 1000000 - out.length)
+  }
+
+  test("neardupSurvivor: per-cluster survivor is the highest-quality member") {
+    val base1 = "the quick brown fox jumps over the lazy dog and runs down to the " +
+      "river in the bright morning light of a new day in the quiet northern valley"
+    val base2 = "a steady rain falls on the old stone bridge and the water rises " +
+      "slowly past the mill house where the miller waits for the storm to end tonight"
+    val dir = docsDir(Seq(
+      (1L, base1),                         // cluster A survivor: no punctuation
+      (2L, base1 + " !!!!!!!!!!"),         // same shingles, worse punct ratio
+      (5L, base2),                         // cluster B survivor
+      (6L, base2 + " ??????????"),
+      (9L, "zx qv jk wp mn bt lr dc fg hs zx qv jk wp mn bt lr dc fg hs"))) // singleton
+    val out = Similarity.neardupSurvivor(spark, dir)
+      .select($"cluster", $"n_members", $"id_sum", $"survivor_id", $"survivor_quality")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 5L), "two clusters, labeled by min id; no singleton")
+    assert(out.map(_._2).toSeq == Seq(2L, 2L))
+    assert(out.map(_._3).toSeq == Seq(3L, 11L))
+    assert(out.map(_._4).toSeq == Seq(1L, 5L),
+      "the punctuation-free variant has the higher composite quality")
+    // survivor_quality matches the registered quality query's value exactly
+    val q = LlmData.qualityScore(spark, dir)
+      .select($"doc_id", round($"quality", 6)).as[(Long, Double)].collect().toMap
+    assert(out.map(r => r._5) sameElements out.map(r => q(r._4)))
+  }
 }

@@ -65,4 +65,64 @@ class SamplingWindowSpec extends SparkSpec {
     assert(!bad)
     out.unpersist()
   }
+
+  test("groupTopK: typed top-k aggregator == row_number window, any partitioning") {
+    import spark.implicits._
+    val viaAgg = Funcs.groupTopK(spark, sf)
+      .select($"o_orderpriority", $"rank", $"o_orderkey", $"price")
+      .as[(String, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    // independent recomputation through the window path on the same data
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_orderpriority")
+      .orderBy(round($"o_totalprice" * 100).cast("long").desc, $"o_orderkey")
+    val viaWindow = graft.Tables.orders(spark, sf)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"o_orderpriority", $"rank", $"o_orderkey",
+        (round($"o_totalprice" * 100).cast("long") / lit(100.0)).as("price"))
+      .as[(String, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(viaAgg.toSeq == viaWindow.toSeq)
+    // partitioning invariance: the merge is associative/commutative, so a
+    // different physical layout must produce the identical leaderboard
+    val topk = udaf(graft.functions.TopKByPrice)
+    val repart = graft.Tables.orders(spark, sf).repartition(13, $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(topk(round($"o_totalprice" * 100).cast("long"), $"o_orderkey").as("top"))
+      .select($"o_orderpriority", posexplode($"top"))
+      .select($"o_orderpriority", ($"pos" + 1).cast("long").as("rank"),
+        $"col.key".as("o_orderkey"), ($"col.cents" / lit(100.0)).as("price"))
+      .as[(String, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(repart.toSeq == viaAgg.toSeq)
+  }
+
+  test("intervalJoin: banded equality join == naive theta-join semantics") {
+    import spark.implicits._
+    val banded = AsOf.intervalJoin(spark, sf)
+      .select($"event_type", $"n_pairs", $"n_sessions", $"overlap_s")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    // naive reference: the raw interval-overlap theta join, no banding
+    val ev = graft.Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"event_type", unix_timestamp($"ts").as("sec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"sec", $"event_id")
+    val wRun = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val sess = ev
+      .withColumn("gap", $"sec" - lag($"sec", 1).over(w))
+      .withColumn("is_new", when($"gap".isNull || $"gap" > 1800, 1L).otherwise(0L))
+      .withColumn("session_seq", sum($"is_new").over(wRun))
+      .groupBy($"user_id", $"session_seq")
+      .agg(min($"sec").as("start_s"), max($"sec").as("end_s"))
+    val bursts = ev.withColumn("day", expr("sec div 86400"))
+      .groupBy($"event_type", $"day")
+      .agg(min($"sec").as("bstart_s"), max($"sec").as("bend_s"))
+    val naive = sess.join(bursts,
+        $"start_s" <= $"bend_s" && $"bstart_s" <= $"end_s")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"user_id" * 1000000L + $"session_seq").as("n_sessions"),
+        sum(least($"end_s", $"bend_s") - greatest($"start_s", $"bstart_s")).as("overlap_s"))
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(banded.toSeq == naive.toSeq)
+  }
 }
