@@ -1488,6 +1488,20 @@ object LlmData {
       |  AND CAST(floor(epoch(b.ts)) AS BIGINT) >= CAST(floor(epoch(a.ts)) AS BIGINT)
       |  AND CAST(floor(epoch(b.ts)) AS BIGINT) <= CAST(floor(epoch(a.ts)) AS BIGINT) + 600""".stripMargin
 
+  /** LEFT JOIN twin of [[streamJoinSql]]: the time window lives in the ON
+    * clause so unmatched clicks survive with NULL purchase columns —
+    * exactly what the streaming state store's expiry path must emit. */
+  private val streamJoinOuterSql =
+    """SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+      |  a.user_id AS user_id,
+      |  CAST(floor(epoch(b.ts)) AS BIGINT) - CAST(floor(epoch(a.ts)) AS BIGINT) AS delay_s,
+      |  CAST(round(b.value*100) AS BIGINT) AS value_c
+      |FROM (SELECT * FROM events WHERE event_type = 'click') a
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      |  ON a.user_id = b.user_id
+      |  AND CAST(floor(epoch(b.ts)) AS BIGINT) >= CAST(floor(epoch(a.ts)) AS BIGINT)
+      |  AND CAST(floor(epoch(b.ts)) AS BIGINT) <= CAST(floor(epoch(a.ts)) AS BIGINT) + 600""".stripMargin
+
   /** Dataset provenance manifest — the reproducibility record a corpus
     * release ships beside the data: per-source document/char/token
     * totals, id range, language spread, and an ORDER-INDEPENDENT content
@@ -1630,6 +1644,12 @@ object LlmData {
     VerifiedQuery("q_stream_join",
       (s, d) => graft.streaming.StreamSessionize.availableNowStreamJoin(s, d),
       Some(streamJoinSql)),
+    // LEFT OUTER variant: unmatched clicks emit with NULL purchase columns
+    // only after BOTH watermarks prove no qualifying purchase can arrive —
+    // the state-expiry path under the oracle, not just the match path
+    VerifiedQuery("q_stream_join_outer",
+      (s, d) => graft.streaming.StreamSessionize.availableNowStreamJoinOuter(s, d),
+      Some(streamJoinOuterSql)),
     VerifiedQuery("q_stream_enrich",
       (s, d) => graft.streaming.StreamSessionize.availableNowStaticEnrich(s, d),
       Some(streamEnrichSql)),

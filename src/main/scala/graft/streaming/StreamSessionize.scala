@@ -417,6 +417,69 @@ object StreamSessionize {
         round($"value" * 100).cast("long").as("value_c"))
   }
 
+  /** Watermarked stream-stream LEFT OUTER join — [[availableNowStreamJoin]]
+    * with the semantics production attribution actually needs: clicks that
+    * never convert are part of the answer. An unmatched left row can only
+    * be emitted once BOTH sides' watermarks prove no qualifying purchase
+    * can still arrive (click_ts + horizon fully below the watermark), so
+    * the state store's row-expiry path — not just its match path — is
+    * under the oracle here. The fixture appends one far-future sentinel
+    * per side: each side's watermark derives from its own events, and
+    * without both advancing past `maxTs + horizon` the tail clicks would
+    * legitimately stay buffered forever on an unbounded stream
+    * (AvailableNow then runs the final eviction micro-batch — the same
+    * mechanics the sessionize sentinel relies on). Sentinels are filtered
+    * from the result by id sign.
+    *
+    * State stays bounded by the same 10-minute horizon as the inner join;
+    * the unmatched rows add no state, only deferred emission. Oracle: a
+    * plain SQL LEFT JOIN with the time window in the ON clause. */
+  def availableNowStreamJoinOuter(spark: SparkSession, dir: String,
+                                  fixtureRoot: String = defaultFixtureRoot,
+                                  horizonSeconds: Long = 600): DataFrame = {
+    import spark.implicits._
+    val (ckpt, sinkName) = freshRun("stream_join_outer", fixtureRoot, dir)
+
+    val ev = graft.Tables.events(spark, dir)
+      .select($"event_id", $"user_id", date_trunc("second", $"ts").as("ts"),
+        $"event_type", $"value")
+    val inDir = inputOnce(s"stream_join_outer_$horizonSeconds", fixtureRoot, dir) { in =>
+      val maxTs = ev.agg(max($"ts")).as[Timestamp].head()
+      val sentinelTs = new Timestamp(maxTs.getTime + (horizonSeconds + 3600) * 1000)
+      val sentinels = Seq(
+        (-1L, -1L, sentinelTs, "click", 0.0),
+        (-2L, -2L, sentinelTs, "purchase", 0.0))
+        .toDF("event_id", "user_id", "ts", "event_type", "value")
+      ev.unionByName(sentinels).coalesce(1).write.parquet(in)
+    }
+
+    val src = spark.readStream.schema(ev.schema).parquet(inDir)
+    val clicks = src.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("c_user"),
+        $"ts".as("click_ts"))
+      .withWatermark("click_ts", "0 seconds")
+    val purchases = src.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
+        $"ts".as("purchase_ts"), $"value")
+      .withWatermark("purchase_ts", "0 seconds")
+    startDrained(spark)(clicks.join(purchases,
+        $"c_user" === $"p_user" &&
+          $"purchase_ts" >= $"click_ts" &&
+          $"purchase_ts" <= $"click_ts" + expr(s"INTERVAL $horizonSeconds SECONDS"),
+        "leftOuter")
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start())
+
+    spark.table(sinkName)
+      .filter($"click_id" >= 0)
+      .select($"click_id", $"purchase_id", $"c_user".as("user_id"),
+        (unix_timestamp($"purchase_ts") - unix_timestamp($"click_ts")).as("delay_s"),
+        round($"value" * 100).cast("long").as("value_c"))
+  }
+
   /** Stream-static enrich: the streaming fact joined to a static
     * dimension — the canonical production enrich shape and the one the
     * stream tier was missing beside its stateful ops. The static side is

@@ -121,6 +121,35 @@ class StreamSessionizeSpec extends SparkSpec {
     assert(s == b, s"stream/batch diverge: only-stream=${(s -- b).take(5)} only-batch=${(b -- s).take(5)}")
   }
 
+  test("availableNowStreamJoinOuter equals the batch left join, including unmatched clicks") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = availableNowStreamJoinOuter(spark, dir,
+      fixtureRoot = "target/test-tmp/stream_join_outer_fixture")
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("ts"), col("event_type"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"))
+    val batch = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 600 SECONDS"),
+        "leftOuter")
+      .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts"))).as("delay_s"),
+        round(col("value") * 100).cast("long").as("value_c"))
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s.exists(r => r(1) == null),
+      "expected at least one unmatched click emitted via the state-expiry path")
+    assert(s == b, s"stream/batch diverge: only-stream=${(s -- b).take(5)} only-batch=${(b -- s).take(5)}")
+  }
+
   test("foreachBatch sink is idempotent under full redelivery (two runs, one copy of the data)") {
     val dir = "/root/testdata/sf0.001"
     val root = "target/test-tmp/stream_fbsink_fixture"
