@@ -295,9 +295,97 @@ object Sketches {
        |FROM sums JOIN exact USING (l_returnflag)""".stripMargin
   }
 
+  /** HLL sketch MERGEABILITY under the oracle — the property that makes
+    * sketches the 100 TB answer to COUNT(DISTINCT): per-group register
+    * arrays combine into the union's sketch by a plain per-register MAX,
+    * so a 1000-executor job aggregates distinct-counts in two levels
+    * (partial sketch per partition, tiny merge at the top) without ever
+    * re-scanning or re-shuffling raw keys. Here: one deterministic
+    * 256-register sketch per event_type over user_id ([[hllDet]]'s
+    * engine-portable register math), plus a `__ALL__` row whose registers
+    * are the MAX-merge of the per-type sketches — emitted through the
+    * identical estimate pipeline, so the DuckDB hash pins the merge rule
+    * itself. The exact distinct column is the correctness AUDIT (a
+    * production sketch path at scale drops it — recounting is exactly
+    * what the sketch avoids). */
+  def hllMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = Tables.events(spark, dir)
+      .select($"event_type", $"user_id", h60($"user_id".cast("string")).as("h"))
+    val rhos = keyed
+      .withColumn("reg", $"h" % HllRegisters)
+      .withColumn("v", shiftrightunsigned($"h", 8))
+      .withColumn("rho",
+        when($"v" === 0, lit(HllValueBits + 1))
+          .otherwise(bit_count($"v".bitwiseAND(-$"v") - 1) + 1))
+      .groupBy($"event_type", $"reg")
+      .agg(max($"rho").as("m_r"))
+    // the merge step: union's register = MAX over the groups' registers
+    val merged = rhos.groupBy($"reg").agg(max($"m_r").as("m_r"))
+      .withColumn("event_type", lit("__ALL__"))
+    val sketches = rhos.unionByName(merged.select($"event_type", $"reg", $"m_r"))
+    val types = keyed.select($"event_type").distinct()
+      .unionByName(Seq("__ALL__").toDF("event_type"))
+    val grid = types
+      .select($"event_type", explode(sequence(lit(0), lit(HllRegisters - 1))).as("reg"))
+    val sums = grid.join(sketches, Seq("event_type", "reg"), "left")
+      .withColumn("term",
+        expr(s"shiftleft(CAST(1 AS BIGINT), ${HllValueBits + 1} - coalesce(m_r, 0))"))
+      .groupBy($"event_type")
+      .agg(sum($"term").as("reg_sum"),
+        sum(when($"m_r".isNull, 1L).otherwise(0L)).as("n_zero_regs"))
+    val exact = Tables.events(spark, dir)
+      .select($"event_type", $"user_id")
+      .unionByName(Tables.events(spark, dir)
+        .select(lit("__ALL__").as("event_type"), $"user_id"))
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_exact"))
+    sums.join(exact, Seq("event_type"))
+      .select($"event_type", $"reg_sum", $"n_zero_regs", $"n_exact",
+        (lit(HllEstNumerator) / $"reg_sum").as("est_raw"))
+  }
+
+  private val hllMergeSql = {
+    val h = h60Sql("CAST(user_id AS VARCHAR)")
+    val numer = HllEstNumerator.toString
+    s"""WITH keyed AS (
+       |  SELECT event_type, user_id, $h AS h FROM events
+       |), rhos AS (
+       |  SELECT event_type, h % $HllRegisters AS reg,
+       |         MAX(CASE WHEN h // $HllRegisters = 0 THEN ${HllValueBits + 1}
+       |             ELSE bit_count(((h // $HllRegisters) & -(h // $HllRegisters)) - 1) + 1
+       |             END) AS m_r
+       |  FROM keyed GROUP BY 1, 2
+       |), sketches AS (
+       |  SELECT event_type, reg, m_r FROM rhos
+       |  UNION ALL
+       |  SELECT '__ALL__' AS event_type, reg, MAX(m_r) AS m_r FROM rhos GROUP BY reg
+       |), types AS (
+       |  SELECT DISTINCT event_type FROM keyed
+       |  UNION ALL SELECT '__ALL__'
+       |), grid AS (
+       |  SELECT event_type, CAST(r.range AS BIGINT) AS reg
+       |  FROM types, range($HllRegisters) r
+       |), sums AS (
+       |  SELECT g.event_type,
+       |         CAST(SUM((1::BIGINT) << (${HllValueBits + 1} - COALESCE(m_r, 0))) AS BIGINT) AS reg_sum,
+       |         CAST(SUM(CASE WHEN m_r IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_regs
+       |  FROM grid g LEFT JOIN sketches USING (event_type, reg)
+       |  GROUP BY 1
+       |), exact AS (
+       |  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY 1
+       |  UNION ALL
+       |  SELECT '__ALL__', COUNT(DISTINCT user_id) FROM events
+       |)
+       |SELECT event_type, reg_sum, n_zero_regs, n_exact,
+       |       CAST('$numer' AS DOUBLE) / reg_sum AS est_raw
+       |FROM sums JOIN exact USING (event_type)""".stripMargin
+  }
+
   val all: Seq[VerifiedQuery] = Seq(
     VerifiedQuery("q_countmin", countMin, Some(countMinSql)),
     VerifiedQuery("q_bloom", bloom, Some(bloomSql)),
+    VerifiedQuery("q_hll_merge", hllMerge, Some(hllMergeSql)),
     VerifiedQuery("q_hll_det", hllDet, Some(hllDetSql)),
   )
 }

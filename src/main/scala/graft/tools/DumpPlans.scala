@@ -98,7 +98,8 @@ object DumpPlans {
       "q_balanced_shards" -> "token-balanced shards: per-lang ranking window -> nShards-row agg, broadcast single-row total",
       "q_neardup_survivor" -> "quality survivorship: banded candidates -> CC labels -> per-cluster row_number over clustered docs only",
       "q_group_topk" -> "typed top-k aggregator: partial buffers <= k rows/group -> shuffle carries leaderboards, not facts",
-      "q_interval_join" -> "banded interval join: day-bucket equality join + overlap post-filter, no BNLJ between data-sized sides")
+      "q_interval_join" -> "banded interval join: day-bucket equality join + overlap post-filter, no BNLJ between data-sized sides",
+      "q_hll_merge" -> "HLL merge: per-group register aggs MAX-merged to the union sketch, O(groups x 256) merge state")
 
     val qs = graft.SparkEntry.queries
     val sb = new StringBuilder

@@ -49,6 +49,44 @@ class SketchGraphEntitySpec extends SparkSpec {
     }
   }
 
+  test("hllMerge: the __ALL__ sketch equals the sketch built directly on the union") {
+    import spark.implicits._
+    val rows = Sketches.hllMerge(spark, sf).collect()
+    val byType = rows.map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(byType.contains("__ALL__") && byType.size > 2)
+    // independent recomputation: sketch the union in ONE level (no merge)
+    // with the same register math — reg_sum/zero-regs must match exactly,
+    // pinning that MAX-merge of group sketches == the union's sketch
+    val keyed = graft.Tables.events(spark, sf)
+      .select(graft.functions.Text.md5Long($"user_id".cast("string")).as("h"))
+    val direct = keyed
+      .withColumn("reg", $"h" % 256)
+      .withColumn("v", shiftrightunsigned($"h", 8))
+      .withColumn("rho", when($"v" === 0, lit(53))
+        .otherwise(bit_count($"v".bitwiseAND(-$"v") - 1) + 1))
+      .groupBy($"reg").agg(max($"rho").as("m_r"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - m_r)")).as("partial_sum"),
+        count(lit(1)).as("n_hit_regs"))
+      .head()
+    val allRow = byType("__ALL__")
+    val nZero = allRow.getAs[Long]("n_zero_regs")
+    assert(nZero == 256L - direct.getAs[Long]("n_hit_regs"))
+    // merged reg_sum = hit-register terms + 2^53 per untouched register
+    val expectedSum = direct.getAs[Long]("partial_sum") + nZero * (1L << 53)
+    assert(allRow.getAs[Long]("reg_sum") == expectedSum)
+    // per-type estimates stay within the production error band (LC branch
+    // at this SF, as in the hllDet test)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val estRaw = r.getAs[Double]("est_raw")
+      val zeros = r.getAs[Long]("n_zero_regs")
+      val m = 256.0
+      val est = if (estRaw <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else estRaw
+      assert(math.abs(est - exact) / exact < 0.15,
+        s"type ${r.get(0)}: est $est vs exact $exact")
+    }
+  }
+
   test("pageRank matches an independent in-memory evaluation of the recurrence") {
     import spark.implicits._
     // small directed graph with a hub, a chain, and mutual edges
