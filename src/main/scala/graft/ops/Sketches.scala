@@ -382,9 +382,84 @@ object Sketches {
        |FROM sums JOIN exact USING (event_type)""".stripMargin
   }
 
+  /** Bloom SEMI-JOIN REDUCTION — the shuffle-pruning technique for joins
+    * whose dim side is too big to broadcast but whose BLOOM FILTER is not:
+    * build the dim keys' bit set (≤ [[BloomBits]] positions — sketch-sized
+    * driver state, ~1 KB here, 16 MB even at m=2^27), ship it into the
+    * fact scan as an `InSet` predicate over the k hash chunks, and only
+    * the surviving facts enter the exact join. At 100 TB this turns
+    * "shuffle every fact row to discover most match nothing" into
+    * "shuffle the candidates": false positives are bounded by the filter
+    * (audited in the output), false negatives are impossible — the exact
+    * join after the filter restores precise semantics. Spark's own
+    * runtime-filter feature does this opaquely; here the filter is
+    * deterministic md5-chunk math ([[bloom]]'s), so candidate selection
+    * AND the pruning audit sit under the DuckDB hash. Emits per order
+    * priority: candidates, exact matches, false positives pruned at the
+    * join, and the joined revenue in integer cents. */
+  def bloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = Tables.customer(spark, dir).filter($"c_nationkey" < 5)
+      .select($"c_custkey")
+    val bitSeq = dim
+      .select(digest($"c_custkey".cast("string")).as("d"))
+      .select(explode(array((0 until BloomK).map(j =>
+        chunk($"d", j) % BloomBits): _*)).as("bit"))
+      .distinct().as[Long].collect().toSeq // bounded by BloomBits, never data-sized
+    val facts = Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderpriority", $"o_totalprice",
+        digest($"o_custkey".cast("string")).as("d"))
+    val candidates = facts.filter(
+      (0 until BloomK).map(j => (chunk($"d", j) % BloomBits).isInCollection(bitSeq))
+        .reduce(_ && _))
+    candidates
+      .join(dim.withColumn("matched", lit(1L)),
+        candidates("o_custkey") === dim("c_custkey"), "left")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(coalesce($"matched", lit(0L))).as("n_joined"),
+        sum(when($"matched".isNull, 1L).otherwise(0L)).as("n_pruned_fp"),
+        sum(when($"matched" === 1L, round($"o_totalprice" * 100).cast("long"))
+          .otherwise(0L)).as("revenue_c"))
+  }
+
+  private val bloomJoinSql = {
+    val dimBits = (0 until BloomK).map(j =>
+      s"SELECT ${chunkSql("CAST(c_custkey AS VARCHAR)", j)} % $BloomBits AS bit FROM dim")
+      .mkString("\n  UNION ALL\n  ")
+    val factBits = (0 until BloomK).map(j =>
+      s"SELECT o_orderkey, ${chunkSql("CAST(o_custkey AS VARCHAR)", j)} % $BloomBits AS bit FROM orders")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH dim AS (
+       |  SELECT c_custkey FROM customer WHERE c_nationkey < 5
+       |), bits AS (
+       |  SELECT DISTINCT bit FROM (
+       |  $dimBits
+       |  )
+       |), fbits AS (
+       |  $factBits
+       |), cand AS (
+       |  SELECT o_orderkey
+       |  FROM fbits f LEFT JOIN bits b USING (bit)
+       |  GROUP BY o_orderkey
+       |  HAVING COUNT(*) = SUM(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END)
+       |), j AS (
+       |  SELECT o.o_orderpriority, o.o_totalprice, d.c_custkey AS matched
+       |  FROM orders o JOIN cand USING (o_orderkey)
+       |  LEFT JOIN dim d ON o.o_custkey = d.c_custkey
+       |)
+       |SELECT o_orderpriority, COUNT(*) AS n_candidates,
+       |  CAST(SUM(CASE WHEN matched IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_joined,
+       |  CAST(SUM(CASE WHEN matched IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned_fp,
+       |  CAST(SUM(CASE WHEN matched IS NOT NULL
+       |       THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS revenue_c
+       |FROM j GROUP BY 1""".stripMargin
+  }
+
   val all: Seq[VerifiedQuery] = Seq(
     VerifiedQuery("q_countmin", countMin, Some(countMinSql)),
     VerifiedQuery("q_bloom", bloom, Some(bloomSql)),
+    VerifiedQuery("q_bloom_join", bloomJoin, Some(bloomJoinSql)),
     VerifiedQuery("q_hll_merge", hllMerge, Some(hllMergeSql)),
     VerifiedQuery("q_hll_det", hllDet, Some(hllDetSql)),
   )

@@ -49,6 +49,28 @@ class SketchGraphEntitySpec extends SparkSpec {
     }
   }
 
+  test("bloomJoin: pre-filter never drops a true match; audit columns reconcile") {
+    import spark.implicits._
+    val rows = Sketches.bloomJoin(spark, sf)
+      .select($"o_orderpriority", $"n_candidates", $"n_joined", $"n_pruned_fp", $"revenue_c")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // independent un-bloomed reference: the exact join result the
+    // reduction must preserve (false negatives are impossible)
+    val dim = graft.Tables.customer(spark, sf).filter($"c_nationkey" < 5)
+      .select($"c_custkey")
+    val direct = graft.Tables.orders(spark, sf)
+      .join(dim, $"o_custkey" === $"c_custkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(round($"o_totalprice" * 100).cast("long")).as("rev"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    rows.foreach { case (prio, nCand, nJoined, nFp, rev) =>
+      assert(nCand == nJoined + nFp, s"$prio: audit columns must reconcile")
+      val (dn, drev) = direct.getOrElse(prio, (0L, 0L))
+      assert(nJoined == dn, s"$prio: bloom reduction changed the join result")
+      assert(rev == drev, s"$prio: joined revenue diverged")
+    }
+  }
+
   test("hllMerge: the __ALL__ sketch equals the sketch built directly on the union") {
     import spark.implicits._
     val rows = Sketches.hllMerge(spark, sf).collect()
