@@ -94,8 +94,13 @@ object RandomForestPipeline {
     * column expands; deliberate deviation, documented per SURVEY §2.11.
     */
   def featureImportances(model: PipelineModel, predictions: DataFrame): Seq[(String, Double)] = {
-    val rf = model.stages.last.asInstanceOf[RandomForestClassificationModel]
-    val imps = rf.featureImportances.toArray
+    val imps = model.stages.last match {
+      case rf: RandomForestClassificationModel => rf.featureImportances.toArray
+      case gbt: org.apache.spark.ml.classification.GBTClassificationModel =>
+        gbt.featureImportances.toArray
+      case other => throw new IllegalArgumentException(
+        s"no importances for final stage ${other.getClass.getSimpleName}")
+    }
     val attrs = AttributeGroup.fromStructField(predictions.schema("features")).attributes
     val names = attrs match {
       case Some(a) => a.map(at => at.name.getOrElse(s"f${at.index.getOrElse(-1)}"))

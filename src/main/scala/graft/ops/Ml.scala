@@ -101,6 +101,22 @@ object Ml {
       DelayModel.labelCol)
   }
 
+  /** Beyond-reference M-surface: the GBT twin of [[rfCongestion]]
+    * (ml.GbtPipeline) — identical features, sample, split and seeds, so
+    * the metric rows are directly comparable model-to-model (the
+    * RF-vs-GBT readout a model-comparison workflow produces). Rows-only
+    * driver check (learned floats); AUC floor, importance normalization
+    * and RF-comparability are asserted in MlPipelineSpec. */
+  def gbtCongestion(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("trip_distance", "hour", "minute", "day_of_week",
+      "day_of_month", "month", "is_holiday", "time_period_ohe",
+      "avg_speed_time_period", "expected_duration")
+    modelReport(spark,
+      graft.ml.GbtPipeline.trainPredict(features(spark, dir), cols,
+        CongestionModel.labelCol, sampleFraction = 0.3),
+      CongestionModel.labelCol)
+  }
+
   /** Beyond-reference M-surface: hyperparameter selection
     * (ml.ModelSelection) — TrainValidationSplit screen over the tree-count
     * grid on a light sample of the congestion frame. One row per grid
@@ -146,6 +162,7 @@ object Ml {
     VerifiedQuery("q_string_index", stringIndex, Some(stringIndexSql)),
     VerifiedQuery("q_rf_congestion", rfCongestion, None),
     VerifiedQuery("q_rf_delay", rfDelay, None),
+    VerifiedQuery("q_gbt_congestion", gbtCongestion, None),
     VerifiedQuery("q_model_select", modelSelect, None),
     VerifiedQuery("q_quality_classifier", qualityClassifier, None),
   )

@@ -48,14 +48,21 @@ object MlParityReport {
     lines += "|---|---|---|---|"
     for ((qname, model) <- Seq(("q_rf_congestion", "congestion"),
                                ("q_rf_delay", "delay"),
+                               ("q_gbt_congestion", "congestion_gbt"),
                                ("q_quality_classifier", "quality_filter"))) {
       val rows = graft.SparkEntry.queries(qname)(spark, dir)
         .filter(org.apache.spark.sql.functions.col("kind") === "metric")
         .collect()
         .map(r => r.getString(1) -> r.getDouble(2)).toMap
-      for ((metric, v) <- rows.toSeq.sortBy(_._1);
-           base <- baseline.get((model, metric)))
-        lines += f"| $model | $metric | $v%.3f | $base |"
+      for ((metric, v) <- rows.toSeq.sortBy(_._1)) {
+        baseline.get((model, metric)) match {
+          case Some(base) => lines += f"| $model | $metric | $v%.3f | $base |"
+          case None if model == "congestion_gbt" =>
+            // beyond-reference model family: no baseline column to cite
+            lines += f"| $model | $metric | $v%.3f | — (beyond reference) |"
+          case None => ()
+        }
+      }
     }
     val out = lines.mkString("", "\n", "\n")
     print(out)

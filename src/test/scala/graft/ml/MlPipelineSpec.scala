@@ -85,6 +85,25 @@ class MlPipelineSpec extends SparkSpec {
     assert(imps.exists(_._1.startsWith("time_period_ohe")))
   }
 
+  test("GBT twin: same split as RF, beats chance, importances normalized") {
+    val (model, predictions) = GbtPipeline.trainPredict(encoded,
+      CongestionModel.featureCols, "is_congested", sampleFraction = 1.0)
+    val preds = predictions.cache()
+    assert(preds.count() > 0)
+    val metrics = RandomForestPipeline.evaluate(preds, "is_congested")
+    assert(metrics("roc_auc") > 0.8, s"GBT AUC ${metrics("roc_auc")} below floor")
+    // identical seeds → identical held-out rows as the RF run: metric
+    // deltas between the families are model deltas, not split luck
+    val (_, rfPreds) = CongestionModel.trainPredict(encoded, sampleFraction = 1.0)
+    val gbtRows = preds.select($"trip_distance", $"hour", $"minute").collect().toSet
+    val rfRows = rfPreds.select($"trip_distance", $"hour", $"minute").collect().toSet
+    assert(gbtRows == rfRows, "GBT and RF held-out sets diverge despite shared seeds")
+    val imps = RandomForestPipeline.featureImportances(model, preds)
+    assert(math.abs(imps.map(_._2).sum - 1.0) < 1e-6)
+    assert(imps.map(-_._2) == imps.map(-_._2).sorted)
+    preds.unpersist()
+  }
+
   test("S8: model save/load round-trip preserves predictions") {
     val (model, predictions) = CongestionModel.trainPredict(encoded, sampleFraction = 1.0)
     val path = "target/test-tmp/congestion_model"

@@ -254,4 +254,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(tr.intersect(te).isEmpty, "randomSplit halves overlap")
     assert(tr.union(te) == s1, "randomSplit halves don't cover the sample")
   }
+
+  test("dynamic partition pruning fires on a partitioned fact joined to a filtered dim") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Hive-style partitioned fact (the layout parquetSink produces at
+    // scale): a selective dim filter on the partition key must prune
+    // partitions at RUNTIME via DPP — without it, a 100 TB fact scan
+    // reads every partition to discover most join nothing.
+    val root = java.nio.file.Files.createTempDirectory("graft-dpp-").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+        f.delete()
+      }
+      rm(root)
+    }))
+    val factPath = s"${root.getAbsolutePath}/fact"
+    val dimPath = s"${root.getAbsolutePath}/dim"
+    graft.Tables.events(spark, dir)
+      .select($"event_id", $"event_type", $"value")
+      .write.mode("overwrite").partitionBy("event_type").parquet(factPath)
+    // dim must be a SCANNED relation with a surviving selective Filter —
+    // a pre-filtered LocalRelation constant-folds and the pruning rule
+    // sees no predicate to derive the runtime filter from
+    Seq(("click", 1L), ("view", 2L), ("purchase", 3L),
+        ("cart", 4L), ("search", 5L))
+      .toDF("event_type", "type_id")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+      .filter($"type_id" === 1L) // selective dim predicate, NOT on the fact
+    val joined = spark.read.parquet(factPath)
+      .join(dim, Seq("event_type"))
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val physical = joined.queryExecution.executedPlan.toString
+    assert(physical.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruning subquery on the partitioned scan:\n$physical")
+    // and the pruned result is still correct
+    val out = joined.collect()
+    assert(out.length == 1 && out.head.getString(0) == "click")
+  }
 }
