@@ -225,7 +225,11 @@ class PlanShapeSpec extends SparkSpec {
       // its one-scan shape is asserted separately above)
       "q_window_funcs",           // multi-function window pass
       "q_hist_rate",              // agg + join-back on grouping keys
-      "q_etl_features")           // the full taxi-analog ETL
+      "q_etl_features",           // the full taxi-analog ETL
+      "q_neardup_survivor",       // CC labels + per-cluster survivor window
+      "q_interval_join",          // banded bucket equality join, no theta product
+      "q_bloom_join",             // InSet-pruned fact scan + exact join
+      "q_group_topk")             // typed aggregator: partial/final agg only
     gated.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
       df.collect() // AQE finalizes (and codegen-annotates) the plan on execution
