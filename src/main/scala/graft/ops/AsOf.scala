@@ -228,8 +228,14 @@ object AsOf {
     */
   def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ev = Tables.events(spark, dir)
-      .select($"user_id", $"event_id", $"event_type", unix_timestamp($"ts").as("sec"))
+    intervalJoinFrom(Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", unix_timestamp($"ts").as("sec")))
+  }
+
+  /** [[intervalJoin]] over a pre-projected (user_id, event_id, event_type,
+    * sec) frame — seam for tools/JoinScaleProbe's synthesized 10× input. */
+  private[graft] def intervalJoinFrom(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"sec", $"event_id")
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val sessions = ev

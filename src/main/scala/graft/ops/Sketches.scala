@@ -399,16 +399,23 @@ object Sketches {
     * join, and the joined revenue in integer cents. */
   def bloomJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val dim = Tables.customer(spark, dir).filter($"c_nationkey" < 5)
-      .select($"c_custkey")
+    bloomJoinFrom(
+      Tables.customer(spark, dir).filter($"c_nationkey" < 5).select($"c_custkey"),
+      Tables.orders(spark, dir)
+        .select($"o_custkey", $"o_orderpriority", $"o_totalprice"))
+  }
+
+  /** [[bloomJoin]] over explicit (dim keys, fact) frames — seam for
+    * tools/JoinScaleProbe's synthesized 10× fact side. */
+  private[graft] def bloomJoinFrom(dim: DataFrame, facts0: DataFrame): DataFrame = {
+    import dim.sparkSession.implicits._
     val bitSeq = dim
       .select(digest($"c_custkey".cast("string")).as("d"))
       .select(explode(array((0 until BloomK).map(j =>
         chunk($"d", j) % BloomBits): _*)).as("bit"))
       .distinct().as[Long].collect().toSeq // bounded by BloomBits, never data-sized
-    val facts = Tables.orders(spark, dir)
-      .select($"o_custkey", $"o_orderpriority", $"o_totalprice",
-        digest($"o_custkey".cast("string")).as("d"))
+    val facts = facts0
+      .withColumn("d", digest($"o_custkey".cast("string")))
     val candidates = facts.filter(
       (0 until BloomK).map(j => (chunk($"d", j) % BloomBits).isInCollection(bitSeq))
         .reduce(_ && _))
