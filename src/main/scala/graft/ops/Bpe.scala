@@ -224,8 +224,136 @@ object Bpe {
       .orderBy($"c".desc, $"lhs", $"rhs").limit(1)
   }
 
+  // ------------------------------------------------------------- WordPiece
+
+  /** Vocabulary size / max piece length for the WordPiece-style encoder —
+    * small enough that the whole induced vocabulary is a broadcastable
+    * single-row array at any corpus size (a production run raises V into
+    * the tens of thousands; the shape below is V-independent). */
+  val WpVocabSize = 64
+  val WpMaxLen = 6
+
+  /** WordPiece-style GREEDY LONGEST-MATCH subword encoding — the
+    * BERT-family tokenizer algorithm beside [[bpeEncode]]'s merge-table
+    * BPE: induce a subword vocabulary (every length-2..6 substring
+    * occurrence of the word table, scored `cnt × (len−1)` — the
+    * compression-gain stand-in for the unigram-LM objective, top-V with a
+    * deterministic gram tie-break), then tokenize each word
+    * left-to-right, always taking the LONGEST vocabulary piece that
+    * matches at the cursor, single-character fallback otherwise. The
+    * greedy scan is a `aggregate` higher-order fold whose state is just
+    * (cursor, count) — per-row, codegen-friendly, no UDF — and the same
+    * fold is replayed in the oracle as a recursive CTE over cursor
+    * positions, so the exact greedy semantics (probe order, fallback)
+    * are hash-compared, not assumed.
+    *
+    * Distributed shape: candidate scoring is explode → hash-agg over the
+    * VOCABULARY (not the corpus), the induced vocab is one broadcast
+    * array row, encoding is a narrow projection over the word table, and
+    * the corpus stream joins per-word token counts exactly as
+    * [[bpeEncode]] — the corpus is never re-tokenized per word
+    * occurrence. Emits the same per-source fertility/compression audit
+    * columns as `q_bpe_encode` for a direct BPE-vs-WordPiece readout. */
+  def wordpiece(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .select(explode(Text.tokens(Text.normalized($"text"))).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+      .cache()
+    val top = words
+      .select($"cnt", explode(expr(
+        s"""flatten(transform(sequence(2, $WpMaxLen),
+           |  l -> CASE WHEN length(word) >= l
+           |       THEN transform(sequence(1, length(word) - l + 1), i -> substring(word, i, l))
+           |       ELSE CAST(array() AS array<string>) END))""".stripMargin)).as("g"))
+      .groupBy($"g")
+      .agg(sum($"cnt" * (length($"g") - 1)).as("score"))
+      .orderBy($"score".desc, $"g").limit(WpVocabSize)
+    val vcol = top.agg(collect_list($"g").as("v"))
+    val probes = (WpMaxLen to 2 by -1).map { l =>
+      s"""WHEN length(word) - acc.p >= ${l - 1}
+         |     AND array_contains(v, substring(word, acc.p, $l))
+         |  THEN named_struct('p', acc.p + $l, 'n', acc.n + CAST(1 AS BIGINT))""".stripMargin
+    }.mkString("\n")
+    val tokPerWord = words.crossJoin(broadcast(vcol))
+      .withColumn("n_tokens", expr(
+        s"""aggregate(sequence(1, length(word)),
+           |  named_struct('p', 1, 'n', CAST(0 AS BIGINT)),
+           |  (acc, k) -> IF(k <> acc.p, acc,
+           |    CASE $probes
+           |    ELSE named_struct('p', acc.p + 1, 'n', acc.n + CAST(1 AS BIGINT)) END),
+           |  acc -> acc.n)""".stripMargin))
+      .select($"word", length($"word").cast("long").as("n_chars"), $"n_tokens")
+    val out = Tables.documents(spark, dir)
+      .select($"source", explode(Text.tokens(Text.normalized($"text"))).as("word"))
+      .filter(length($"word") > 0)
+      .join(tokPerWord, Seq("word"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"n_chars").as("n_chars"),
+        sum($"n_tokens").as("n_tokens"))
+      .select($"source", $"n_words", $"n_chars", $"n_tokens",
+        expr("(n_tokens * 1000000) div n_words").as("fertility_micro"),
+        expr("(n_chars * 1000000) div n_tokens").as("compression_micro"))
+    out.cache().count() // materialize before releasing the word-table cache
+    words.unpersist()
+    out
+  }
+
+  private val wordpieceSql: String = {
+    val probes = (WpMaxLen to 2 by -1).map { l =>
+      s"WHEN length(word) - p >= ${l - 1} AND list_contains(v, substr(word, p, $l)) THEN $l"
+    }.mkString("\n           ")
+    s"""WITH RECURSIVE words AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+       |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS word
+       |    FROM documents
+       |  ) WHERE word <> '' GROUP BY word
+       |), cands AS (
+       |  SELECT g, CAST(SUM(cnt * (length(g) - 1)) AS BIGINT) AS score FROM (
+       |    SELECT cnt, unnest(flatten(list_transform(range(2, $WpMaxLen + 1),
+       |      l -> CASE WHEN length(word) >= l
+       |           THEN list_transform(range(1, length(word) - l + 2),
+       |                  i -> substr(word, CAST(i AS INTEGER), CAST(l AS INTEGER)))
+       |           ELSE CAST([] AS VARCHAR[]) END))) AS g
+       |    FROM words)
+       |  GROUP BY g
+       |), vlist AS MATERIALIZED (
+       |  SELECT list(g) AS v FROM (
+       |    SELECT g FROM cands ORDER BY score DESC, g LIMIT $WpVocabSize)
+       |), enc AS (
+       |  SELECT word, 1 AS p, CAST(0 AS BIGINT) AS n FROM words
+       |  UNION ALL
+       |  SELECT word, p + m AS p, n + 1 AS n FROM (
+       |    SELECT word, p, n,
+       |      CASE $probes
+       |           ELSE 1 END AS m
+       |    FROM enc CROSS JOIN vlist
+       |    WHERE p <= length(word))
+       |), tok AS MATERIALIZED (
+       |  SELECT word, CAST(length(word) AS BIGINT) AS n_chars,
+       |         MAX(n) AS n_tokens
+       |  FROM enc GROUP BY word
+       |), stream AS (
+       |  SELECT source, unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+       |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS word
+       |  FROM documents
+       |)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(t.n_chars) AS BIGINT) AS n_chars,
+       |       CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(t.n_tokens) AS BIGINT) * 1000000 // CAST(COUNT(*) AS BIGINT) AS fertility_micro,
+       |       CAST(SUM(t.n_chars) AS BIGINT) * 1000000 // CAST(SUM(t.n_tokens) AS BIGINT) AS compression_micro
+       |FROM stream s JOIN tok t USING (word)
+       |WHERE word <> ''
+       |GROUP BY source""".stripMargin
+  }
+
   val all: Seq[VerifiedQuery] = Seq(
     VerifiedQuery("q_bpe_merges", bpeMerges, Some(bpeMergesSql)),
     VerifiedQuery("q_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
+    VerifiedQuery("q_wordpiece", wordpiece, Some(wordpieceSql)),
   )
 }

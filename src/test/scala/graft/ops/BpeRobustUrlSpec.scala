@@ -65,6 +65,45 @@ class BpeRobustUrlSpec extends SparkSpec {
     }
   }
 
+  test("wordpiece: hand-computed greedy longest-match fixture") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-wp-").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+        f.delete()
+      }
+      rm(dir)
+    }))
+    Seq((1L, "aaaa aaaa aa")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src1"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    // words: aaaa×2, aa×1 → grams scored cnt×(len−1) per occurrence:
+    // aa 3·2·1+1·1·1=7, aaa 2·2·2=8, aaaa 1·2·3=6 — all in the top-64.
+    // Greedy: "aaaa" probes len4 first → ONE token (not aa+aa); "aa" → one.
+    val r = Bpe.wordpiece(spark, dir.getAbsolutePath).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_words") == 3L)
+    assert(r.head.getAs[Long]("n_chars") == 10L)
+    assert(r.head.getAs[Long]("n_tokens") == 3L,
+      "longest-match must take whole 'aaaa' as one piece, not two 'aa's")
+    assert(r.head.getAs[Long]("fertility_micro") == 1000000L)
+    assert(r.head.getAs[Long]("compression_micro") == 3333333L)
+  }
+
+  test("wordpiece on the corpus: token bounds and subword compression hold") {
+    val rows = Bpe.wordpiece(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, c, t) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"), r.getAs[Long]("n_tokens"))
+      assert(t >= w, "at least one token per word")
+      assert(t <= c, "never more tokens than characters")
+      assert(r.getAs[Long]("compression_micro") > 1000000L,
+        "the induced vocabulary must beat character-level tokenization")
+    }
+  }
+
   // ---- triangles ----
 
   test("triangle counts match brute force on a planted graph with a hub") {
