@@ -1133,6 +1133,70 @@ object Similarity {
     * state is the k-row window. For corpus-sized query sets, swap the
     * exact scan for [[lshDetTopK]]/[[ivfTopK]] candidates — the vote and
     * eval stages are unchanged. */
+  /** Contrastive training-pair MINING — the dataset-construction step of
+    * embedding-model training (SimCSE/E5-style): for each anchor, the
+    * mined POSITIVE is its highest-cosine same-label neighbor and the
+    * HARD NEGATIVE its highest-cosine different-label neighbor — the
+    * near-miss that actually shapes the margin, not a random draw. Emits
+    * (anchor, pos, pos_cos, neg, neg_cos, margin); a non-positive margin
+    * flags anchors whose labels the embedding cannot yet separate — the
+    * rows a curriculum would weight up.
+    *
+    * Exact cosines through the native codegen'd dot product (bit-identical
+    * to DuckDB's sequential fold, [[bruteForceTopK]]'s precedent), so
+    * pair selection AND margins hash-match the oracle. Scale shape: the
+    * anchor set is bounded (broadcast) and the corpus is scanned once;
+    * at 100 TB anchors batch through the same shape, positives come from
+    * the near-dup tier ([[cosineNearDupBlocked]]) and negative candidates
+    * from ANN buckets ([[ivfTopK]]) — this exact variant is the
+    * correctness baseline those approximations are measured against. */
+  def contrastiveMine(spark: SparkSession, dir: String, nAnchors: Int = 8): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
+    val q = e.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("emb").as("qemb"))
+    val w = Window.partitionBy($"qid", $"same").orderBy($"cos".desc, $"vec_id")
+    e.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id",
+        when($"label" === $"qlabel", 1).otherwise(0).as("same"),
+        (V.dotNative($"emb", $"qemb") /
+          (V.normNative($"emb") * V.normNative($"qemb"))).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .groupBy($"qid")
+      .agg(
+        max(when($"same" === 1, $"vec_id")).as("pos_id"),
+        max(when($"same" === 1, $"cos")).as("pos_cos"),
+        max(when($"same" === 0, $"vec_id")).as("neg_id"),
+        max(when($"same" === 0, $"cos")).as("neg_cos"))
+      .withColumn("margin", $"pos_cos" - $"neg_cos")
+  }
+
+  private val contrastiveMineSql =
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      |), q AS (
+      |  SELECT vec_id AS qid, label AS qlabel, emb AS qemb FROM e WHERE vec_id < 8
+      |), s AS (
+      |  SELECT qid, vec_id,
+      |    CASE WHEN label = qlabel THEN 1 ELSE 0 END AS same,
+      |    list_dot_product(emb, qemb)
+      |      / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qemb, qemb))) AS cos
+      |  FROM e, q WHERE vec_id != qid
+      |), r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY qid, same ORDER BY cos DESC, vec_id) AS rn
+      |  FROM s
+      |)
+      |SELECT qid,
+      |  MAX(CASE WHEN same = 1 THEN vec_id END) AS pos_id,
+      |  MAX(CASE WHEN same = 1 THEN cos END) AS pos_cos,
+      |  MAX(CASE WHEN same = 0 THEN vec_id END) AS neg_id,
+      |  MAX(CASE WHEN same = 0 THEN cos END) AS neg_cos,
+      |  MAX(CASE WHEN same = 1 THEN cos END) - MAX(CASE WHEN same = 0 THEN cos END) AS margin
+      |FROM r WHERE rn = 1 GROUP BY qid""".stripMargin
+
   def knnEval(spark: SparkSession, dir: String,
               queryMod: Int = 100, k: Int = 5): DataFrame = {
     import spark.implicits._
@@ -1320,5 +1384,6 @@ object Similarity {
     VerifiedQuery("q_rand_proj", randomProjectionQuery, Some(randomProjectionSql)),
     VerifiedQuery("q_label_centroids", labelCentroids, Some(labelCentroidsSql)),
     VerifiedQuery("q_knn_eval", (s, d) => knnEval(s, d), Some(knnEvalSql)),
+    VerifiedQuery("q_contrastive_mine", (s, d) => contrastiveMine(s, d), Some(contrastiveMineSql)),
   )
 }

@@ -101,7 +101,8 @@ object DumpPlans {
       "q_interval_join" -> "banded interval join: day-bucket equality join + overlap post-filter, no BNLJ between data-sized sides",
       "q_hll_merge" -> "HLL merge: per-group register aggs MAX-merged to the union sketch, O(groups x 256) merge state",
       "q_bloom_join" -> "bloom semi-join reduction: sketch-sized InSet predicate prunes facts before the exact join",
-      "q_wordpiece" -> "wordpiece encode: vocab-sized candidate agg -> broadcast vocab array -> per-row greedy HOF fold")
+      "q_wordpiece" -> "wordpiece encode: vocab-sized candidate agg -> broadcast vocab array -> per-row greedy HOF fold",
+      "q_contrastive_mine" -> "contrastive mining: broadcast anchors x one corpus scan, per-(anchor,side) argmax windows")
 
     val qs = graft.SparkEntry.queries
     val sb = new StringBuilder

@@ -287,6 +287,28 @@ class IngestOpsSpec extends SparkSpec {
 
   // --------------------------------------------------------- winsorization
 
+  test("contrastiveMine: planted clusters — positive from own cluster, hard negative nearest other-cluster point") {
+    val dir = tmpDir()
+    Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f), 0),
+      (1L, Array(0.9f, 0.1f, 0f, 0f), 0),
+      (2L, Array(0.5f, 0.5f, 0f, 0f), 0),
+      (3L, Array(0f, 1.0f, 0f, 0f), 1),
+      (4L, Array(0.1f, 0.9f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.contrastiveMine(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    val a0 = out(0L)
+    assert(a0.getAs[Long]("pos_id") == 1L, "positive must be the closest same-label vector")
+    assert(a0.getAs[Long]("neg_id") == 4L, "hard negative must be the closest OTHER-label vector, not any other")
+    assert(a0.getAs[Double]("margin") > 0, "separable anchor must have positive margin")
+    val a3 = out(3L)
+    assert(a3.getAs[Long]("pos_id") == 4L && a3.getAs[Long]("neg_id") == 2L)
+    assert(a3.getAs[Double]("margin") > 0)
+  }
+
   test("winsorize: histogram bounds equal floor(percentile()) bit-for-bit") {
     // the count-histogram interpolation must reproduce Spark's own exact
     // percentile aggregate — not just the DuckDB oracle
