@@ -747,9 +747,12 @@ object LlmData {
     *
     * Scale shape: the ranking window partitions by `lang` (a production
     * run shards finer — any bounded-cardinality key works; the window is
-    * per-partition, never global), then one hash agg down to nShards rows;
-    * the token total joins back as a broadcast single-row frame over those
-    * nShards rows only. No global sort, no driver loop. */
+    * per-partition, never global), then one hash agg down to nShards rows,
+    * which COLLECT (bounded driver state) for the exact share math — a
+    * total-join formulation evaluated the ranking window twice (no
+    * exchange reuse across the self-referencing subtrees; caught in the
+    * plan audit), and at 100 TB the window IS the cost. No global sort,
+    * no data-sized driver traffic. */
   def balancedShards(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"lang").orderBy($"n_tok".desc, $"doc_id")
@@ -759,11 +762,13 @@ object LlmData {
       .groupBy($"shard")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
         sum($"doc_id").as("id_sum"))
-    per
-      .crossJoin(broadcast(per.agg(sum($"n_tokens").as("total"))))
-      .withColumn("share_ppm",
-        expr("CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000 div CAST(total AS DECIMAL(38,0)) AS BIGINT)"))
-      .drop("total")
+      .as[(Long, Long, Long, Long)].collect() // nShards rows, bounded
+    val total = per.map(r => BigInt(r._3)).sum
+    per.toSeq
+      .map { case (shard, nDocs, nTok, idSum) =>
+        (shard, nDocs, nTok, idSum, (BigInt(nTok) * 1000000 / total).toLong)
+      }
+      .toDF("shard", "n_docs", "n_tokens", "id_sum", "share_ppm")
   }
 
   private val balancedShardsSql =

@@ -334,12 +334,12 @@ object Sketches {
       .groupBy($"event_type")
       .agg(sum($"term").as("reg_sum"),
         sum(when($"m_r".isNull, 1L).otherwise(0L)).as("n_zero_regs"))
+    // per-type AND global exact counts in ONE pass: cube over the single
+    // grouping column yields exactly the (type) rows plus the () total
     val exact = Tables.events(spark, dir)
-      .select($"event_type", $"user_id")
-      .unionByName(Tables.events(spark, dir)
-        .select(lit("__ALL__").as("event_type"), $"user_id"))
-      .groupBy($"event_type")
+      .cube($"event_type")
       .agg(countDistinct($"user_id").as("n_exact"))
+      .select(coalesce($"event_type", lit("__ALL__")).as("event_type"), $"n_exact")
     sums.join(exact, Seq("event_type"))
       .select($"event_type", $"reg_sum", $"n_zero_regs", $"n_exact",
         (lit(HllEstNumerator) / $"reg_sum").as("est_raw"))
