@@ -38,17 +38,13 @@ object GbtPipeline {
     new Pipeline().setStages(
       Array(RandomForestPipeline.assembler(featureCols), classifier(labelCol)))
 
-  /** Same sample → 80/20 split → fit → transform contract as
-    * [[RandomForestPipeline.trainPredict]], same seeds — held-out rows are
-    * identical across the two families, so metric deltas are model deltas. */
+  /** Delegates to [[RandomForestPipeline.trainPredictWith]] — ONE
+    * sample/split/fit/transform definition for both families, so the
+    * identical-held-out-rows contract (same seeds ⇒ metric deltas are
+    * model deltas) is structural, not copy-kept. */
   def trainPredict(df: DataFrame, featureCols: Seq[String], labelCol: String,
                    sampleFraction: Double = 0.3, seed: Long = 42,
-                   trainPartitions: Int = 4): (PipelineModel, DataFrame) = {
-    val sampled =
-      if (sampleFraction >= 1.0) df
-      else df.sample(withReplacement = false, sampleFraction, seed)
-    val Array(train, test) = sampled.randomSplit(Array(0.8, 0.2), seed)
-    val model = pipeline(featureCols, labelCol).fit(train.repartition(trainPartitions))
-    (model, model.transform(test))
-  }
+                   trainPartitions: Int = 4): (PipelineModel, DataFrame) =
+    RandomForestPipeline.trainPredictWith(pipeline(featureCols, labelCol), df,
+      sampleFraction, seed, trainPartitions)
 }

@@ -49,7 +49,17 @@ object RandomForestPipeline {
     */
   def trainPredict(df: DataFrame, featureCols: Seq[String], labelCol: String,
                    sampleFraction: Double = 0.3, seed: Long = 42,
-                   trainPartitions: Int = 4): (PipelineModel, DataFrame) = {
+                   trainPartitions: Int = 4): (PipelineModel, DataFrame) =
+    trainPredictWith(pipeline(featureCols, labelCol), df,
+      sampleFraction, seed, trainPartitions)
+
+  /** The sample → split → fit → transform core, shared with
+    * [[GbtPipeline]] so both model families see IDENTICAL held-out rows
+    * under the same seeds (MlPipelineSpec asserts the contract) — one
+    * definition, structurally impossible to drift. */
+  def trainPredictWith(pipe: Pipeline, df: DataFrame,
+                       sampleFraction: Double = 0.3, seed: Long = 42,
+                       trainPartitions: Int = 4): (PipelineModel, DataFrame) = {
     val sampled =
       if (sampleFraction >= 1.0) df
       else df.sample(withReplacement = false, sampleFraction, seed)
@@ -63,7 +73,7 @@ object RandomForestPipeline {
     // At a real 100 TB deployment, scale trainPartitions to the sampled
     // size, not the corpus size.
     val Array(train, test) = sampled.randomSplit(Array(0.8, 0.2), seed)
-    val model = pipeline(featureCols, labelCol).fit(train.repartition(trainPartitions))
+    val model = pipe.fit(train.repartition(trainPartitions))
     (model, model.transform(test))
   }
 

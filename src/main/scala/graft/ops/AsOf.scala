@@ -236,14 +236,9 @@ object AsOf {
     * sec) frame — seam for tools/JoinScaleProbe's synthesized 10× input. */
   private[graft] def intervalJoinFrom(ev: DataFrame): DataFrame = {
     import ev.sparkSession.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"sec", $"event_id")
-    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sessions = ev
-      .withColumn("gap", $"sec" - lag($"sec", 1).over(w))
-      .withColumn("is_new", when($"gap".isNull || $"gap" > 1800, 1L).otherwise(0L))
-      .withColumn("session_seq", sum($"is_new").over(wRun))
-      .groupBy($"user_id", $"session_seq")
-      .agg(min($"sec").as("start_s"), max($"sec").as("end_s"))
+    val sessions = LlmData
+      .gapSessionAgg(ev.select($"user_id", $"event_id", $"sec"))
+      .select($"user_id", $"session_seq", $"start_s", $"end_s")
     val bursts = ev
       .withColumn("day", expr("sec div 86400"))
       .groupBy($"event_type", $"day")

@@ -296,7 +296,12 @@ object Bpe {
       .select($"source", $"n_words", $"n_chars", $"n_tokens",
         expr("(n_tokens * 1000000) div n_words").as("fertility_micro"),
         expr("(n_chars * 1000000) div n_tokens").as("compression_micro"))
-    out.cache().count() // materialize before releasing the word-table cache
+    // Materialize the result-sized frame while `words` is still cached,
+    // then release the corpus-sized cache; the tiny cached `out` (source
+    // rows) deliberately stays for the caller's action — unpersisting it
+    // here would make the caller recompute the whole pipeline WITHOUT the
+    // word cache (same pattern and rationale as [[bpeEncode]]).
+    out.cache().count()
     words.unpersist()
     out
   }

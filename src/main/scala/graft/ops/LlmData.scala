@@ -59,6 +59,23 @@ object LlmData {
       lenOk * lit(0.2) + meanLenOk * lit(0.2)
   }
 
+  /** The INLINE DuckDB form of [[qualityCol]] (one expression over a raw
+    * `text` column) — shared with [[Similarity]]'s survivorship oracle so
+    * a weight/stopword change to [[qualityCol]] cannot silently diverge
+    * between oracles; [[qualityScoreSql]] is the same formula in its
+    * CTE-factored form. Addition order matches qualityCol exactly
+    * (left-assoc) — the argmax compares these doubles bit-for-bit. */
+  private[graft] val qualityInlineSql: String =
+    """len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |        x -> list_contains(['the','a','of','and','to','in','is'], x))) * 1.0
+      |      / len(string_split_regex(trim(text), '\s+')) * 0.4
+      |    + (1.0 - len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / length(text)) * 0.2
+      |    + (CASE WHEN length(text) BETWEEN 100 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.2
+      |    + (CASE WHEN list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+      |          x -> length(x))) * 1.0
+      |        / len(string_split_regex(trim(text), '\s+')) BETWEEN 2.0 AND 12.0
+      |      THEN 1.0 ELSE 0.0 END) * 0.2""".stripMargin
+
   /** Composite quality score from deterministic signals: stopword ratio,
     * punctuation density, mean token length band, length band — the
     * standard cheap pre-filter tier of a training-data pipeline. */
@@ -595,22 +612,35 @@ object LlmData {
     * session starts when the gap to the previous event exceeds 30 minutes;
     * sessions aggregate to (n_events, span). lag + running-sum windows —
     * one shuffle on user_id, then per-partition sorted evaluation. */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** Gap-sessionization core over a (user_id, event_id, sec) frame — ONE
+    * definition shared by [[sessionize]] and [[AsOf.intervalJoin]]'s
+    * session-interval derivation, so the gap threshold and the
+    * engine-independent (sec, event_id) window order can never diverge
+    * between the two (both oracles encode the identical semantics).
+    * Returns one row per (user_id, session_seq) with event count and
+    * start/end epoch seconds. */
+  private[ops] def gapSessionAgg(ev: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    import ev.sparkSession.implicits._
     // Order on (sec, event_id) — the second-truncated time plus a unique
     // tie-break — so the window order is engine-independent (sub-second ts
     // ordering would be invisible to the oracle).
     val w = Window.partitionBy($"user_id").orderBy($"sec", $"event_id")
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, dir)
-      .withColumn("sec", unix_timestamp($"ts"))
+    ev
       .withColumn("gap", $"sec" - lag($"sec", 1).over(w))
-      .withColumn("is_new", when($"gap".isNull || $"gap" > 1800, 1L).otherwise(0L))
+      .withColumn("is_new", when($"gap".isNull || $"gap" > gapSeconds, 1L).otherwise(0L))
       .withColumn("session_seq", sum($"is_new").over(wRun))
       .groupBy($"user_id", $"session_seq")
       .agg(count(lit(1)).as("n_events"),
-        min($"sec").as("start_s"), max($"sec").as("end_s"),
-        (max($"sec") - min($"sec")).as("span_s"))
+        min($"sec").as("start_s"), max($"sec").as("end_s"))
+  }
+
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    gapSessionAgg(Tables.events(spark, dir)
+        .select($"user_id", $"event_id", unix_timestamp($"ts").as("sec")))
+      .select($"user_id", $"session_seq", $"n_events", $"start_s", $"end_s",
+        ($"end_s" - $"start_s").as("span_s"))
   }
 
   private val sessionizeSql =
@@ -702,6 +732,7 @@ object LlmData {
       .withColumn("w", floor(sqrt($"n_tokens")).cast("long"))
       .as[(String, Long, Long, Long)].collect() // O(sources), bounded
     val totalW = hist.map(_._4).sum
+    require(totalW > 0, s"temperatureMix: empty or zero-token corpus at $dir")
     val rates = hist.toSeq
       .map { case (src, nd, nt, w) => (src, nd, nt, w, w * 1000000L / totalW) }
       .toDF("source", "n_docs", "n_tokens", "w", "rate_ppm")
@@ -764,11 +795,27 @@ object LlmData {
         sum($"doc_id").as("id_sum"))
       .as[(Long, Long, Long, Long)].collect() // nShards rows, bounded
     val total = per.map(r => BigInt(r._3)).sum
+    require(total > 0, s"balancedShards: empty or zero-token corpus at $dir")
     per.toSeq
       .map { case (shard, nDocs, nTok, idSum) =>
         (shard, nDocs, nTok, idSum, (BigInt(nTok) * 1000000 / total).toLong)
       }
       .toDF("shard", "n_docs", "n_tokens", "id_sum", "share_ppm")
+  }
+
+  /** The distributed half of [[balancedShards]] — per-lang ranking window
+    * → nShards-row aggregate — exposed un-executed for the plan audit
+    * (the registered query finalizes the bounded share math on the
+    * driver, so its own plan shows only a LocalTableScan). */
+  def balancedShardsPlan(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"n_tok".desc, $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", Text.tokenCount($"text").cast("long").as("n_tok"))
+      .withColumn("shard", ((row_number().over(w) - 1) % nShards).cast("long"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+        sum($"doc_id").as("id_sum"))
   }
 
   private val balancedShardsSql =

@@ -70,6 +70,14 @@ object Ml {
     (metrics ++ imps).toDF("kind", "name", "value")
   }
 
+  /** The analog congestion feature list (ops.Etl.etlFeatures columns) —
+    * ONE definition for the RF query, its GBT twin and the
+    * model-selection screen, so "identical features" across the model
+    * comparisons is structural. */
+  private val analogCongestionCols = Seq("trip_distance", "hour", "minute",
+    "day_of_week", "day_of_month", "month", "is_holiday", "time_period_ohe",
+    "avg_speed_time_period", "expected_duration")
+
   /** M3-M9 end-to-end: the congestion classifier on the events analog
     * (pipeline 3, nyc_taxi_final.py:738-923). The analog lacks the
     * weather/location columns of the real taxi frame, so the feature list
@@ -77,11 +85,8 @@ object Ml {
     * CongestionModel.featureCols path runs against the reference taxi
     * schema in scalatest. */
   def rfCongestion(spark: SparkSession, dir: String): DataFrame = {
-    val cols = Seq("trip_distance", "hour", "minute", "day_of_week",
-      "day_of_month", "month", "is_holiday", "time_period_ohe",
-      "avg_speed_time_period", "expected_duration")
     modelReport(spark,
-      RandomForestPipeline.trainPredict(features(spark, dir), cols,
+      RandomForestPipeline.trainPredict(features(spark, dir), analogCongestionCols,
         CongestionModel.labelCol, sampleFraction = 0.3),
       CongestionModel.labelCol)
   }
@@ -108,11 +113,8 @@ object Ml {
     * driver check (learned floats); AUC floor, importance normalization
     * and RF-comparability are asserted in MlPipelineSpec. */
   def gbtCongestion(spark: SparkSession, dir: String): DataFrame = {
-    val cols = Seq("trip_distance", "hour", "minute", "day_of_week",
-      "day_of_month", "month", "is_holiday", "time_period_ohe",
-      "avg_speed_time_period", "expected_duration")
     modelReport(spark,
-      graft.ml.GbtPipeline.trainPredict(features(spark, dir), cols,
+      graft.ml.GbtPipeline.trainPredict(features(spark, dir), analogCongestionCols,
         CongestionModel.labelCol, sampleFraction = 0.3),
       CongestionModel.labelCol)
   }
@@ -125,12 +127,9 @@ object Ml {
     * exactly in ModelSelectionSpec. */
   def modelSelect(spark: SparkSession, dir: String): DataFrame = {
     val df = features(spark, dir).sample(withReplacement = false, 0.1, 42)
-    val cols = Seq("trip_distance", "hour", "minute", "day_of_week",
-      "day_of_month", "month", "is_holiday", "time_period_ohe",
-      "avg_speed_time_period", "expected_duration")
     // same sampled-set right-sizing as RandomForestPipeline.trainPredict
     val tvs = graft.ml.ModelSelection.trainValidationSelect(
-      df.repartition(4), cols, CongestionModel.labelCol)
+      df.repartition(4), analogCongestionCols, CongestionModel.labelCol)
     graft.ml.ModelSelection.report(spark, tvs.getEstimatorParamMaps, tvs.validationMetrics)
   }
 

@@ -497,15 +497,7 @@ object Similarity {
       |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a
       |), qd AS (
       |  SELECT doc_id,
-      |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-      |        x -> list_contains(['the','a','of','and','to','in','is'], x))) * 1.0
-      |      / len(string_split_regex(trim(text), '\\s+')) * 0.4
-      |    + (1.0 - len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / length(text)) * 0.2
-      |    + (CASE WHEN length(text) BETWEEN 100 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.2
-      |    + (CASE WHEN list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
-      |          x -> length(x))) * 1.0
-      |        / len(string_split_regex(trim(text), '\\s+')) BETWEEN 2.0 AND 12.0
-      |      THEN 1.0 ELSE 0.0 END) * 0.2 AS quality
+      |    ${LlmData.qualityInlineSql} AS quality
       |  FROM documents
       |), m AS (
       |  SELECT l.cluster, l.doc_id, qd.quality,

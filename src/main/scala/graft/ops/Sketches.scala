@@ -310,32 +310,25 @@ object Sketches {
     * what the sketch avoids). */
   def hllMerge(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val keyed = Tables.events(spark, dir)
-      .select($"event_type", $"user_id", h60($"user_id".cast("string")).as("h"))
-    val rhos = keyed
-      .withColumn("reg", $"h" % HllRegisters)
-      .withColumn("v", shiftrightunsigned($"h", 8))
-      .withColumn("rho",
-        when($"v" === 0, lit(HllValueBits + 1))
-          .otherwise(bit_count($"v".bitwiseAND(-$"v") - 1) + 1))
-      .groupBy($"event_type", $"reg")
-      .agg(max($"rho").as("m_r"))
-    // the merge step: union's register = MAX over the groups' registers
-    val merged = rhos.groupBy($"reg").agg(max($"m_r").as("m_r"))
-      .withColumn("event_type", lit("__ALL__"))
-    val sketches = rhos.unionByName(merged.select($"event_type", $"reg", $"m_r"))
-    val types = keyed.select($"event_type").distinct()
-      .unionByName(Seq("__ALL__").toDF("event_type"))
-    val grid = types
-      .select($"event_type", explode(sequence(lit(0), lit(HllRegisters - 1))).as("reg"))
-    val sums = grid.join(sketches, Seq("event_type", "reg"), "left")
-      .withColumn("term",
-        expr(s"shiftleft(CAST(1 AS BIGINT), ${HllValueBits + 1} - coalesce(m_r, 0))"))
-      .groupBy($"event_type")
-      .agg(sum($"term").as("reg_sum"),
-        sum(when($"m_r".isNull, 1L).otherwise(0L)).as("n_zero_regs"))
-    // per-type AND global exact counts in ONE pass: cube over the single
-    // grouping column yields exactly the (type) rows plus the () total
+    // ONE corpus pass collapses to the per-(type, register) sketch table —
+    // O(groups × 256) rows, the definition of sketch-sized — which then
+    // collects for the merge/sum arithmetic (exact integer shifts on the
+    // driver; a declarative union/grid formulation evaluated this agg
+    // subtree twice and re-scanned events for the type list — 4 corpus
+    // scans, caught in the plan audit)
+    val rhosLocal = hllRegistersPlan(spark, dir)
+      .as[(String, Long, Int)].collect()
+    val mergedRegs = rhosLocal.groupBy(_._2).map { case (r, xs) => r -> xs.map(_._3).max }
+    val perType = rhosLocal.groupBy(_._1).map { case (t, xs) =>
+      t -> xs.map(x => x._2 -> x._3).toMap
+    } + ("__ALL__" -> mergedRegs)
+    val sums = perType.toSeq.map { case (t, regs) =>
+      val regSum = (0 until HllRegisters).map(r =>
+        1L << (HllValueBits + 1 - regs.getOrElse(r.toLong, 0))).sum
+      (t, regSum, (HllRegisters - regs.size).toLong)
+    }.toDF("event_type", "reg_sum", "n_zero_regs")
+    // per-type AND global exact counts in the SECOND (and last) pass: cube
+    // over the single grouping column yields the (type) rows plus the total
     val exact = Tables.events(spark, dir)
       .cube($"event_type")
       .agg(countDistinct($"user_id").as("n_exact"))
@@ -343,6 +336,23 @@ object Sketches {
     sums.join(exact, Seq("event_type"))
       .select($"event_type", $"reg_sum", $"n_zero_regs", $"n_exact",
         (lit(HllEstNumerator) / $"reg_sum").as("est_raw"))
+  }
+
+  /** The distributed half of [[hllMerge]] — the corpus scan collapsing to
+    * per-(type, register) partial sketches; exposed un-executed for the
+    * plan audit (the registered query's merge math is driver-side by
+    * design and its own plan shows only a LocalTableScan join). */
+  def hllRegistersPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type", h60($"user_id".cast("string")).as("h"))
+      .withColumn("reg", $"h" % HllRegisters)
+      .withColumn("v", shiftrightunsigned($"h", 8))
+      .withColumn("rho",
+        when($"v" === 0, lit(HllValueBits + 1))
+          .otherwise(bit_count($"v".bitwiseAND(-$"v") - 1) + 1))
+      .groupBy($"event_type", $"reg")
+      .agg(max($"rho").as("m_r"))
   }
 
   private val hllMergeSql = {

@@ -95,11 +95,11 @@ object DumpPlans {
       "q_split_leakage" -> "cross-split leakage audit: banded bucket join candidates x narrow split projection, leak-sized agg",
       "q_dsir_select" -> "DSIR importance selection: explode -> two B-row hash histograms -> broadcast weight dim -> per-doc agg -> TakeOrdered(k)",
       "q_temperature_mix" -> "temperature mixture: one hash agg to the source dim, broadcast rate dim back onto docs, one final agg",
-      "q_balanced_shards" -> "token-balanced shards: per-lang ranking window -> nShards-row agg, broadcast single-row total",
+      "q_balanced_shards#plan" -> "token-balanced shards, distributed half: per-lang ranking window -> nShards-row agg (share math finalizes on the driver)",
       "q_neardup_survivor" -> "quality survivorship: banded candidates -> CC labels -> per-cluster row_number over clustered docs only",
       "q_group_topk" -> "typed top-k aggregator: partial buffers <= k rows/group -> shuffle carries leaderboards, not facts",
       "q_interval_join" -> "banded interval join: day-bucket equality join + overlap post-filter, no BNLJ between data-sized sides",
-      "q_hll_merge" -> "HLL merge: per-group register aggs MAX-merged to the union sketch, O(groups x 256) merge state",
+      "q_hll_merge#sketch" -> "HLL merge, distributed half: corpus scan -> per-(type, register) partial sketch agg (MAX-merge finalizes on the driver)",
       "q_bloom_join" -> "bloom semi-join reduction: sketch-sized InSet predicate prunes facts before the exact join",
       "q_wordpiece" -> "wordpiece encode: vocab-sized candidate agg -> broadcast vocab array -> per-row greedy HOF fold",
       "q_contrastive_mine" -> "contrastive mining: broadcast anchors x one corpus scan, per-(anchor,side) argmax windows")
@@ -115,6 +115,8 @@ object DumpPlans {
         if (name == "q_pagerank#round") graft.ops.Graph.oneRoundPlan(spark, dir)
         else if (name == "q_bpe_merges#round") graft.ops.Bpe.pairCountPlan(spark, dir)
         else if (name == "q_triangle_count#plan") graft.ops.Graph.trianglePlan(spark, dir)
+        else if (name == "q_balanced_shards#plan") graft.ops.LlmData.balancedShardsPlan(spark, dir)
+        else if (name == "q_hll_merge#sketch") graft.ops.Sketches.hllRegistersPlan(spark, dir)
         else qs(name)(spark, dir)
       sb.append(s"\n## $name — $note\n\n```\n")
       sb.append(df.queryExecution.explainString(
