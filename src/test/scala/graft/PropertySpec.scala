@@ -140,4 +140,28 @@ class PropertySpec extends SparkSpec {
         assert(ks.size == 13, s"20-char string must yield 13 8-grams, got ${ks.size}")
       }
   }
+
+  test("TopKByPrice merge is associative/commutative: any partitioning yields the global top-k") {
+    import graft.functions.{PricedRow, TopKByPrice => T}
+    val rowGen = for {
+      c <- Gen.choose(-1000L, 1000L) // negative cents included — ordering must still hold
+      k <- Gen.choose(0L, 50L)       // small key space forces cents ties
+    } yield PricedRow(c, k)
+    val caseGen = for {
+      rows <- Gen.listOfN(40, rowGen)
+      cuts <- Gen.listOfN(3, Gen.choose(0, 40))
+    } yield (rows, cuts.sorted)
+    samples(caseGen, 30).foreach { case (rows, cuts) =>
+      val expected = rows.sortBy(r => (-r.cents, r.key)).take(T.k)
+      // arbitrary 4-way partitioning, each chunk reduced then merged in
+      // arbitrary (reversed) order — the distribution the executor sees
+      val chunks = (0 +: cuts :+ rows.length).sliding(2).map {
+        case Seq(a, b) => rows.slice(a, b)
+      }.toSeq
+      val partials = chunks.map(_.foldLeft(T.zero)(T.reduce))
+      val merged = partials.reverse.foldLeft(T.zero)(T.merge)
+      assert(T.finish(merged) == expected,
+        s"partitioned merge diverged from the sequential top-k for $rows / cuts $cuts")
+    }
+  }
 }
