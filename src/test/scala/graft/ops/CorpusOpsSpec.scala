@@ -290,6 +290,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
 
+  test("temperatureMix: hand-computed integer rates on a two-source fixture") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tmix-").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+        f.delete()
+      }
+      rm(dir)
+    }))
+    // srcA: 1 doc × 100 tokens → w = floor(sqrt(100)) = 10
+    // srcB: 1 doc × 400 tokens → w = 20; total_w 30 →
+    // rates 10·10^6/30 = 333333 and 20·10^6/30 = 666666 (exact integer div)
+    Seq((1L, Seq.fill(100)("w").mkString(" "), "srcA"),
+        (2L, Seq.fill(400)("w").mkString(" "), "srcB"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val rows = LlmData.temperatureMix(spark, dir.getAbsolutePath)
+      .select($"source", $"n_tokens", $"w", $"rate_ppm")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(rows("srcA")._3 == 10L && rows("srcB")._3 == 20L)
+    assert(rows("srcA")._4 == 333333L, "exact integer-division rate for the small source")
+    assert(rows("srcB")._4 == 666666L, "exact integer-division rate for the large source")
+  }
+
   test("temperatureMix: sqrt flattening upweights the smallest source, kept counts bounded") {
     val rows = LlmData.temperatureMix(spark, "/root/testdata/sf0.001")
       .select($"source", $"n_docs", $"n_tokens", $"w", $"rate_ppm",

@@ -95,6 +95,32 @@ class SamplingWindowSpec extends SparkSpec {
     assert(repart.toSeq == viaAgg.toSeq)
   }
 
+  test("intervalJoin: a session crossing midnight matches bursts in BOTH day buckets") {
+    import spark.implicits._
+    // user 1's session spans 23:50 → 00:10 across the day-86400 boundary:
+    // the banded path must explode it into both day buckets and find the
+    // day-0 burst (view) AND the day-1 burst (click) — a single-bucket
+    // bug would drop one side.
+    val day = 86400L
+    val ev = Seq(
+      (1L, 1L, "view", day - 600L),      // day 0, 23:50 — also day-0 burst
+      (2L, 1L, "click", day + 600L),     // day 1, 00:10 — also day-1 burst
+      (3L, 9L, "view", 1000L),           // separate day-0 view widening that burst
+      (4L, 9L, "click", day + 7200L))    // separate day-1 click widening that burst
+      .toDF("event_id", "user_id", "event_type", "sec")
+      .select($"user_id", $"event_id", $"event_type", $"sec")
+    val out = AsOf.intervalJoinFrom(ev)
+      .select($"event_type", $"n_pairs", $"n_sessions", $"overlap_s")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // user 1's crossing session [day-600, day+600] overlaps the view burst
+    // [1000, day-600] (at its right edge) and the click burst
+    // [day+600, day+7200] (at its left edge); users 9's point sessions
+    // overlap their own bursts too
+    assert(out.contains("view") && out.contains("click"))
+    assert(out("view")._2 == 2L, "crossing session + day-0 point session both hit the view burst")
+    assert(out("click")._2 == 2L, "crossing session must ALSO reach the day-1 burst")
+  }
+
   test("intervalJoin: banded equality join == naive theta-join semantics") {
     import spark.implicits._
     val banded = AsOf.intervalJoin(spark, sf)
