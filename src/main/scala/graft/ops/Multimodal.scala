@@ -498,6 +498,80 @@ object Multimodal {
       |  CAST(COUNT(*) FILTER (WHERE v >= 240) AS BIGINT) AS hist_bin15
       |FROM px GROUP BY doc_id""".stripMargin
 
+  final case class ThumbStats(media_id: Long, thumb_sum: Long,
+      corner00: Long, corner77: Long)
+
+  /** Nearest-neighbor thumbnail RESIZE through the real codec loop — the
+    * missing verb of the multimodal tier beside decode / feature-extract /
+    * frame-sample: decode the PNG, resample to a fixed `side`×`side`
+    * thumbnail with the pure-integer index map dst(x,y) ← src(x·w div
+    * side, y·h div side) (nearest-neighbor is the ONE resampling kernel
+    * whose output is bit-exact in any engine — bilinear would put
+    * rounding policy into the hash), PNG-encode the thumbnail and decode
+    * it AGAIN: the emitted stats come from the round-tripped bytes, so
+    * the resize math and the re-encode loop are both under the oracle.
+    * Typed mapPartitions like every codec path here (JDK ImageIO has no
+    * Catalyst expression form); per-row work, no shuffle. */
+  def imageThumbs(media: Dataset[MediaRecord], side: Int = 8): Dataset[ThumbStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.bytes))
+        val (w, h) = (src.getWidth, src.getHeight)
+        val dst = new java.awt.image.BufferedImage(
+          side, side, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        var y = 0
+        while (y < side) {
+          var x = 0
+          while (x < side) {
+            dst.getRaster.setSample(x, y, 0,
+              src.getRaster.getSample(x * w / side, y * h / side, 0))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        val rt = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+        var sum = 0L
+        var yy = 0
+        while (yy < side) {
+          var xx = 0
+          while (xx < side) { sum += rt.getRaster.getSample(xx, yy, 0); xx += 1 }
+          yy += 1
+        }
+        ThumbStats(m.media_id, sum,
+          rt.getRaster.getSample(0, 0, 0).toLong,
+          rt.getRaster.getSample(side - 1, side - 1, 0).toLong)
+      }
+    }
+  }
+
+  /** Oracled RESIZE query: generator PNG → decode → 8×8 nearest-neighbor
+    * thumbnail → re-encode → re-decode → stats; the oracle recomputes the
+    * identical integer index mapping from the generator formula, so a
+    * wrong stride, axis swap or off-by-one in the resample hash-fails. */
+  def imageResize(spark: SparkSession, dir: String): DataFrame = {
+    imageThumbs(imagesFromDocuments(
+      graft.Tuning.spread(Tables.documents(spark, dir)))).toDF()
+  }
+
+  private val imageResizeSql =
+    """WITH t AS (
+      |  SELECT d.doc_id, x.i AS xx, y.i AS yy,
+      |    (d.doc_id * 31
+      |      + ((x.i * (d.doc_id % 16 + 8)) // 8) * 7
+      |      + ((y.i * (d.doc_id % 12 + 8)) // 8) * 13) % 256 AS v
+      |  FROM documents d, range(8) x(i), range(8) y(i)
+      |)
+      |SELECT doc_id AS media_id,
+      |  CAST(SUM(v) AS BIGINT) AS thumb_sum,
+      |  CAST(MAX(CASE WHEN xx = 0 AND yy = 0 THEN v END) AS BIGINT) AS corner00,
+      |  CAST(MAX(CASE WHEN xx = 7 AND yy = 7 THEN v END) AS BIGINT) AS corner77
+      |FROM t GROUP BY doc_id""".stripMargin
+
   /** Oracled REAL-codec audio query: WAV-encode deterministic PCM per doc
     * ([[audioFromDocuments]]), decode with the JDK's AudioSystem
     * ([[WavDecoder]]), and emit amplitude statistics. `n_bytes` pins the
@@ -565,6 +639,7 @@ object Multimodal {
     VerifiedQuery("q_video_features", videoFeatures, Some(videoFeaturesSql)),
     VerifiedQuery("q_frame_sample", frameSampleQuery, Some(frameSampleSql)),
     VerifiedQuery("q_image_features", imageFeatures, Some(imageFeaturesSql)),
+    VerifiedQuery("q_image_resize", imageResize, Some(imageResizeSql)),
     VerifiedQuery("q_audio_features", audioFeatures, Some(audioFeaturesSql)),
   )
 }

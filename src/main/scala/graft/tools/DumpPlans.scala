@@ -102,7 +102,8 @@ object DumpPlans {
       "q_hll_merge#sketch" -> "HLL merge, distributed half: corpus scan -> per-(type, register) partial sketch agg (MAX-merge finalizes on the driver)",
       "q_bloom_join" -> "bloom semi-join reduction: sketch-sized InSet predicate prunes facts before the exact join",
       "q_wordpiece" -> "wordpiece encode: vocab-sized candidate agg -> broadcast vocab array -> per-row greedy HOF fold",
-      "q_contrastive_mine" -> "contrastive mining: broadcast anchors x one corpus scan, per-(anchor,side) argmax windows")
+      "q_contrastive_mine" -> "contrastive mining: broadcast anchors x one corpus scan, per-(anchor,side) argmax windows",
+      "q_image_resize" -> "codec resize loop: typed mapPartitions decode -> NN resample -> re-encode -> re-decode, per-row, no shuffle")
 
     val qs = graft.SparkEntry.queries
     val sb = new StringBuilder

@@ -134,4 +134,21 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(0).byte_sum == expected)
     assert(feats(0).histogram.sum == n.toLong)
   }
+
+  test("imageThumbs: 8x8 nearest-neighbor resize matches the index-mapped generator formula") {
+    import spark.implicits._
+    val ids = Seq(3L, 10L, 17L) // distinct (w, h) shapes: (11,11), (18,10), (9,13)
+    val docs = ids.toDF("doc_id")
+    val thumbs = Multimodal.imageThumbs(Multimodal.imagesFromDocuments(docs))
+      .collect().map(t => t.media_id -> t).toMap
+    ids.foreach { id =>
+      val (w, h) = ((id % 16 + 8).toInt, (id % 12 + 8).toInt)
+      def px(x: Int, y: Int): Long = (id * 31 + (x * w / 8) * 7 + (y * h / 8) * 13) % 256
+      val expectSum = (for (y <- 0 until 8; x <- 0 until 8) yield px(x, y)).sum
+      val t = thumbs(id)
+      assert(t.thumb_sum == expectSum, s"doc $id: resample index math diverged")
+      assert(t.corner00 == px(0, 0) && t.corner77 == px(7, 7),
+        s"doc $id: corner pixels must survive the re-encode round trip")
+    }
+  }
 }
