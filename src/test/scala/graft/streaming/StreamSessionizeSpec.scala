@@ -121,6 +121,28 @@ class StreamSessionizeSpec extends SparkSpec {
     assert(s == b, s"stream/batch diverge: only-stream=${(s -- b).take(5)} only-batch=${(b -- s).take(5)}")
   }
 
+  test("availableNowHoppingCounts equals the batch two-offset window expansion") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = availableNowHoppingCounts(spark, dir,
+      fixtureRoot = "target/test-tmp/stream_hop_fixture")
+    import org.apache.spark.sql.functions._
+    // batch reference: every event lands in exactly two 600s windows that
+    // slide by 300s — the window starting at its 300s-floor and the one
+    // 300s earlier
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_type"), unix_timestamp(col("ts")).as("sec"),
+        round(col("value") * 100).cast("long").as("c"))
+    val batch = ev
+      .withColumn("w_start_s",
+        explode(array(expr("sec div 300 * 300"), expr("sec div 300 * 300 - 300"))))
+      .groupBy(col("w_start_s"), col("event_type"))
+      .agg(count(lit(1)).as("n"), (sum(col("c")) / lit(100.0)).as("sum_value"))
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s.nonEmpty, "hopping stream emitted nothing")
+    assert(s == b, s"stream/batch diverge: only-stream=${(s -- b).take(5)} only-batch=${(b -- s).take(5)}")
+  }
+
   test("availableNowStreamJoinOuter equals the batch left join, including unmatched clicks") {
     val dir = "/root/testdata/sf0.001"
     val streamed = availableNowStreamJoinOuter(spark, dir,
