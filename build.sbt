@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Output contract for `sbt "runMain graft.Bench"` (and Verify): the program's
+// final stdout line must be the literal last line of the sbt invocation so a
+// strict tail-line JSON parse succeeds. Two sbt behaviors break that by
+// default: forked-run output is re-logged with an "[info] " prefix, and the
+// command engine appends "[success] Total time: ..." after the program exits.
+// StdoutOutput pipes the forked JVM's stdout through untouched; showSuccess
+// drops the trailer. (Spark's own log4j2 console appender writes to stderr,
+// so stdout stays clean for the JSON lines.)
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by the command engine, not a task — exempt it from
+// the unused-setting lint so the warning doesn't precede every command.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

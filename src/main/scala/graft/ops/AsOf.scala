@@ -19,6 +19,15 @@ import graft.{Tables, VerifiedQuery}
   */
 object AsOf {
 
+  /** Floor division by a positive constant bucket width. Spark's `DIV`
+    * truncates toward zero while DuckDB's `//` floors, so they diverge on
+    * negative inputs (pre-1970 epochs): -10 DIV 3600 = 0 but -10 // 3600
+    * = -1. Subtracting `pmod` (always-positive remainder) first makes the
+    * numerator an exact multiple, so the double division is exact and
+    * truncation == floor for any sign. */
+  private[ops] def floorDiv(c: Column, n: Long): Column =
+    ((c - pmod(c, lit(n))) / lit(n)).cast("long")
+
   /** Generic as-of join: for each left row, attach `valueCol` from the
     * latest right row with the same key and time <= the left time.
     * Right-side rows must be unique per (key, time) — pre-aggregate if
@@ -118,7 +127,7 @@ object AsOf {
     val ev = Tables.events(spark, dir)
       .select($"event_type", $"ts", $"event_id",
         round($"value" * 100).cast("long").as("v_c"))
-      .withColumn("hr", expr("unix_timestamp(ts) DIV 3600"))
+      .withColumn("hr", floorDiv(unix_timestamp($"ts"), 3600L))
     val wLast = Window.partitionBy($"event_type", $"hr")
       .orderBy($"ts".desc, $"event_id".desc)
     val hourly = ev.withColumn("rn", row_number().over(wLast))
@@ -240,16 +249,20 @@ object AsOf {
       .gapSessionAgg(ev.select($"user_id", $"event_id", $"sec"))
       .select($"user_id", $"session_seq", $"start_s", $"end_s")
     val bursts = ev
-      .withColumn("day", expr("sec div 86400"))
+      .withColumn("day", floorDiv($"sec", 86400L))
       .groupBy($"event_type", $"day")
       .agg(min($"sec").as("bstart_s"), max($"sec").as("bend_s"))
     sessions
-      .withColumn("day", explode(sequence(expr("start_s div 86400"), expr("end_s div 86400"))))
+      .withColumn("day", explode(sequence(floorDiv($"start_s", 86400L), floorDiv($"end_s", 86400L))))
       .join(bursts, Seq("day"))
       .filter($"start_s" <= $"bend_s" && $"bstart_s" <= $"end_s")
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_pairs"),
-        countDistinct($"user_id" * 1000000L + $"session_seq").as("n_sessions"),
+        // collision-free composite distinct key: a delimiter-joined string,
+        // not user_id*1e6+seq arithmetic (which silently collides past 1e6
+        // sessions/user and can overflow Long — implausible at test SF,
+        // plausible at 100 TB)
+        countDistinct(concat_ws(":", $"user_id", $"session_seq")).as("n_sessions"),
         sum(least($"end_s", $"bend_s") - greatest($"start_s", $"bstart_s")).as("overlap_s"))
   }
 
@@ -276,7 +289,7 @@ object AsOf {
       |  FROM e GROUP BY 1, 2
       |)
       |SELECT b.event_type, COUNT(*) AS n_pairs,
-      |  COUNT(DISTINCT sess.user_id * 1000000 + sess.session_seq) AS n_sessions,
+      |  COUNT(DISTINCT CAST(sess.user_id AS VARCHAR) || ':' || CAST(sess.session_seq AS VARCHAR)) AS n_sessions,
       |  CAST(SUM(LEAST(sess.end_s, b.bend_s) - GREATEST(sess.start_s, b.bstart_s)) AS BIGINT) AS overlap_s
       |FROM sess JOIN bursts b
       |  ON sess.start_s <= b.bend_s AND b.bstart_s <= sess.end_s

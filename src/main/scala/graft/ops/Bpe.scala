@@ -94,8 +94,12 @@ object Bpe {
         .as[(String, String, Long)].head()
       merges += ((step, lhs, rhs, c))
       // literal replace: |lhs||rhs| → |lhsrhs| — greedy leftmost by the
-      // double-delimiter construction (symbols are [a-z0-9]+, no quoting)
-      words = words.withColumn("w", expr(s"replace(w, '|$lhs||$rhs|', '|$lhs$rhs|')"))
+      // double-delimiter construction. Column-based `replace` with lit()
+      // arguments, NOT a string-interpolated expr(): merge symbols are
+      // data-derived, and a quote/backslash in an un-normalized caller
+      // vocabulary must stay a literal byte, never SQL syntax.
+      words = words.withColumn("w",
+        replace($"w", lit(s"|$lhs||$rhs|"), lit(s"|$lhs$rhs|")))
     }
     (merges.result(), words)
   }

@@ -26,6 +26,22 @@ object Etl {
 
   private def tag(dir: String): String = dir.replaceAll("[^A-Za-z0-9.]", "_")
 
+  /** Build-once-per-JVM input fixtures (same contract as
+    * streaming.StreamSessionize.inputOnce): for queries whose INPUT is a
+    * derived file-format fixture (the taxi parquet glob, the weather CSV),
+    * re-writing it on every invocation charges fixture I/O to the operator
+    * under measurement — bench iterations 2+ and repeated verify calls
+    * should only READ. The fixture for a given (key, sf dir) is a pure
+    * function of the corpus, hence immutable within a process. NOT used
+    * where the write IS the operator under test (parquetSink, compaction). */
+  private val builtFixtures = scala.collection.concurrent.TrieMap[String, String]()
+  private def fixtureOnce(key: String, dir: String)(build: String => Unit): String =
+    builtFixtures.getOrElseUpdate(s"$key|$dir", {
+      val path = s"$fixtureRoot/${key}_${tag(dir)}"
+      build(path)
+      path
+    })
+
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
 
   // -------------------------------------------------------- taxi-analog ETL
@@ -128,21 +144,22 @@ object Etl {
     */
   def weatherCsv(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val csvPath = s"$fixtureRoot/weather_csv_${tag(dir)}"
-    val daily = Tables.orders(spark, dir)
-      .groupBy(to_date($"o_orderdate").as("date"))
-      .agg(
-        count(lit(1)).cast("int").as("tavg"),
-        (min($"o_orderkey") % 500).cast("int").as("tmin"),
-        (max($"o_orderkey") % 500).cast("int").as("tmax"),
-        (min($"o_custkey") % 100).cast("int").as("prcp"),
-        (max($"o_custkey") % 10).cast("int").as("snow"),
-        lit(0).as("wdir"), lit(0).cast("int").as("wspd"),
-        lit(0).cast("int").as("wpgt"), lit(0).cast("int").as("pres"),
-        lit(0).as("tsun"))
-      .select($"date", $"tavg", $"tmin", $"tmax", $"prcp", $"snow",
-        $"wdir", $"wspd", $"wpgt", $"pres", $"tsun")
-    daily.write.mode("overwrite").csv(csvPath)
+    val csvPath = fixtureOnce("weather_csv", dir) { out =>
+      val daily = Tables.orders(spark, dir)
+        .groupBy(to_date($"o_orderdate").as("date"))
+        .agg(
+          count(lit(1)).cast("int").as("tavg"),
+          (min($"o_orderkey") % 500).cast("int").as("tmin"),
+          (max($"o_orderkey") % 500).cast("int").as("tmax"),
+          (min($"o_custkey") % 100).cast("int").as("prcp"),
+          (max($"o_custkey") % 10).cast("int").as("snow"),
+          lit(0).as("wdir"), lit(0).cast("int").as("wspd"),
+          lit(0).cast("int").as("wpgt"), lit(0).cast("int").as("pres"),
+          lit(0).as("tsun"))
+        .select($"date", $"tavg", $"tmin", $"tmax", $"prcp", $"snow",
+          $"wdir", $"wspd", $"wpgt", $"pres", $"tsun")
+      daily.write.mode("overwrite").csv(out)
+    }
     WeatherClean.clean(WeatherClean.readWeather(spark, csvPath), yr = 1995)
       .select(date_format($"date", "yyyy-MM-dd").as("wdate"), $"tmin", $"prcp")
   }
@@ -708,20 +725,21 @@ object Etl {
     * aggregating pre-filter. */
   def taxiEtl(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val path = s"$fixtureRoot/taxi_${tag(dir)}"
     val ev = Tables.events(spark, dir)
-    val taxi = ev.select(
-      $"ts".as("tpep_pickup_datetime"),
-      expr("ts + make_interval(0, 0, 0, 0, 0, CAST(event_id % 200 AS INT) + 1, 0)")
-        .as("tpep_dropoff_datetime"),
-      (($"event_id" % 236 + 3) * 0.25).as("trip_distance"),
-      (($"event_id" % 5 - 1) * 0.25).as("congestion_surcharge"),
-      ($"user_id" % 8).cast("int").as("PULocationID"),
-      (($"user_id" + $"event_id") % 8).cast("int").as("DOLocationID"),
-      (($"event_id" % 41) * 0.25).as("extra"),
-      when($"event_id" % 97 === 0, lit(null).cast("double"))
-        .otherwise(($"event_id" % 201) * 0.25).as("tolls_amount"))
-    taxi.repartition(4).write.mode("overwrite").parquet(path)
+    val path = fixtureOnce("taxi", dir) { out =>
+      val taxi = ev.select(
+        $"ts".as("tpep_pickup_datetime"),
+        expr("ts + make_interval(0, 0, 0, 0, 0, CAST(event_id % 200 AS INT) + 1, 0)")
+          .as("tpep_dropoff_datetime"),
+        (($"event_id" % 236 + 3) * 0.25).as("trip_distance"),
+        (($"event_id" % 5 - 1) * 0.25).as("congestion_surcharge"),
+        ($"user_id" % 8).cast("int").as("PULocationID"),
+        (($"user_id" + $"event_id") % 8).cast("int").as("DOLocationID"),
+        (($"event_id" % 41) * 0.25).as("extra"),
+        when($"event_id" % 97 === 0, lit(null).cast("double"))
+          .otherwise(($"event_id" % 201) * 0.25).as("tolls_amount"))
+      taxi.repartition(4).write.mode("overwrite").parquet(out)
+    }
     val weather = ev.select(to_date($"ts").as("date")).distinct()
       .filter(dayofmonth($"date") % 7 =!= 0)
       .select($"date",

@@ -323,7 +323,13 @@ object Multimodal {
 
   /** Synthesize a media table from `documents` (utf-8 payloads, kind/dims
     * derived deterministically) — the corpus has no real binary column, and
-    * this keeps the oracle able to recompute the features from text. */
+    * this keeps the oracle able to recompute the features from text.
+    *
+    * The payload is projected to ASCII before encoding so the oracle's
+    * byte==codepoint equivalence (length/ord on text vs UTF-8 byte stats)
+    * is STRUCTURAL, not a property of the current corpus: a multi-byte
+    * character in a future fixture gets dropped identically on both sides
+    * instead of silently diverging n_bytes/byte_sum. */
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -331,7 +337,7 @@ object Multimodal {
         col("doc_id").as("media_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-        encode(col("text"), "utf-8").as("bytes"),
+        encode(regexp_replace(col("text"), "[^\\x00-\\x7F]", ""), "utf-8").as("bytes"),
         (col("doc_id") % 640 + 1).cast("int").as("width"),
         (col("doc_id") % 480 + 1).cast("int").as("height"),
         lit("stub").as("format"))
@@ -421,8 +427,10 @@ object Multimodal {
   // --------------------------------------------------------------- queries
 
   /** Oracled: the mapPartitions decode plumbing must produce exactly the
-    * byte statistics SQL derives from the source text (ASCII corpus ⇒
-    * byte values == codepoints), plus two histogram bins the oracle can
+    * byte statistics SQL derives from the source text (byte values ==
+    * codepoints by the ASCII projection in [[mediaFromDocuments]] — a
+    * structural invariant, not a corpus assumption), plus two histogram
+    * bins the oracle can
     * reproduce with character-class regexes: bin 2 = 0x20–0x2F (space +
     * punctuation) and bin 6 = 0x60–0x6F (backtick + a–o). */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
@@ -434,13 +442,17 @@ object Multimodal {
   }
 
   private val multimodalFeaturesSql =
-    """SELECT doc_id AS media_id,
+    """WITH d AS (
+      |  SELECT doc_id, regexp_replace(text, '[^\x00-\x7f]', '', 'g') AS text
+      |  FROM documents
+      |)
+      |SELECT doc_id AS media_id,
       |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
       |  CAST(length(text) AS BIGINT) AS n_bytes,
       |  CAST(list_sum(list_transform(regexp_extract_all(text, '.'), c -> ord(c))) AS BIGINT) AS byte_sum,
       |  CAST(len(regexp_extract_all(text, '[\x20-\x2f]')) AS BIGINT) AS hist_bin2,
       |  CAST(len(regexp_extract_all(text, '[\x60-\x6f]')) AS BIGINT) AS hist_bin6
-      |FROM documents""".stripMargin
+      |FROM d""".stripMargin
 
   /** Per-video frame sampling (4 frames each). Oracled: the stub's
     * chunking is deterministic integer math — frame length
@@ -453,10 +465,13 @@ object Multimodal {
   }
 
   private val frameSampleSql =
-    """WITH v AS (
+    """WITH a AS (
+      |  SELECT doc_id, regexp_replace(text, '[^\x00-\x7f]', '', 'g') AS text
+      |  FROM documents
+      |), v AS (
       |  SELECT doc_id, text, length(text) AS l,
       |         GREATEST(1, CAST(ceil(length(text) / 4.0) AS INTEGER)) AS flen
-      |  FROM documents WHERE doc_id % 3 = 2
+      |  FROM a WHERE doc_id % 3 = 2
       |), f AS (
       |  SELECT doc_id, CAST(t.i AS INTEGER) AS frame_idx,
       |         substring(text, CAST(t.i AS INTEGER) * flen + 1, flen) AS chunk

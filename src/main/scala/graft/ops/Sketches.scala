@@ -329,10 +329,14 @@ object Sketches {
     }.toDF("event_type", "reg_sum", "n_zero_regs")
     // per-type AND global exact counts in the SECOND (and last) pass: cube
     // over the single grouping column yields the (type) rows plus the total
+    // grouping_id (1 = the cube's total row), NOT coalesce(NULL→'__ALL__'):
+    // a NULL event_type data group would collide with the total row under
+    // the coalesce encoding and double-join against the sketch sums
     val exact = Tables.events(spark, dir)
       .cube($"event_type")
-      .agg(countDistinct($"user_id").as("n_exact"))
-      .select(coalesce($"event_type", lit("__ALL__")).as("event_type"), $"n_exact")
+      .agg(countDistinct($"user_id").as("n_exact"), grouping_id().as("gid"))
+      .select(when($"gid" === 1, lit("__ALL__")).otherwise($"event_type").as("event_type"),
+        $"n_exact")
     sums.join(exact, Seq("event_type"))
       .select($"event_type", $"reg_sum", $"n_zero_regs", $"n_exact",
         (lit(HllEstNumerator) / $"reg_sum").as("est_raw"))

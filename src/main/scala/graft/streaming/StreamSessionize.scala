@@ -18,20 +18,49 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamSessionize {
 
+  /** Session conf key selecting the state-store backend for every stream
+    * this object launches: unset/"hdfs" = Spark's default in-memory
+    * HDFS-backed provider (right for the kilobyte-state fixture runs);
+    * "rocksdb" = [[RocksDbProviderClass]], the production choice once
+    * state outgrows executor heap (100 TB-scale sessionization holds one
+    * entry per active user — RocksDB keeps that off-heap with changelog
+    * checkpointing). Set it on the builder
+    * (`.config(StateStoreKey, "rocksdb")`) or at runtime via
+    * `spark.conf.set` — it is read at each query start.
+    * StreamStateStoreParitySpec pins output equality across backends. */
+  val StateStoreKey = "graft.stream.stateStore"
+  val RocksDbProviderClass =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val ProviderConfKey = "spark.sql.streaming.stateStore.providerClass"
+
   /** Launch a stream inside [[graft.Tuning.withStreamStatePartitions]] —
     * state-store count is pinned to `spark.sql.shuffle.partitions` at the
     * query's first batch, so fixture runs size it to the state volume
     * (kilobytes here), not the batch session's shuffle width — and block
     * until the AvailableNow trigger drains. Measured: q_stream_join
     * 8.5 → 2.9 s steady-state; every stateful q_stream_* ~2×. No-op
-    * resize in a session without the [[graft.Tuning.Key]] opt-in. */
+    * resize in a session without the [[graft.Tuning.Key]] opt-in.
+    *
+    * Honors [[StateStoreKey]]: the provider class is swapped in only for
+    * the query's start-to-drain span and restored after, so batch work in
+    * the same session never sees a mutated conf. Safe per query because
+    * every run gets a FRESH checkpoint ([[freshRun]]) — a provider is
+    * sticky per checkpoint, never changed under a live one. */
   private def startDrained(spark: SparkSession)(
       start: => org.apache.spark.sql.streaming.StreamingQuery)
       : org.apache.spark.sql.streaming.StreamingQuery =
     graft.Tuning.withStreamStatePartitions(spark) {
-      val query = start
-      query.awaitTermination()
-      query
+      val useRocks = spark.conf.getOption(StateStoreKey).exists(_.equalsIgnoreCase("rocksdb"))
+      val prior = spark.conf.getOption(ProviderConfKey)
+      if (useRocks) spark.conf.set(ProviderConfKey, RocksDbProviderClass)
+      try {
+        val query = start
+        query.awaitTermination()
+        query
+      } finally if (useRocks) prior match {
+        case Some(p) => spark.conf.set(ProviderConfKey, p)
+        case None    => spark.conf.unset(ProviderConfKey)
+      }
     }
 
   /** Scratch root for the AvailableNow fixtures (input files + stream

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Freshness gate for the numeric claims in README.md and COVERAGE.md
+  * (r6 verdict item 7: the counts drifted twice in round 6 before manual
+  * sync commits). The docs' registry/oracle/test counts must equal what
+  * the code actually registers — a new query or test without the doc
+  * update fails HERE instead of surfacing as a stale README in review.
+  *
+  * The test-case count is derived by scanning test sources for
+  * `test("`/`property("` registrations — the same convention every suite
+  * in this tree uses (no dynamically generated test names).
+  */
+class DocsFreshnessSpec extends AnyFunSuite {
+
+  // sbt forks the test JVM with cwd = project base, so repo files resolve
+  // relatively; fall back to the absolute root for IDE runners.
+  private def read(name: String): String = {
+    val local = new java.io.File(name)
+    val f = if (local.exists()) local else new java.io.File(s"/root/repo/$name")
+    new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+  }
+
+  private def firstInt(text: String, pattern: String, where: String): Int = {
+    val m = pattern.r.findFirstMatchIn(text)
+    assert(m.isDefined, s"pattern '$pattern' not found in $where")
+    m.get.group(1).toInt
+  }
+
+  private lazy val nQueries = SparkEntry.queries.size
+  private lazy val nOracles = SparkEntry.oracleSql.size
+
+  test("README.md registry and oracle counts match SparkEntry") {
+    val readme = read("README.md")
+    assert(firstInt(readme, """(\d+) verified queries""", "README.md") == nQueries,
+      s"README 'verified queries' count is stale (registry has $nQueries)")
+    assert(firstInt(readme, """(\d+) bit-exact query matches""", "README.md") == nOracles,
+      s"README 'bit-exact query matches' count is stale (oracle map has $nOracles)")
+  }
+
+  test("COVERAGE.md registry totals match SparkEntry") {
+    val cov = read("COVERAGE.md")
+    assert(firstInt(cov, """(\d+) registered queries""", "COVERAGE.md") == nQueries,
+      s"COVERAGE 'registered queries' count is stale (registry has $nQueries)")
+    assert(firstInt(cov, """registered queries: (\d+) with full DuckDB oracles""",
+      "COVERAGE.md") == nOracles,
+      s"COVERAGE 'with full DuckDB oracles' count is stale (oracle map has $nOracles)")
+  }
+
+  test("README.md scalatest-case count matches the test sources") {
+    val claimed = firstInt(read("README.md"), """(\d+) scalatest cases""", "README.md")
+    val reg = """^\s*(test|property)\("""".r
+    val root = {
+      val local = new java.io.File("src/test/scala")
+      if (local.exists()) local else new java.io.File("/root/repo/src/test/scala")
+    }
+    def scalaFiles(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(scalaFiles)
+      else if (f.getName.endsWith(".scala")) Seq(f) else Nil
+    val actual = scalaFiles(root).map { f =>
+      scala.io.Source.fromFile(f, "UTF-8").getLines()
+        .count(l => reg.findFirstIn(l).isDefined)
+    }.sum
+    assert(claimed == actual,
+      s"README claims $claimed scalatest cases but sources register $actual")
+  }
+}

@@ -49,6 +49,38 @@ class SketchGraphEntitySpec extends SparkSpec {
     }
   }
 
+  test("q_sketch_agg's HLL++ and the oracled hllDet estimate the SAME cardinalities") {
+    // r6 verdict item 6: q_sketch_agg is rows-only by design (Spark's
+    // HLL++ sketch internals are engine-specific), so pin its error bound
+    // by correlating it against the ORACLED deterministic sketch on
+    // identical groups — both estimate |distinct l_partkey| per
+    // l_returnflag over lineitem. Bands: Spark's approx_count_distinct
+    // default rsd is 5% (≈10% at 2σ); hllDet with 256 registers has
+    // rsd 1.04/√256 ≈ 6.5%, and its small-range LC branch is tested to
+    // 15% above. Two independent estimators within their own bands of the
+    // same exact value sit within the SUM of the bands of each other.
+    import spark.implicits._
+    val hllpp = Funcs.sketchAgg(spark, sf)
+      .select($"l_returnflag", $"approx_parts".cast("double").as("a"))
+    val det = Sketches.hllDet(spark, sf)
+      .select($"l_returnflag", $"est_raw", $"n_zero_regs",
+        $"n_exact".cast("double").as("exact"))
+    val joined = hllpp.join(det, Seq("l_returnflag")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val m = 256.0
+      val estRaw = r.getAs[Double]("est_raw")
+      val zeros = r.getAs[Long]("n_zero_regs")
+      val detEst = if (estRaw <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else estRaw
+      val hllppEst = r.getAs[Double]("a")
+      val exact = r.getAs[Double]("exact")
+      assert(math.abs(hllppEst - exact) / exact < 0.10,
+        s"flag ${r.get(0)}: HLL++ $hllppEst vs exact $exact outside 10%")
+      assert(math.abs(hllppEst - detEst) / exact < 0.25,
+        s"flag ${r.get(0)}: HLL++ $hllppEst vs det-HLL $detEst diverge past the combined band")
+    }
+  }
+
   test("bloomJoin: pre-filter never drops a true match; audit columns reconcile") {
     import spark.implicits._
     val rows = Sketches.bloomJoin(spark, sf)
