@@ -1005,6 +1005,106 @@ object Similarity {
       |    (a, b) -> a + b) AS mse
       |FROM q""".stripMargin
 
+  /** Two-stage retrieval with an exact re-score — the rerank slot of a
+    * retrieval pipeline (candidate → ANN → rerank), r6 verdict item 8.
+    *
+    * Stage 1 (retrieval) ranks the corpus per query by the cosine of the
+    * int8-quantized codes ([[withInt8Codes]]'s canonical rounding). The
+    * per-vector scale factors CANCEL inside cosine, so the approximate
+    * score reads no float data at all — at 100 TB the int8 codes are 4×
+    * smaller than the float corpus, the integer dot is SIMD-friendly,
+    * and the scan is the linear broadcast-query shape of
+    * [[bruteForceTopK]] (swap in [[lshDetTopK]]'s buckets when even the
+    * code scan is too much). All integer dots are exact in double, sqrt
+    * is correctly rounded IEEE — stage 1 is bit-reproducible.
+    *
+    * Stage 2 (rerank) joins ONLY the top-`kCand` candidates per query
+    * back to the full-precision vectors and re-scores with the exact
+    * sequential-double cosine — the cross-encoder slot: the expensive
+    * scorer touches O(queries × kCand) pairs, never the corpus. The
+    * output carries `approx_rank` next to the final `rank`, so the
+    * REORDERING the rerank performs is itself pinned under the oracle
+    * hash, not just the final ordering. */
+  def rerankTopK(emb: DataFrame, nQueries: Int = 3, kCand: Int = 20,
+                 k: Int = 5): DataFrame = {
+    val coded = withInt8Codes(
+        emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb")), "emb")
+      .withColumn("qd", transform(col("qv"), v => v.cast("double")))
+      // norms per ROW before any join: higher-order array expressions are
+      // CodegenFallback (no CSE) — inside the pair expression they would
+      // re-evaluate once per partner
+      .withColumn("qnrm", V.normNative(col("qd")))
+    val corpus = coded.select(col("vec_id"), col("qd"), col("qnrm"))
+    val queries = coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qd").as("qqd"), col("qnrm").as("qqnrm"))
+    val wA = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("vec_id"))
+    val cand = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (V.dotNative(col("qd"), col("qqd")) / (col("qnrm") * col("qqnrm"))).as("qcos"))
+      .withColumn("approx_rank", row_number().over(wA))
+      .filter(col("approx_rank") <= kCand)
+    // rerank reads full-precision vectors from the SAME zero-filtered frame
+    // the codes came from (mirrors the oracle's CTE reuse)
+    val full = coded.select(col("vec_id"), col("emb"), V.normNative(col("emb")).as("nrm"))
+    val wB = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(full, Seq("vec_id"))
+      .join(full.select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("nrm").as("query_nrm")), Seq("qid"))
+      .select(col("qid"), col("vec_id"), col("approx_rank"), col("qcos"),
+        (V.dotNative(col("emb"), col("qemb")) / (col("nrm") * col("query_nrm"))).as("cos"))
+      .withColumn("rank", row_number().over(wB))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("approx_rank"), col("rank"),
+        col("qcos"), col("cos"))
+  }
+
+  def rerankTopKQuery(spark: SparkSession, dir: String): DataFrame =
+    rerankTopK(Tables.embeddings(spark, dir))
+
+  private val rerankTopKSql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS amax
+      |  FROM embeddings
+      |), s AS (
+      |  SELECT vec_id, emb, 127.0 / amax AS scale FROM e WHERE amax > 0
+      |), q8 AS (
+      |  SELECT vec_id, emb,
+      |    list_transform(emb, x -> CAST(
+      |      GREATEST(-127, LEAST(127, CAST(floor(x * scale + 0.5) AS BIGINT)))
+      |      AS DOUBLE)) AS qd
+      |  FROM s
+      |), qn AS (
+      |  SELECT vec_id, emb, qd, sqrt(list_dot_product(qd, qd)) AS qnrm FROM q8
+      |), qry AS (
+      |  SELECT vec_id AS qid, qd AS qqd, qnrm AS qqnrm FROM qn WHERE vec_id < 3
+      |), s1 AS (
+      |  SELECT qid, c.vec_id,
+      |    list_dot_product(c.qd, qqd) / (c.qnrm * qqnrm) AS qcos
+      |  FROM qn c, qry WHERE c.vec_id != qid
+      |), r1 AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+      |    ORDER BY qcos DESC, vec_id) AS INTEGER) AS approx_rank
+      |  FROM s1
+      |), cand AS (
+      |  SELECT * FROM r1 WHERE approx_rank <= 20
+      |), fullv AS (
+      |  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM qn
+      |), rr AS (
+      |  SELECT c.qid, c.vec_id, c.approx_rank, c.qcos,
+      |    list_dot_product(v.emb, q.emb) / (v.nrm * q.nrm) AS cos
+      |  FROM cand c
+      |  JOIN fullv v ON c.vec_id = v.vec_id
+      |  JOIN fullv q ON c.qid = q.vec_id
+      |)
+      |SELECT qid, vec_id, approx_rank, rank, qcos, cos FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+      |    ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+      |  FROM rr)
+      |WHERE rank <= 5""".stripMargin
+
   /** Per-label centroid of the int8-quantized embeddings — the cluster-
     * profile analytics an embedding corpus ships with (and the update step
     * of any quantized k-means): long-format (label, dim) sums over the
@@ -1372,6 +1472,7 @@ object Similarity {
     VerifiedQuery("q_cosine_neardup", cosineNearDupQuery, Some(cosineNearDupSql)),
     VerifiedQuery("q_cosine_neardup_kmeans", cosineNearDupKMeansQuery, None),
     VerifiedQuery("q_ann_ivf", ivfTopKQuery, None),
+    VerifiedQuery("q_ann_rerank", rerankTopKQuery, Some(rerankTopKSql)),
     VerifiedQuery("q_quantize_emb", quantizeEmbeddingsQuery, Some(quantizeEmbeddingsSql)),
     VerifiedQuery("q_rand_proj", randomProjectionQuery, Some(randomProjectionSql)),
     VerifiedQuery("q_label_centroids", labelCentroids, Some(labelCentroidsSql)),
