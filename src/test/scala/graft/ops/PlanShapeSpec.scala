@@ -155,6 +155,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in det-LSH plan:\n$plan")
   }
 
+  test("rerankTopK: one deliberate broadcast-query product; rerank joins are keyed") {
+    val plan = Similarity.rerankTopK(graft.Tables.embeddings(spark, dir))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in rerank plan:\n$plan")
+    // stage 1 is the bruteForceTopK shape: the O(nQueries) query side
+    // broadcast against the code scan — exactly ONE such product; the
+    // stage-2 candidate→vector joins must be keyed equality joins
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 1, s"expected only the broadcast query-side product, got $bnlj:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"stage-2 rerank joins are not keyed:\n$plan")
+  }
+
   test("ivfTopK: only the nlist-row centroid probe is non-equi; rerank joins are keyed") {
     val plan = Similarity.ivfTopK(graft.Tables.embeddings(spark, dir), nlist = 4)
       .queryExecution.executedPlan.toString
