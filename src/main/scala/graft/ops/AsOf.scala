@@ -19,12 +19,14 @@ import graft.{Tables, VerifiedQuery}
   */
 object AsOf {
 
-  /** Floor division by a positive constant bucket width. Spark's `DIV`
-    * truncates toward zero while DuckDB's `//` floors, so they diverge on
-    * negative inputs (pre-1970 epochs): -10 DIV 3600 = 0 but -10 // 3600
-    * = -1. Subtracting `pmod` (always-positive remainder) first makes the
-    * numerator an exact multiple, so the double division is exact and
-    * truncation == floor for any sign. */
+  /** Floor division by a positive constant bucket width. Both Spark's
+    * `DIV` and DuckDB's integer `//` truncate toward zero, which buckets
+    * negative inputs (pre-1970 epochs) WRONG for time bucketing: -10
+    * seconds belongs to hour -1, but -10 DIV 3600 = 0 merges it into hour
+    * 0. Subtracting `pmod` (always-positive remainder) first makes the
+    * numerator an exact multiple, so the double division is exact and the
+    * result is the floor for any sign; the oracles apply the identical
+    * pmod rewrite so the invariant is structural, not corpus-dependent. */
   private[ops] def floorDiv(c: Column, n: Long): Column =
     ((c - pmod(c, lit(n))) / lit(n)).cast("long")
 
@@ -149,10 +151,12 @@ object AsOf {
 
   private val gapFillSql =
     """WITH e AS (
-      |  SELECT event_type, event_id, ts,
-      |    CAST(round(value*100) AS BIGINT) AS v_c,
-      |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr
-      |  FROM events
+      |  SELECT event_type, event_id, ts, v_c,
+      |    (s - ((s % 3600) + 3600) % 3600) // 3600 AS hr
+      |  FROM (SELECT event_type, event_id, ts,
+      |          CAST(round(value*100) AS BIGINT) AS v_c,
+      |          CAST(floor(epoch(ts)) AS BIGINT) AS s
+      |        FROM events)
       |), h AS (
       |  SELECT event_type, hr, COUNT(*) AS n_events,
       |    MAX(CASE WHEN rn = 1 THEN v_c END) AS close_c
@@ -284,7 +288,8 @@ object AsOf {
       |  SELECT user_id, session_seq, MIN(sec) AS start_s, MAX(sec) AS end_s
       |  FROM s GROUP BY 1, 2
       |), bursts AS (
-      |  SELECT event_type, sec // 86400 AS day,
+      |  SELECT event_type,
+      |    (sec - ((sec % 86400) + 86400) % 86400) // 86400 AS day,
       |    MIN(sec) AS bstart_s, MAX(sec) AS bend_s
       |  FROM e GROUP BY 1, 2
       |)

@@ -121,6 +121,29 @@ class SamplingWindowSpec extends SparkSpec {
     assert(out("click")._2 == 2L, "crossing session must ALSO reach the day-1 burst")
   }
 
+  test("intervalJoin: negative (pre-1970) epochs bucket by floor, not truncation") {
+    import spark.implicits._
+    // sec -600 belongs to day -1 (floor), but truncating division maps all
+    // of (-86400, 0) onto day 0 — merging pre-epoch bursts into day 0 and
+    // shrinking the session's day explosion. ADVICE r6: the corpus never
+    // goes negative, so this must be pinned structurally by a fixture.
+    val ev = Seq(
+      (1L, 1L, "view", -600L),   // day -1; session partner of the next row
+      (2L, 1L, "view", 600L),    // day 0 — session [-600, 600] crosses the epoch
+      (3L, 9L, "view", -7200L))  // point session widening the day -1 burst
+      .toDF("event_id", "user_id", "event_type", "sec")
+      .select($"user_id", $"event_id", $"event_type", $"sec")
+    val out = AsOf.intervalJoinFrom(ev)
+      .select($"event_type", $"n_pairs", $"n_sessions", $"overlap_s")
+      .as[(String, Long, Long, Long)].head()
+    // floor buckets: day -1 burst [-7200, -600], day 0 burst [600, 600];
+    // user 1's crossing session reaches BOTH, user 9's reaches day -1 →
+    // 3 pairs / 2 sessions. Truncation collapses everything into one day-0
+    // burst → 2 pairs, which must fail here.
+    assert(out._2 == 3L, s"expected 3 overlap pairs under floor bucketing, got $out")
+    assert(out._3 == 2L, s"expected 2 distinct sessions, got $out")
+  }
+
   test("intervalJoin: banded equality join == naive theta-join semantics") {
     import spark.implicits._
     val banded = AsOf.intervalJoin(spark, sf)
