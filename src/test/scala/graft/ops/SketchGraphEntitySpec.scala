@@ -81,6 +81,30 @@ class SketchGraphEntitySpec extends SparkSpec {
     }
   }
 
+  test("q_sketch_agg's approximate median sits inside the exact p49-p51 band") {
+    // the KLL-style half of q_sketch_agg: percentile_approx at
+    // accuracy=10000 guarantees rank error <= n/10000, far inside one
+    // percentile at any test SF — so the approximate median must land
+    // between the EXACT 49th and 51st percentiles per group (exact
+    // percentile() is fine at test SF; production uses the sketch
+    // precisely to avoid it).
+    import spark.implicits._
+    val approx = Funcs.sketchAgg(spark, sf)
+      .select($"l_returnflag", $"approx_median")
+    val exact = graft.Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.49)").as("p49"),
+        expr("percentile(l_extendedprice, 0.51)").as("p51"))
+    val joined = approx.join(exact, Seq("l_returnflag")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val m = r.getAs[Double]("approx_median")
+      val (lo, hi) = (r.getAs[Double]("p49"), r.getAs[Double]("p51"))
+      assert(m >= lo && m <= hi,
+        s"flag ${r.get(0)}: approx median $m outside exact [$lo, $hi]")
+    }
+  }
+
   test("bloomJoin: pre-filter never drops a true match; audit columns reconcile") {
     import spark.implicits._
     val rows = Sketches.bloomJoin(spark, sf)
