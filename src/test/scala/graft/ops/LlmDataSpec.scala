@@ -207,6 +207,28 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("rerankTopK: SQ8 stage-1 keeps the true top-k; reranked cosines are brute-force-exact") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, dir)
+    val rr = Similarity.rerankTopK(emb, nQueries = 3, kCand = 20, k = 5)
+      .select($"qid", $"vec_id", $"cos").as[(Long, Long, Double)].collect()
+    val bf = Similarity.bruteForceTopK(emb, nQueries = 3, k = 5)
+      .select($"qid", $"vec_id", $"cos").as[(Long, Long, Double)].collect()
+    // recall@5 of the two-stage pipeline vs exact: int8 code-cosine over
+    // 64 dims distorts cosine by ~1/127 per component — with kCand=20 of
+    // headroom the exact top-5 should survive stage 1 nearly always even
+    // on the isotropic (worst-case) corpus; 0.8 is the floor.
+    val bfTop = bf.map(r => (r._1, r._2)).toSet
+    val recall = rr.map(r => (r._1, r._2)).toSet.intersect(bfTop).size.toDouble / bfTop.size
+    assert(recall >= 0.8, s"rerank recall@5 $recall < 0.8")
+    // stage 2 cosines are the SAME expression brute force evaluates — any
+    // pair both emit must agree bit-for-bit
+    val bfCos = bf.map(r => (r._1, r._2) -> r._3).toMap
+    rr.filter(r => bfCos.contains((r._1, r._2))).foreach { r =>
+      assert(r._3 == bfCos((r._1, r._2)), s"rerank cosine drift on (${r._1},${r._2})")
+    }
+  }
+
   test("cosineNearDupKMeans: learned quantizer recalls >= 0.9 of true high-cos pairs") {
     // 5 well-separated direction clusters × 40 points in 16 dims: noise is
     // small, so cos >= 0.9 pairs are exactly the within-cluster ones — the
