@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
+import org.apache.spark.sql.Row
 
 /** State-backend parity: the streaming sessionizer must emit IDENTICAL
   * sessions under the default in-memory HDFS-backed state store and under
@@ -36,5 +37,21 @@ class StreamStateStoreParitySpec extends SparkSpec {
     assert(!spark.conf.get(
       "spark.sql.streaming.stateStore.providerClass").contains("RocksDB"),
       "RocksDB provider leaked into the session conf past the drained query")
+  }
+
+  test("windowed aggregate output is identical under HDFS and RocksDB state stores") {
+    // second parity surface: the watermark-driven tumbling aggregate holds
+    // per-window state (a different state-store access pattern than the
+    // per-key flatMapGroupsWithState sessions above)
+    def windows(): Set[Row] =
+      StreamSessionize.availableNowWindowedCounts(spark, dir).collect().toSet
+    val default = windows()
+    spark.conf.set(StreamSessionize.StateStoreKey, "rocksdb")
+    try {
+      val rocks = windows()
+      assert(rocks.nonEmpty && rocks == default,
+        s"windowed parity broken: only-default=${(default -- rocks).take(3)} " +
+          s"only-rocksdb=${(rocks -- default).take(3)}")
+    } finally spark.conf.unset(StreamSessionize.StateStoreKey)
   }
 }
