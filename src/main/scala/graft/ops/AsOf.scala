@@ -27,7 +27,7 @@ object AsOf {
     * numerator an exact multiple, so the double division is exact and the
     * result is the floor for any sign; the oracles apply the identical
     * pmod rewrite so the invariant is structural, not corpus-dependent. */
-  private[ops] def floorDiv(c: Column, n: Long): Column =
+  private[graft] def floorDiv(c: Column, n: Long): Column =
     ((c - pmod(c, lit(n))) / lit(n)).cast("long")
 
   /** Generic as-of join: for each left row, attach `valueCol` from the

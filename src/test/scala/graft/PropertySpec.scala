@@ -141,6 +141,24 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("AsOf.floorDiv == Math.floorDiv for arbitrary longs incl. negatives") {
+    // the time-bucketing kernel (pmod-adjusted exact double division) must
+    // agree with the JDK's integer floorDiv on the full sign range — the
+    // truncation-vs-floor divergence it exists to eliminate lives entirely
+    // in negative inputs
+    val widths = Seq(3600L, 86400L, 7L, 600L)
+    val vals = samples(Gen.chooseNum(-4102444800L, 4102444800L), 200) ++
+      Seq(-1L, 0L, 1L, -3600L, 3599L, -3601L, -86400L, 86399L)
+    widths.foreach { n =>
+      val got = vals.toDF("v")
+        .select(graft.ops.AsOf.floorDiv(col("v"), n).as("fd"))
+        .as[Long].collect()
+      vals.zip(got).foreach { case (v, fd) =>
+        assert(fd == Math.floorDiv(v, n), s"floorDiv($v, $n): got $fd, want ${Math.floorDiv(v, n)}")
+      }
+    }
+  }
+
   test("TopKByPrice merge is associative/commutative: any partitioning yields the global top-k") {
     import graft.functions.{PricedRow, TopKByPrice => T}
     val rowGen = for {
