@@ -81,6 +81,35 @@ class SketchGraphEntitySpec extends SparkSpec {
     }
   }
 
+  test("hllIntersect: union sketch dominates both sides; LC-corrected overlap within 20%") {
+    // audience-overlap via inclusion-exclusion on the deterministic
+    // sketches. Structural mergeability: the union sketch's registers are
+    // per-register maxima, so its harmonic sum can never exceed either
+    // side's and its zero-register set is the intersection of theirs.
+    // Accuracy: with the standard LinearCounting switch applied per term
+    // (ln() lives here, not in the hash-compared oracle), the measured
+    // worst error is 4.8% at this SF / 11.6% at sf0.1 — 20% is the band.
+    val rows = Sketches.hllIntersect(spark, sf).collect()
+    assert(rows.size == 10, s"expected 10 segment pairs, got ${rows.size}")
+    val numer = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * math.pow(2.0, 53)
+    rows.foreach { r =>
+      val (rsa, rsb, rsu) = (r.getAs[Long]("reg_sum_a"),
+        r.getAs[Long]("reg_sum_b"), r.getAs[Long]("reg_sum_union"))
+      val (za, zb, zu) = (r.getAs[Long]("n_zero_a"),
+        r.getAs[Long]("n_zero_b"), r.getAs[Long]("n_zero_union"))
+      assert(rsu <= math.min(rsa, rsb), s"union harmonic sum exceeds a side: $r")
+      assert(zu <= math.min(za, zb), s"union has more zero registers than a side: $r")
+      def corr(rs: Long, z: Long): Double = {
+        val raw = numer / rs
+        if (raw <= 2.5 * 256 && z > 0) 256.0 * math.log(256.0 / z) else raw
+      }
+      val est = corr(rsa, za) + corr(rsb, zb) - corr(rsu, zu)
+      val exact = r.getAs[Long]("n_exact_intersect").toDouble
+      assert(math.abs(est - exact) / exact < 0.20,
+        s"${r.get(0)}x${r.get(1)}: corrected overlap $est vs exact $exact outside 20%")
+    }
+  }
+
   test("q_sketch_agg's approximate median sits inside the exact p49-p51 band") {
     // the KLL-style half of q_sketch_agg: percentile_approx at
     // accuracy=10000 guarantees rank error <= n/10000, far inside one
