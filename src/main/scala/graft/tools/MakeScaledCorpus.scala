@@ -47,6 +47,16 @@ object MakeScaledCorpus {
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    build(spark, src, dest, copies)
+    spark.stop()
+    println(s"[make-sf] wrote $copies-fold corpus to $dest")
+  }
+
+  /** The synthesis itself — separated from `main` so
+    * MakeScaledCorpusSpec can pin the invariants the probe's validity
+    * rests on (FK-consistent shifts, single-copy dims, per-copy text
+    * bijection) on a tiny corpus. */
+  def build(spark: SparkSession, src: String, dest: String, copies: Int): Unit = {
     import spark.implicits._
 
     def shifted(df: DataFrame, keyCols: Seq[String])(
@@ -82,8 +92,5 @@ object MakeScaledCorpus {
         transform($"embedding", (x, j) =>
           (x + ((j * 31 + lit(i) * 17) % 13 - 6).cast("float") * lit(0.01f)).cast("float")))
     }, "embeddings")
-
-    spark.stop()
-    println(s"[make-sf] wrote $copies-fold corpus to $dest")
   }
 }
