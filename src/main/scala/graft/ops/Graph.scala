@@ -149,6 +149,82 @@ object Graph {
        |FROM r5""".stripMargin
   }
 
+  /** Bounded multi-source BFS (k-hop reachability) — the fourth graph
+    * verb beside PageRank/triangles/label-prop: from a seed set, the
+    * minimal hop distance of every node within `k` hops. The
+    * neighborhood-growth curve it produces is the standard graph-mining
+    * primitive for spam/fraud propagation radii and context expansion.
+    *
+    * Same Pregel-as-joins shape as [[pageRank]]: each round joins the
+    * CURRENT frontier (nodes whose minimal distance is exactly d−1) to
+    * the edge list, distincts the discovered layer, and folds it into the
+    * (node, min dist) frame with one hash agg. BFS invariant: a shortest
+    * path to a distance-d node ends at a distance-(d−1) node, so
+    * frontier-only expansion loses nothing. Pure integer math end to end
+    * ⇒ the DuckDB oracle replays it as a recursive CTE (set-semantics
+    * UNION bounds the working set at nodes × k rows; MIN(dist) collapses
+    * non-minimal discoveries exactly like the Spark-side agg).
+    *
+    * Scale shape: k fixed ⇒ k shuffle joins + k hash aggs, lineage ~5
+    * ops/round (no checkpoint needed at k ≤ 5; a larger-k variant adopts
+    * [[Similarity.connectedComponents]]'s cadence). The frontier filter
+    * keeps each round's join input at ONE BFS layer, not the cumulative
+    * reachable set. */
+  private[ops] def kHopReachability(edges: DataFrame, seeds: DataFrame,
+                                    k: Int): DataFrame = {
+    var dist = seeds.select(col("node"), lit(0).as("dist"))
+    for (d <- 1 to k) {
+      val next = edges.join(dist.filter(col("dist") === d - 1),
+          edges("src") === col("node"))
+        .select(edges("dst").as("node"), lit(d).as("dist"))
+        .distinct()
+      dist = dist.unionByName(next)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+    dist
+  }
+
+  /** Registered query: 3-hop reachability over the interaction graph from
+    * the 10%-of-suppliers seed set (s_suppkey % 10 == 0 — 10 seeds at the driver gate SF, 100 at sf0.1), reported as the
+    * per-distance growth curve (node count + exact id sum per BFS layer —
+    * the id sum pins layer MEMBERSHIP under the hash, not just size). */
+  def kHopQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = interactionEdges(spark, dir).cache()
+    val seeds = edges.select($"src".as("node")).distinct()
+      .filter($"node" % 2 === 0 && expr("(node div 2) % 10") === 0)
+    val out = kHopReachability(edges, seeds, k = 3)
+      .groupBy($"dist")
+      .agg(count(lit(1)).as("n_nodes"), sum($"node").as("sum_node_ids"))
+      .cache()
+    out.count() // materialize before releasing the edge cache
+    edges.unpersist()
+    out
+  }
+
+  private val kHopSql =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |), edges AS (
+      |  SELECT s*2 AS src, c*2+1 AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT c*2+1 AS src, s*2 AS dst FROM pairs
+      |), seeds AS (
+      |  SELECT DISTINCT src AS node FROM edges
+      |  WHERE src % 2 = 0 AND (src // 2) % 10 = 0
+      |), bfs(node, dist) AS (
+      |  SELECT node, 0 FROM seeds
+      |  UNION
+      |  SELECT e.dst, b.dist + 1
+      |  FROM bfs b JOIN edges e ON e.src = b.node
+      |  WHERE b.dist < 3
+      |), md AS (
+      |  SELECT node, MIN(dist) AS dist FROM bfs GROUP BY node
+      |)
+      |SELECT dist, COUNT(*) AS n_nodes, CAST(SUM(node) AS BIGINT) AS sum_node_ids
+      |FROM md GROUP BY dist""".stripMargin
+
   /** Undirected supplier co-occurrence edges: suppliers u < v that both
     * appear in some common BULK order line (quantity > 45 — the filter is
     * pushed into the parquet scan). Per-order fanout is bounded by
@@ -350,5 +426,6 @@ object Graph {
     VerifiedQuery("q_pagerank", pageRankQuery, Some(pageRankSql)),
     VerifiedQuery("q_triangle_count", triangleQuery, Some(triangleSql)),
     VerifiedQuery("q_label_prop", labelPropQuery, Some(labelPropSql)),
+    VerifiedQuery("q_khop_bfs", kHopQuery, Some(kHopSql)),
   )
 }

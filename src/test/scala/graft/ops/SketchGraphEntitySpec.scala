@@ -194,6 +194,20 @@ class SketchGraphEntitySpec extends SparkSpec {
     }
   }
 
+  test("kHopReachability: BFS layers on a hand-built graph; min-dist wins over revisits") {
+    import spark.implicits._
+    // chain 1→2→3→4→5 plus a shortcut 1→4 and a back-edge 3→1: node 4 is
+    // reachable at dist 3 via the chain AND dist 1 via the shortcut — the
+    // min must win; the back-edge must not re-lower node 1 below 0
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L), (3L, 1L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.kHopReachability(edges, seeds, k = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2),
+      s"BFS distances wrong: $got")
+  }
+
   test("pageRank matches an independent in-memory evaluation of the recurrence") {
     import spark.implicits._
     // small directed graph with a hub, a chain, and mutual edges
