@@ -42,6 +42,8 @@ object DumpPlans {
       "q_mixture_sample" -> "mixture weighting: per-source rate filter on the hash bucket, one agg",
       "q_quantize_emb" -> "int8 quantization: per-row scalar folds, no shuffle",
       "q_ann_rerank" -> "two-stage retrieval: SQ8 code-cosine scan (one broadcast query product) -> keyed joins rerank top-20 exactly",
+      "q_hll_intersect" -> "audience overlap: one scan -> O(segments*256) sketch rows, driver pairwise merge, exact-audit join",
+      "q_khop_bfs" -> "bounded BFS: pre-partitioned cached edges, per-round frontier join + min-dist fold (linear lineage)",
       "q_image_features" -> "PNG encode->decode->pixel stats via typed mapPartitions",
       "q_epoch_shuffle" -> "deterministic epoch shuffle: narrow hash -> one window shuffle per (epoch, shard)",
       "q_scd2" -> "SCD2 intervals: one lead() window on the dimension key, then hash agg",
