@@ -24,11 +24,15 @@ object AsOf {
     * negative inputs (pre-1970 epochs) WRONG for time bucketing: -10
     * seconds belongs to hour -1, but -10 DIV 3600 = 0 merges it into hour
     * 0. Subtracting `pmod` (always-positive remainder) first makes the
-    * numerator an exact multiple, so the double division is exact and the
-    * result is the floor for any sign; the oracles apply the identical
-    * pmod rewrite so the invariant is structural, not corpus-dependent. */
+    * numerator an exact multiple of n, so truncating integer division
+    * (`div`) equals floor for any sign — all in long arithmetic, no
+    * double rounding at any magnitude. Only bound: the pmod subtraction
+    * must not underflow, so inputs must satisfy c > Long.MinValue + n
+    * (a non-restriction for epoch seconds/days). The oracles apply the
+    * identical pmod rewrite (DuckDB int64 `//` on the exact multiple),
+    * so the invariant is structural, not corpus-dependent. */
   private[graft] def floorDiv(c: Column, n: Long): Column =
-    ((c - pmod(c, lit(n))) / lit(n)).cast("long")
+    call_function("div", (c - pmod(c, lit(n))).cast("long"), lit(n))
 
   /** Generic as-of join: for each left row, attach `valueCol` from the
     * latest right row with the same key and time <= the left time.

@@ -42,6 +42,12 @@ object Etl {
       path
     })
 
+  /** Escape hatch for harnesses that rewrite a corpus dir in-place within
+    * one JVM (r7 advice): the memo assumes a corpus is immutable per
+    * process, so a regenerated dir would otherwise keep serving fixtures
+    * built from the old data. Normal Verify/Bench runs never need this. */
+  private[graft] def clearFixtureCache(): Unit = builtFixtures.clear()
+
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
 
   // -------------------------------------------------------- taxi-analog ETL

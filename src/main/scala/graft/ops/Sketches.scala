@@ -612,6 +612,125 @@ object Sketches {
        |FROM j GROUP BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------- heavy hitters
+
+  private val MgBuckets = 16
+  private val MgK = 8 // counters per bucket summary
+  private val MgFinalK = 20 // counters in the merged global summary
+
+  /** Heavy-hitters summary (Misra–Gries / SpaceSaving family) — the
+    * top-k-frequent-items sketch a corpus-curation pipeline reaches for
+    * first (hot domains, hot tokens), completing the sketch tier beside
+    * count-min (point frequency), Bloom (membership) and HLL
+    * (cardinality). Uses the CANONICAL mergeable form (Agarwal et al.,
+    * "Mergeable Summaries", PODS'12): a part's summary is its exact
+    * counts pruned to k counters by subtracting the (k+1)-th largest
+    * count c_{k+1} (every counter decremented, ≤0 dropped — the batch
+    * equivalent of MG's decrement step), and merging two summaries is
+    * counter-wise addition followed by the same prune. Unlike streaming
+    * MG, this is a pure function of the frequency map — deterministic
+    * under any partitioning — so the whole sketch sits under the DuckDB
+    * hash, like [[countMin]].
+    *
+    * Shape here: tokens md5-bucket into [[MgBuckets]] disjoint parts
+    * (each token lives in exactly ONE bucket, so per-bucket counts are
+    * global counts), each bucket prunes to [[MgK]] counters recording
+    * its offset `off_b`, and the merged global summary prunes the
+    * surviving ≤ B·k counters to [[MgFinalK]] with a second offset
+    * `goff`. MG guarantee, visible in the output and hash-checked:
+    * `est = exact − (off_b + goff)` for every kept token (the summary
+    * NEVER overcounts — the mirror of count-min's never-undercount), and
+    * any token absent from the summary has true count ≤ its bucket's
+    * `off_b + goff` — the miss certificate the scalatest asserts
+    * corpus-wide. `exact` beside the estimate is the audit column, as in
+    * every sketch here; production emits only (token, est, err_bound).
+    *
+    * Scale shape: one explode → map-side-combinable count (the shuffle
+    * carries the VOCABULARY, not the corpus), a window per md5 bucket
+    * (raise B for bigger vocabularies — parallelism and per-bucket state
+    * both scale with it), then O(B·k) rows into the final prune. No
+    * all-pairs, no driver state beyond the sketch. */
+  def topkFreq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, dir)
+      .select(explode(graft.functions.Text.tokensLower($"text")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket", chunk(digest($"token"), 0) % MgBuckets)
+    // (cnt desc, token) makes rank — and therefore the whole summary —
+    // a pure function of the frequency map
+    val perBucket = Window.partitionBy($"bucket").orderBy($"cnt".desc, $"token")
+    val ranked = counts.withColumn("rn", row_number().over(perBucket))
+    val offsets = ranked.groupBy($"bucket")
+      .agg(coalesce(max(when($"rn" === MgK + 1, $"cnt")), lit(0L)).as("off_b"))
+    val pruned = ranked.filter($"rn" <= MgK)
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("w", $"cnt" - $"off_b")
+      .filter($"w" > 0)
+    // global merge prune: ≤ B·k = 128 rows — a single-partition window
+    // over sketch-sized state is the intended shape (the merge step of a
+    // mergeable summary is small by construction)
+    val gRank = Window.orderBy($"w".desc, $"token")
+    val gAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pruned.withColumn("grn", row_number().over(gRank))
+      .withColumn("goff",
+        coalesce(max(when($"grn" === MgFinalK + 1, $"w")).over(gAll), lit(0L)))
+      .filter($"grn" <= MgFinalK && $"w" - $"goff" > 0)
+      .select($"token", $"bucket",
+        ($"w" - $"goff").as("est"),
+        ($"off_b" + $"goff").as("err_bound"),
+        $"cnt".as("exact"))
+  }
+
+  private val topkFreqSql =
+    s"""WITH counts AS (
+       |  SELECT token, COUNT(*) AS cnt
+       |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+       |        FROM documents)
+       |  GROUP BY token
+       |), bucketed AS (
+       |  SELECT token, cnt, ${chunkSql("token", 0)} % $MgBuckets AS bucket FROM counts
+       |), ranked AS (
+       |  SELECT token, cnt, bucket,
+       |         row_number() OVER (PARTITION BY bucket ORDER BY cnt DESC, token) AS rn
+       |  FROM bucketed
+       |), offs AS (
+       |  SELECT bucket, COALESCE(MAX(CASE WHEN rn = ${MgK + 1} THEN cnt END), 0) AS off_b
+       |  FROM ranked GROUP BY bucket
+       |), pruned AS (
+       |  SELECT r.token, r.cnt, r.bucket, o.off_b, r.cnt - o.off_b AS w
+       |  FROM ranked r JOIN offs o USING (bucket)
+       |  WHERE r.rn <= $MgK AND r.cnt - o.off_b > 0
+       |), granked AS (
+       |  SELECT *, row_number() OVER (ORDER BY w DESC, token) AS grn FROM pruned
+       |), goffs AS (
+       |  SELECT COALESCE(MAX(CASE WHEN grn = ${MgFinalK + 1} THEN w END), 0) AS goff
+       |  FROM granked
+       |)
+       |SELECT token, bucket, w - goff AS est, off_b + goff AS err_bound, cnt AS exact
+       |FROM granked, goffs
+       |WHERE grn <= $MgFinalK AND w - goff > 0""".stripMargin
+
+  /** Canonical MG prune of an exact frequency map to k counters — the
+    * pure-function core [[topkFreq]] expresses relationally; exposed for
+    * the merge-dominance property test. Returns (counters, offset). */
+  private[graft] def mgSummary(counts: Map[String, Long], k: Int): (Map[String, Long], Long) = {
+    val sorted = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+    val off = if (sorted.size > k) sorted(k)._2 else 0L
+    (sorted.take(k).map { case (t, c) => t -> (c - off) }.filter(_._2 > 0).toMap, off)
+  }
+
+  /** Mergeable-summaries merge: counter-wise sum, then the same prune;
+    * error offsets add. */
+  private[graft] def mgMerge(a: (Map[String, Long], Long), b: (Map[String, Long], Long),
+                             k: Int): (Map[String, Long], Long) = {
+    val combined = (a._1.keySet ++ b._1.keySet)
+      .map(t => t -> (a._1.getOrElse(t, 0L) + b._1.getOrElse(t, 0L))).toMap
+    val (m, off) = mgSummary(combined, k)
+    (m, a._2 + b._2 + off)
+  }
+
   val all: Seq[VerifiedQuery] = Seq(
     VerifiedQuery("q_countmin", countMin, Some(countMinSql)),
     VerifiedQuery("q_bloom", bloom, Some(bloomSql)),
@@ -619,5 +738,6 @@ object Sketches {
     VerifiedQuery("q_hll_merge", hllMerge, Some(hllMergeSql)),
     VerifiedQuery("q_hll_intersect", hllIntersect, Some(hllIntersectSql)),
     VerifiedQuery("q_hll_det", hllDet, Some(hllDetSql)),
+    VerifiedQuery("q_topk_freq", topkFreq, Some(topkFreqSql)),
   )
 }

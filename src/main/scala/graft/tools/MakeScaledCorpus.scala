@@ -60,11 +60,24 @@ object MakeScaledCorpus {
     import spark.implicits._
 
     def shifted(df: DataFrame, keyCols: Seq[String])(
-        mutate: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
+        mutate: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame = {
+      // r7 advice: the i·10^8 shift silently assumed every source key
+      // < 10^8; a larger source would create cross-copy key collisions and
+      // break the FK-disjointness invariant the probe's validity rests on.
+      // Fail loudly instead of writing an invalid corpus.
+      val bounds = df.agg(max(col(keyCols.head)).cast("long"),
+        keyCols.tail.map(k => max(col(k)).cast("long")): _*).head()
+      keyCols.zipWithIndex.foreach { case (k, idx) =>
+        val mx = if (bounds.isNullAt(idx)) 0L else bounds.getLong(idx)
+        require(mx < 100000000L,
+          s"key column $k has max $mx >= 10^8: copy shifts would collide — " +
+            "raise the shift stride before scaling this corpus")
+      }
       (0 until copies).map { i =>
         val s = i * 100000000L
         mutate(keyCols.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(s))), i)
       }.reduce(_ unionByName _)
+    }
 
     def write(df: DataFrame, table: String): Unit = {
       df.repartition(32).write.mode("overwrite").parquet(s"$dest/$table.parquet")

@@ -46,6 +46,13 @@ class DocsFreshnessSpec extends AnyFunSuite {
     assert(firstInt(cov, """registered queries: (\d+) with full DuckDB oracles""",
       "COVERAGE.md") == nOracles,
       s"COVERAGE 'with full DuckDB oracles' count is stale (oracle map has $nOracles)")
+    // r7 verdict item 9: the rows-only prose drifted (said 9 when it was 12).
+    // Pin every "N rows-only" claim in the doc to the live registry delta.
+    val rowsOnly = nQueries - nOracles
+    val claims = """(\d+) rows-only""".r.findAllMatchIn(cov).map(_.group(1).toInt).toList
+    assert(claims.nonEmpty, "COVERAGE.md no longer states the rows-only count")
+    assert(claims.forall(_ == rowsOnly),
+      s"COVERAGE 'rows-only' claims $claims are stale (registry has $rowsOnly)")
   }
 
   test("README.md scalatest-case count matches the test sources") {

@@ -142,13 +142,16 @@ class PropertySpec extends SparkSpec {
   }
 
   test("AsOf.floorDiv == Math.floorDiv for arbitrary longs incl. negatives") {
-    // the time-bucketing kernel (pmod-adjusted exact double division) must
-    // agree with the JDK's integer floorDiv on the full sign range — the
-    // truncation-vs-floor divergence it exists to eliminate lives entirely
-    // in negative inputs
+    // the time-bucketing kernel (pmod-adjusted long `div`) must agree with
+    // the JDK's integer floorDiv over (Long.MinValue + n, Long.MaxValue] —
+    // the truncation-vs-floor divergence it exists to eliminate lives in
+    // negative inputs, and the long-arithmetic form (r7 advice) must hold
+    // beyond 2^53 where double division would round before flooring
     val widths = Seq(3600L, 86400L, 7L, 600L)
-    val vals = samples(Gen.chooseNum(-4102444800L, 4102444800L), 200) ++
-      Seq(-1L, 0L, 1L, -3600L, 3599L, -3601L, -86400L, 86399L)
+    val vals = samples(Gen.chooseNum(Long.MinValue + 100000L, Long.MaxValue), 200) ++
+      Seq(-1L, 0L, 1L, -3600L, 3599L, -3601L, -86400L, 86399L,
+        (1L << 53) + 1L, -(1L << 53) - 1L, (1L << 60) + 7L, -(1L << 60) - 7L,
+        Long.MaxValue, Long.MinValue + 86401L)
     widths.foreach { n =>
       val got = vals.toDF("v")
         .select(graft.ops.AsOf.floorDiv(col("v"), n).as("fd"))
@@ -180,6 +183,44 @@ class PropertySpec extends SparkSpec {
       val merged = partials.reverse.foldLeft(T.zero)(T.merge)
       assert(T.finish(merged) == expected,
         s"partitioned merge diverged from the sequential top-k for $rows / cuts $cuts")
+    }
+  }
+
+  test("Misra-Gries merge dominance: any partitioning keeps the MG guarantee and error budget") {
+    // the mergeable-summaries contract q_topk_freq's relational form relies
+    // on (Agarwal et al. PODS'12): for ANY split of a multiset into parts,
+    // summarize each part (canonical prune to k), fold the summaries in
+    // arbitrary order, and the result must (a) never overcount, (b) bound
+    // every kept token's undercount by the accumulated error, (c) certify
+    // every dropped token light (count <= err), (d) keep err <= N/(k+1)
+    import graft.ops.Sketches
+    val k = 5
+    val caseGen = for {
+      n <- Gen.choose(20, 300)
+      toks <- Gen.listOfN(n, Gen.frequency(
+        (6, Gen.oneOf("a", "b", "c")),          // heavy hitters
+        (4, Gen.choose(0, 40).map("t" + _))))   // long tail
+      nCuts <- Gen.choose(0, 6)
+      cuts <- Gen.listOfN(nCuts, Gen.choose(0, n))
+    } yield (toks, cuts.sorted)
+    samples(caseGen, 120).foreach { case (toks, cuts) =>
+      val f = toks.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val chunks = (0 +: cuts :+ toks.length).distinct.sorted.sliding(2).map {
+        case Seq(a, b) => toks.slice(a, b)
+      }.toSeq
+      val partials = chunks.map { c =>
+        Sketches.mgSummary(c.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }, k)
+      }
+      val (m, err) = partials.reverse.reduceLeft((a, b) => Sketches.mgMerge(a, b, k))
+      m.foreach { case (t, w) =>
+        assert(w <= f(t), s"overcount: $t has weight $w > true ${f(t)}")
+        assert(f(t) - w <= err, s"undercount beyond budget: $t ${f(t)} - $w > $err")
+      }
+      f.foreach { case (t, c) =>
+        if (!m.contains(t)) assert(c <= err, s"dropped heavy hitter $t: $c > err $err")
+      }
+      assert(err <= toks.length.toLong / (k + 1),
+        s"error budget ${err} exceeds N/(k+1) = ${toks.length / (k + 1)}")
     }
   }
 }

@@ -296,4 +296,46 @@ class SketchGraphEntitySpec extends SparkSpec {
       }
     }
   }
+
+  test("heavy-hitters summary equals the local canonical MG computation and misses nothing heavy") {
+    // the distributed q_topk_freq must be the EXACT pure function of the
+    // frequency map the canonical construction defines: per-md5-bucket
+    // prune to k, n-ary merge prune to K — recomputed here from collected
+    // exact counts — and any token it drops must be certified light
+    // (count <= its bucket's off_b + goff)
+    import graft.functions.Text
+    import spark.implicits._
+    val counts = graft.Tables.documents(spark, sf)
+      .select(explode(Text.tokensLower(col("text"))).as("token"))
+      .groupBy("token").count()
+      .as[(String, Long)].collect().toMap
+    def bucketOf(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 7), 16) % 16
+    }
+    val byBucket = counts.groupBy { case (t, _) => bucketOf(t) }
+    val bucketSummaries = byBucket.map { case (b, cs) => b -> Sketches.mgSummary(cs, 8) }
+    val combined = bucketSummaries.values.map(_._1).reduce(_ ++ _) // disjoint tokens
+    val (finalM, goff) = Sketches.mgSummary(combined, 20)
+    val rows = Sketches.topkFreq(spark, sf).collect()
+      .map(r => r.getAs[String]("token") ->
+        ((r.getAs[Long]("bucket"), r.getAs[Long]("est"),
+          r.getAs[Long]("err_bound"), r.getAs[Long]("exact")))).toMap
+    assert(rows.keySet === finalM.keySet, "distributed summary != canonical MG keep set")
+    rows.foreach { case (t, (b, est, err, exact)) =>
+      assert(b === bucketOf(t))
+      assert(est === finalM(t), s"$t: est $est != canonical ${finalM(t)}")
+      assert(exact === counts(t))
+      assert(err === bucketSummaries(b)._2 + goff)
+      assert(est + err === exact, "MG weight must undercount by exactly the prune offsets")
+    }
+    // miss certificate: every dropped token is provably below its bucket's bound
+    counts.foreach { case (t, c) =>
+      if (!rows.contains(t)) {
+        val bound = bucketSummaries(bucketOf(t))._2 + goff
+        assert(c <= bound, s"dropped token $t has count $c > certificate $bound")
+      }
+    }
+  }
 }
