@@ -169,18 +169,30 @@ object Graph {
     * ops/round (no checkpoint needed at k ≤ 5; a larger-k variant adopts
     * [[Similarity.connectedComponents]]'s cadence). The frontier filter
     * keeps each round's join input at ONE BFS layer, not the cumulative
-    * reachable set. */
+    * reachable set.
+    *
+    * Returns (distances, release) — callers invoke `release()` after
+    * materializing/consuming the result to drop the loop's cached rounds. */
   private[ops] def kHopReachability(edges: DataFrame, seeds: DataFrame,
-                                    k: Int): DataFrame = {
+                                    k: Int): (DataFrame, () => Unit) = {
     // Each round reads `dist` TWICE (frontier filter + union fold), so an
     // uncached loop doubles the lineage per round — 2^k plan blowup
-    // (measured: 10.9 s → 2.6 s at sf0.1 for k=3 after this cache). Per-
-    // round cache + count keeps lineage linear, exactly the CC loop's
-    // cadence; the superseded round is released immediately. The returned
-    // frame stays cached — callers unpersist after consuming (kHopQuery
-    // does; a production caller at larger k would checkpoint every ~5
-    // rounds like connectedComponents).
+    // (measured: 10.9 s → 2.6 s at sf0.1 for k=3). cache() alone is what
+    // fixes that: the cache manager substitutes one shared
+    // InMemoryRelation per round at PLAN time, so both consumers scan the
+    // same cached RDD and the DAG scheduler computes each round exactly
+    // once even inside a single job. The r7 loop also ran a count() per
+    // round to materialize before releasing the superseded round — one
+    // extra job and a full cache re-read per hop (r7 verdict item 7).
+    // Dropping the per-round action and keeping every round marked until
+    // the CALLER's one terminal action is strictly fewer jobs with
+    // identical per-round work; the held state is k small (node, dist)
+    // frames, released together via the returned thunk. A larger-k
+    // variant would re-introduce a materialize-and-release cadence every
+    // ~5 rounds (connectedComponents') to bound memory and lineage depth.
+    val cached = scala.collection.mutable.Buffer.empty[DataFrame]
     var dist = seeds.select(col("node"), lit(0).as("dist")).cache()
+    cached += dist
     for (d <- 1 to k) {
       val next = edges.join(dist.filter(col("dist") === d - 1),
           edges("src") === col("node"))
@@ -189,11 +201,10 @@ object Graph {
       val folded = dist.unionByName(next)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .cache()
-      folded.count()
-      dist.unpersist()
+      cached += folded
       dist = folded
     }
-    dist
+    (dist, () => cached.foreach(_.unpersist()))
   }
 
   /** Registered query: 3-hop reachability over the interaction graph from
@@ -210,13 +221,13 @@ object Graph {
     val edges = interactionEdges(spark, dir).repartition(col("src")).cache()
     val seeds = edges.select($"src".as("node")).distinct()
       .filter($"node" % 2 === 0 && expr("(node div 2) % 10") === 0)
-    val dist = kHopReachability(edges, seeds, k = 3)
+    val (dist, release) = kHopReachability(edges, seeds, k = 3)
     val out = dist
       .groupBy($"dist")
       .agg(count(lit(1)).as("n_nodes"), sum($"node").as("sum_node_ids"))
       .cache()
-    out.count() // materialize before releasing the working caches
-    dist.unpersist()
+    out.count() // the ONE terminal action — materializes every BFS round once
+    release()
     edges.unpersist()
     out
   }
