@@ -38,11 +38,19 @@ object Bench {
                                     nQueries: Int, iterTotals: Seq[Double],
                                     iterLoads: Seq[Double],
                                     failedNames: Seq[String], hostCpus: Int,
-                                    sparkCpus: String): String = {
+                                    sparkCpus: String,
+                                    startLoad: Double = 0.0,
+                                    loadThreshold: Double = 0.0,
+                                    loadWaitedSec: Int = 0): String = {
     val itJson = iterTotals.mkString("[", ",", "]")
     val loadJson = iterLoads.mkString("[", ",", "]")
     val fails = failedNames.sorted.mkString(",").take(600)
-    s"""{"metric":"total_median","value":$total,"unit":"sec","sf":"$sfDir","iters":$iters,"n_queries":$nQueries,"iter_totals":$itJson,"iter_load_avg":$loadJson,"n_failed":${failedNames.size},"failed_names":${jStr(fails)},"host_cpus":$hostCpus,"spark_cpus":$sparkCpus,"full_record":"target/bench_full.json"}"""
+    // `contended` is the honest-measurement flag (r7 verdict item 1): the
+    // r7 artifact was captured at start load 4.3 and overstated the
+    // registry by ~4% vs the same-HEAD solo run. A reader of the artifact
+    // sees the gate verdict without reconstructing it from the load trace.
+    val contended = startLoad > loadThreshold && loadThreshold > 0
+    s"""{"metric":"total_median","value":$total,"unit":"sec","sf":"$sfDir","iters":$iters,"n_queries":$nQueries,"iter_totals":$itJson,"iter_load_avg":$loadJson,"start_load_avg":$startLoad,"load_gate_threshold":$loadThreshold,"load_waited_sec":$loadWaitedSec,"contended":$contended,"n_failed":${failedNames.size},"failed_names":${jStr(fails)},"host_cpus":$hostCpus,"spark_cpus":$sparkCpus,"full_record":"target/bench_full.json"}"""
   }
 
   private def median(xs: Seq[Double]): Double = {
@@ -81,6 +89,25 @@ object Bench {
       rm(ckptRoot)
     }))
     spark.sparkContext.setCheckpointDir(ckptRoot.getAbsolutePath)
+    // Contention gate (r7 verdict item 1): a bench started on a busy host
+    // records numbers that overstate every query (r7's committed artifact:
+    // start load 4.3 → +4% vs the same-HEAD solo run). Wait, bounded, for
+    // the 1-min load average to decay below the threshold before timing
+    // anything; if it never does, proceed but stamp the summary
+    // `contended:true` so the artifact self-reports its quality.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0").toDouble
+    val maxWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_WAIT_SEC", "300").toInt
+    var loadWaited = 0
+    var startLoad = osBean.getSystemLoadAverage
+    while (startLoad > maxLoad && loadWaited < maxWaitSec) {
+      System.err.println(f"[bench] start load_avg $startLoad%.2f > $maxLoad%.2f — waiting ($loadWaited/$maxWaitSec s)")
+      Thread.sleep(15000)
+      loadWaited += 15
+      startLoad = osBean.getSystemLoadAverage
+    }
+    if (startLoad > maxLoad)
+      System.err.println(f"[bench] proceeding CONTENDED: load_avg $startLoad%.2f after $loadWaited s")
     // Untimed warmup: JVM/codegen/parquet-reader startup shouldn't be
     // charged to whichever query happens to run first.
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -99,7 +126,6 @@ object Bench {
     // failure is reported in the JSON and via exit code — never silently
     // recorded as a healthy number.
     val failures = scala.collection.mutable.Map[String, String]()
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     // Per-iteration load average: host contention on a shared box hits some
     // iterations and not others; raw per-iteration rows (below) plus the
     // load trace make a contaminated run self-diagnosing without a re-run.
@@ -160,7 +186,7 @@ object Bench {
     val itJson = iterTotals.mkString("[", ",", "]")
     val loadJson = iterLoadAvg.mkString("[", ",", "]")
     val nCpus = Runtime.getRuntime.availableProcessors
-    val fullLine = s"""{"metric":"total_median","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"iter_totals":$itJson,"per_query_iters":$perIter,"iter_load_avg":$loadJson,"failed_queries":$failJson,"host_cpus":$nCpus,"load_avg_start_of_report":${osBean.getSystemLoadAverage},"spark_cpus":$cpus,"slow_threshold_sec":$slowSec,"slow_extra_iters":$slowIters,"slow_queries":${slowNames.sorted.map(jStr).mkString("[", ",", "]")}}"""
+    val fullLine = s"""{"metric":"total_median","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"iter_totals":$itJson,"per_query_iters":$perIter,"iter_load_avg":$loadJson,"start_load_avg":$startLoad,"load_gate_threshold":$maxLoad,"load_waited_sec":$loadWaited,"failed_queries":$failJson,"host_cpus":$nCpus,"load_avg_start_of_report":${osBean.getSystemLoadAverage},"spark_cpus":$cpus,"slow_threshold_sec":$slowSec,"slow_extra_iters":$slowIters,"slow_queries":${slowNames.sorted.map(jStr).mkString("[", ",", "]")}}"""
     println(fullLine)
     // The full line above is ~10 KB (146 queries × per-iteration arrays); the
     // driver's artifact keeps only the last ~2000 chars of stdout, which
@@ -176,7 +202,8 @@ object Bench {
     } catch { case _: Throwable => () } // reporting must not fail the bench
     spark.stop()
     println(compactSummary(total, sfDir, iters, queries.size,
-      iterTotals, iterLoadAvg.toSeq, failures.keys.toSeq, nCpus, cpus))
+      iterTotals, iterLoadAvg.toSeq, failures.keys.toSeq, nCpus, cpus,
+      startLoad, maxLoad, loadWaited))
     if (failures.nonEmpty) {
       System.err.println(s"BENCH: ${failures.size} quer${if (failures.size == 1) "y" else "ies"} FAILED: ${failures.keys.toSeq.sorted.mkString(", ")}")
       sys.exit(1)

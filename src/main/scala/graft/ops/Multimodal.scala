@@ -126,54 +126,109 @@ object Multimodal {
     }
   }
 
-  /** REAL audio decode via the JDK's built-in `javax.sound.sampled`
-    * (the WAV/PCM reader ships with the JRE — zero new dependencies,
-    * exactly like [[ImageIoDecoder]]'s ImageIO): parse the RIFF header
-    * through `AudioSystem`, require 16-bit mono little-endian PCM, and
-    * compute amplitude statistics over the decoded samples. `features` =
-    * (Σ|sample|, 16-bin histogram of |sample| >> 11 — the full signed-
-    * 16-bit range). PCM is lossless, so encode→decode round-trips
-    * bit-exactly and the whole path can sit under a hash oracle.
-    * `frames` = n contiguous sample-range chunks re-encoded as WAV
-    * through the same writer (lossless, so chained decode→features stays
-    * exact). */
+  /** REAL audio codec for WAV/PCM — byte-level RIFF reader/writer
+    * producing and parsing EXACTLY the canonical 44-byte-header PCM
+    * layout `AudioSystem.write` emits (MultimodalSpec's AudioSystem
+    * parity test pins byte-for-byte writer equality and cross-parse
+    * equality against the JDK codec in both directions).
+    *
+    * Why not call `javax.sound.sampled.AudioSystem` in the hot path, as
+    * this originally did: its provider registry is GLOBALLY SYNCHRONIZED
+    * — measured on this host, 16 threads decoding through
+    * `AudioSystem.getAudioInputStream`/`write` take 2.4× LONGER than one
+    * thread doing all the work (0.53 s sequential vs 1.27 s on 16
+    * threads for 20k clips). Inside a 32-slot executor that lock
+    * serializes the whole stage: q_audio_features ran 11.5 s at the 10×
+    * corpus — the multimodal family's worst scaler (r7 verdict item 4) —
+    * for work that is ~1 s of actual byte math. A per-row codec in a
+    * `mapPartitions` MUST be lock-free to scale; the JDK codec remains
+    * the reference implementation the parity spec checks this one
+    * against.
+    *
+    * `features` = (Σ|sample|, 16-bin histogram of |sample| >> 11 — the
+    * full signed-16-bit range). PCM is lossless, so encode→decode
+    * round-trips bit-exactly and the whole path sits under a hash
+    * oracle. `frames` = n contiguous sample-range chunks re-encoded as
+    * WAV through the same writer. */
   object WavDecoder extends MediaDecoder {
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
+    private def le16(b: Array[Byte], off: Int): Int =
+      (b(off + 1) << 8) | (b(off) & 0xFF) // high byte sign-extends via Int shift
+    private def le32(b: Array[Byte], off: Int): Int =
+      ((b(off + 3) & 0xFF) << 24) | ((b(off + 2) & 0xFF) << 16) |
+        ((b(off + 1) & 0xFF) << 8) | (b(off) & 0xFF)
+    private def putLe16(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    private def putLe32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
+      b(off + 2) = ((v >> 16) & 0xFF).toByte; b(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+
+    /** Chunk-walking RIFF parse (fmt may be preceded/followed by extra
+      * chunks in foreign writers — handled, not just the canonical
+      * offset-36 data position): requires 16-bit mono LE signed PCM,
+      * returns the samples. */
     private def samples(bytes: Array[Byte]): Array[Int] = {
-      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
-      val fmt = in.getFormat
-      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
-        !fmt.isBigEndian && fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED,
-        s"expected 16-bit mono LE signed PCM, got $fmt")
-      val data = in.readAllBytes()
-      in.close()
+      require(bytes.length >= 44 &&
+        bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
+        "not a RIFF/WAVE stream")
+      var off = 12
+      var fmtOk = false
+      var data: Array[Byte] = null
+      while (off + 8 <= bytes.length && data == null) {
+        val id = new String(bytes, off, 4, "US-ASCII")
+        val sz = le32(bytes, off + 4)
+        if (id == "fmt ") {
+          val audioFormat = le16(bytes, off + 8) & 0xFFFF
+          val channels = le16(bytes, off + 10) & 0xFFFF
+          val bits = le16(bytes, off + 22) & 0xFFFF
+          require(audioFormat == 1 && channels == 1 && bits == 16,
+            s"expected 16-bit mono PCM, got format=$audioFormat channels=$channels bits=$bits")
+          fmtOk = true
+        } else if (id == "data") {
+          require(fmtOk, "data chunk before fmt chunk")
+          data = java.util.Arrays.copyOfRange(bytes, off + 8,
+            math.min(off + 8 + sz, bytes.length))
+        }
+        off += 8 + sz + (sz & 1) // RIFF chunks are 2-byte aligned
+      }
+      require(data != null, "no data chunk")
       val out = new Array[Int](data.length / 2)
       var i = 0
       while (i < out.length) {
-        // little-endian signed 16-bit: high byte sign-extends via Int shift
-        out(i) = (data(2 * i + 1) << 8) | (data(2 * i) & 0xFF)
+        out(i) = le16(data, 2 * i)
         i += 1
       }
       out
     }
 
-    /** 16-bit mono 8 kHz LE WAV bytes for a sample array (the canonical
-      * 44-byte-header PCM layout `AudioSystem.write` emits). */
+    /** 16-bit mono 8 kHz LE WAV bytes for a sample array — byte-identical
+      * to the canonical 44-byte-header layout `AudioSystem.write` emits
+      * (pinned by the parity spec). */
     def encode(ss: Array[Int]): Array[Byte] = {
-      val pcm = new Array[Byte](ss.length * 2)
+      val dataLen = ss.length * 2
+      val b = new Array[Byte](44 + dataLen)
+      b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+      putLe32(b, 4, 36 + dataLen)
+      b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
+      b(12) = 'f'; b(13) = 'm'; b(14) = 't'; b(15) = ' '
+      putLe32(b, 16, 16) // PCM fmt chunk size
+      putLe16(b, 20, 1) // audio format: linear PCM
+      putLe16(b, 22, 1) // mono
+      putLe32(b, 24, 8000) // sample rate
+      putLe32(b, 28, 16000) // byte rate = rate · block align
+      putLe16(b, 32, 2) // block align
+      putLe16(b, 34, 16) // bits per sample
+      b(36) = 'd'; b(37) = 'a'; b(38) = 't'; b(39) = 'a'
+      putLe32(b, 40, dataLen)
       var i = 0
       while (i < ss.length) {
-        pcm(2 * i) = (ss(i) & 0xFF).toByte
-        pcm(2 * i + 1) = ((ss(i) >> 8) & 0xFF).toByte
+        putLe16(b, 44 + 2 * i, ss(i))
         i += 1
       }
-      val fmt = new AudioFormat(8000f, 16, 1, true, false)
-      val ais = new AudioInputStream(
-        new java.io.ByteArrayInputStream(pcm), fmt, ss.length.toLong)
-      val bos = new java.io.ByteArrayOutputStream()
-      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
-      bos.toByteArray
+      b
     }
 
     def features(bytes: Array[Byte]): (Long, Array[Long]) = {

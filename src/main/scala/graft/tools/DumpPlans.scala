@@ -106,7 +106,8 @@ object DumpPlans {
       "q_bloom_join" -> "bloom semi-join reduction: sketch-sized InSet predicate prunes facts before the exact join",
       "q_wordpiece" -> "wordpiece encode: vocab-sized candidate agg -> broadcast vocab array -> per-row greedy HOF fold",
       "q_contrastive_mine" -> "contrastive mining: broadcast anchors x one corpus scan, per-(anchor,side) argmax windows",
-      "q_image_resize" -> "codec resize loop: typed mapPartitions decode -> NN resample -> re-encode -> re-decode, per-row, no shuffle")
+      "q_image_resize" -> "codec resize loop: typed mapPartitions decode -> NN resample -> re-encode -> re-decode, per-row, no shuffle",
+      "q_topk_freq" -> "Misra-Gries heavy hitters: explode -> md5-bucket partial prune (k counters/bucket) -> n-ary merge prune -> exact-audit join")
 
     val qs = graft.SparkEntry.queries
     val sb = new StringBuilder

@@ -18,7 +18,8 @@ class BenchSummarySpec extends AnyFunSuite {
     iterTotals = Seq(287.36283734500006, 185.41413568500002, 182.50865370500003),
     iterLoads = Seq(4.94873046875, 5.06005859375, 5.59765625),
     failedNames = (1 to nFailed).map(i => s"q_some_long_query_name_$i"),
-    hostCpus = 32, sparkCpus = "32")
+    hostCpus = 32, sparkCpus = "32",
+    startLoad = 4.94873046875, loadThreshold = 2.0, loadWaitedSec = 300)
 
   test("compact summary stays far under the 2000-char stdout tail window") {
     // worst realistic case: every-query-failed still fits because the
@@ -35,7 +36,9 @@ class BenchSummarySpec extends AnyFunSuite {
     assert(l.head == '{' && l.last == '}')
     assert(l.count(_ == '{') == 1 && l.count(_ == '}') == 1)
     Seq("\"metric\":\"total_median\"", "\"value\":", "\"iter_totals\":",
-      "\"iter_load_avg\":", "\"n_queries\":", "\"n_failed\":2").foreach { f =>
+      "\"iter_load_avg\":", "\"n_queries\":", "\"n_failed\":2",
+      // load-gate verdict (r7 item 1): fixture start load 4.9 > threshold 2
+      "\"start_load_avg\":", "\"load_waited_sec\":300", "\"contended\":true").foreach { f =>
       assert(l.contains(f), s"missing $f in: $l")
     }
   }

@@ -151,4 +151,59 @@ class MultimodalSpec extends SparkSpec {
         s"doc $id: corner pixels must survive the re-encode round trip")
     }
   }
+
+  test("WavDecoder is byte- and sample-parity with the JDK AudioSystem codec both directions") {
+    // the hot path is a lock-free byte-level RIFF codec (AudioSystem's
+    // globally synchronized registry serialized the decode stage — r7
+    // verdict item 4); THIS test keeps the JDK codec as the reference:
+    // same bytes out, and each parser accepts the other writer's output
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def jdkEncode(ss: Array[Int]): Array[Byte] = {
+      val pcm = new Array[Byte](ss.length * 2)
+      ss.indices.foreach { i =>
+        pcm(2 * i) = (ss(i) & 0xFF).toByte
+        pcm(2 * i + 1) = ((ss(i) >> 8) & 0xFF).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, ss.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def jdkDecode(bytes: Array[Byte]): Array[Int] = {
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      assert(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian)
+      val data = in.readAllBytes()
+      in.close()
+      Array.tabulate(data.length / 2)(i => (data(2 * i + 1) << 8) | (data(2 * i) & 0xFF))
+    }
+    val cases = Seq(
+      Array.empty[Int],
+      Array(0, 1, -1, 32767, -32768),
+      Array.tabulate(251)(i => ((i * 9173) % 65535) - 32767))
+    cases.foreach { ss =>
+      val ours = WavDecoder.encode(ss)
+      val jdk = jdkEncode(ss)
+      assert(java.util.Arrays.equals(ours, jdk),
+        s"writer bytes diverge from AudioSystem for ${ss.length} samples")
+      assert(jdkDecode(ours).toSeq == ss.toSeq, "AudioSystem cannot parse our bytes back")
+      // our parser reads the JDK writer's output (and survives a foreign
+      // chunk layout: prepend a junk chunk between fmt and data)
+      val (sum, _) = WavDecoder.features(jdk)
+      assert(sum == ss.map(s => math.abs(s.toLong)).sum)
+    }
+    // chunk-walk robustness: canonical header with an extra LIST chunk inserted
+    val ss = Array(100, -200, 300)
+    val canonical = WavDecoder.encode(ss)
+    val junk = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0, 1, 2, 3, 4)
+    val withJunk = canonical.slice(0, 36) ++ junk ++ canonical.slice(36, canonical.length)
+    // fix the RIFF size field for the inserted 12 bytes
+    val riffSz = (withJunk.length - 8)
+    withJunk(4) = (riffSz & 0xFF).toByte; withJunk(5) = ((riffSz >> 8) & 0xFF).toByte
+    withJunk(6) = ((riffSz >> 16) & 0xFF).toByte; withJunk(7) = ((riffSz >> 24) & 0xFF).toByte
+    assert(WavDecoder.features(withJunk)._1 == ss.map(s => math.abs(s.toLong)).sum,
+      "parser must chunk-walk past foreign chunks")
+  }
 }
