@@ -731,6 +731,166 @@ object Sketches {
     (m, a._2 + b._2 + off)
   }
 
+  // ------------------------------------------- mergeable quantile sketch
+
+  private val QsBits = 5 // mantissa bits: relative bucket width ≤ 2^-5 ≈ 3.1%
+
+  /** Mergeable quantile sketch over positive integers — log-bucket
+    * (HDR-histogram-style) value-space compression: a value keeps its top
+    * `QsBits`+1 significant bits, i.e. bucket lower bound = v with the low
+    * (bitlen(v)−1−QsBits) bits zeroed. Unlike rank-space summaries
+    * (GK, t-digest, KLL), fixed value-space cells make the MERGE EXACT —
+    * merging two sketches is bucket-wise counter addition, loses nothing,
+    * and is order/partition-independent, which is why the whole sketch
+    * (built as per-group partials, then merged) can sit under the DuckDB
+    * hash while KLL internals (`q_sketch_agg`) must stay rows-only. The
+    * quantile guarantee is structural: the estimated bucket CONTAINS the
+    * exact quantile, and bucket width / lower bound ≤ 2^−QsBits, so the
+    * relative error of the midpoint is bounded by 2^−(QsBits+1).
+    *
+    * Integer-portability: bit length = `length(bin(v))` (identical string
+    * function both engines), bucket width = `1::BIGINT << ...` /
+    * `shiftleft(cast(1 as bigint), ...)`, quantile rank =
+    * ceil(p·n) computed as `(p_num·n + p_den − 1) div p_den` on exact
+    * longs — no float enters the sketch at any point (the oracle-parity
+    * division/rounding rules).
+    *
+    * Output: one row per (scope, quantile) — scope = each l_returnflag
+    * partial sketch plus 'ALL' (the merge of the partials) × p50/p90/p99/
+    * p99.9 — with `est_lo`/`est_hi` (the bucket), the `exact` quantile,
+    * and the `in_bucket` containment invariant, which must be true on
+    * every row and is therefore pinned by the hash.
+    *
+    * Scale shape: one linear scan → per-row integer ops → groupBy
+    * (scope, bucket) with map-side combine; the shuffle carries at most
+    * scopes × 64·2^QsBits bucket cells — SKETCH-sized, never data-sized —
+    * and the cumulative window runs over those sketch-sized partitions.
+    * The exact side (a distinct-value histogram, the winsorize pattern)
+    * is the VERIFICATION audit, not the production shape. */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def bucketWidth(col: String) =
+      s"shiftleft(cast(1 as bigint), greatest(length(bin($col)) - 1 - $QsBits, 0))"
+    val vals = Tables.lineitem(spark, dir)
+      .select($"l_returnflag".as("scope"),
+        round($"l_extendedprice" * 100).cast("long").as("v"))
+    // per-scope partial sketches, then the exact bucket-wise-sum merge
+    val partial = vals
+      .withColumn("b", expr(s"v - v % ${bucketWidth("v")}"))
+      .groupBy($"scope", $"b").agg(count(lit(1)).as("cnt"))
+    val merged = partial.groupBy($"b").agg(sum($"cnt").as("cnt"))
+      .select(lit("ALL").as("scope"), $"b", $"cnt")
+    val sketch = partial.select($"scope", $"b", $"cnt").unionByName(merged)
+    val cumW = Window.partitionBy($"scope").orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sketch
+      .withColumn("cum", sum($"cnt").over(cumW))
+      .withColumn("n", sum($"cnt").over(Window.partitionBy($"scope")))
+    val probes = Seq((1L, 2L), (9L, 10L), (99L, 100L), (999L, 1000L))
+      .toDF("p_num", "p_den")
+    // rank = ceil(p·n) in exact long math; est_lo = smallest bucket whose
+    // cumulative count reaches it (cum is monotone in b per scope)
+    val est = cum.join(broadcast(probes))
+      .withColumn("rank", expr("(p_num * n + p_den - 1) div p_den"))
+      .groupBy($"scope", $"p_num", $"p_den")
+      .agg(max($"n").as("n"), max($"rank").as("rank"),
+        min(when($"cum" >= $"rank", $"b")).as("est_lo"))
+      .withColumn("est_hi", expr(s"est_lo + ${bucketWidth("est_lo")} - 1"))
+    // exact audit: distinct-value count histogram (values shuffle, not rows)
+    val histF = vals.groupBy($"scope", $"v").agg(count(lit(1)).as("cnt"))
+    val histA = histF.groupBy($"v").agg(sum($"cnt").as("cnt"))
+      .select(lit("ALL").as("scope"), $"v", $"cnt")
+    val hcumW = Window.partitionBy($"scope").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exact = histF.unionByName(histA)
+      .withColumn("cum", sum($"cnt").over(hcumW))
+      .withColumn("n", sum($"cnt").over(Window.partitionBy($"scope")))
+      .join(broadcast(probes))
+      .withColumn("rank", expr("(p_num * n + p_den - 1) div p_den"))
+      .groupBy($"scope", $"p_num", $"p_den")
+      .agg(min(when($"cum" >= $"rank", $"v")).as("exact"))
+    est.join(exact, Seq("scope", "p_num", "p_den"))
+      .select($"scope", $"p_num", $"p_den", $"n", $"rank",
+        $"est_lo", $"est_hi", $"exact",
+        ($"exact" >= $"est_lo" && $"exact" <= $"est_hi").as("in_bucket"))
+  }
+
+  private val quantileSketchSql =
+    s"""WITH vals AS (
+       |  SELECT l_returnflag AS scope,
+       |         CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+       |  FROM lineitem
+       |), partial AS (
+       |  SELECT scope,
+       |         v - v % (1::BIGINT << greatest(length(bin(v)) - 1 - $QsBits, 0)) AS b,
+       |         COUNT(*) AS cnt
+       |  FROM vals GROUP BY 1, 2
+       |), sketch AS (
+       |  SELECT scope, b, cnt FROM partial
+       |  UNION ALL
+       |  SELECT 'ALL' AS scope, b, CAST(SUM(cnt) AS BIGINT) AS cnt
+       |  FROM partial GROUP BY b
+       |), cum AS (
+       |  SELECT scope, b, cnt,
+       |    CAST(SUM(cnt) OVER (PARTITION BY scope ORDER BY b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(SUM(cnt) OVER (PARTITION BY scope) AS BIGINT) AS n
+       |  FROM sketch
+       |), probes(p_num, p_den) AS (
+       |  VALUES (1::BIGINT, 2::BIGINT), (9::BIGINT, 10::BIGINT),
+       |         (99::BIGINT, 100::BIGINT), (999::BIGINT, 1000::BIGINT)
+       |), est0 AS (
+       |  SELECT scope, p_num, p_den, MAX(n) AS n, MAX(rank) AS rank,
+       |         MIN(CASE WHEN cum >= rank THEN b END) AS est_lo
+       |  FROM (SELECT c.*, p.p_num, p.p_den,
+       |          (p.p_num * c.n + p.p_den - 1) // p.p_den AS rank
+       |        FROM cum c CROSS JOIN probes p)
+       |  GROUP BY 1, 2, 3
+       |), est AS (
+       |  SELECT *, est_lo + (1::BIGINT << greatest(length(bin(est_lo)) - 1 - $QsBits, 0)) - 1 AS est_hi
+       |  FROM est0
+       |), histf AS (
+       |  SELECT scope, v, COUNT(*) AS cnt FROM vals GROUP BY 1, 2
+       |), hist AS (
+       |  SELECT scope, v, cnt FROM histf
+       |  UNION ALL
+       |  SELECT 'ALL' AS scope, v, CAST(SUM(cnt) AS BIGINT) AS cnt
+       |  FROM histf GROUP BY v
+       |), hcum AS (
+       |  SELECT scope, v,
+       |    CAST(SUM(cnt) OVER (PARTITION BY scope ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(SUM(cnt) OVER (PARTITION BY scope) AS BIGINT) AS n
+       |  FROM hist
+       |), ex AS (
+       |  SELECT scope, p_num, p_den, MIN(CASE WHEN cum >= rank THEN v END) AS exact
+       |  FROM (SELECT h.*, p.p_num, p.p_den,
+       |          (p.p_num * h.n + p.p_den - 1) // p.p_den AS rank
+       |        FROM hcum h CROSS JOIN probes p)
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT e.scope, e.p_num, e.p_den, e.n, e.rank,
+       |       e.est_lo, e.est_hi, x.exact,
+       |       x.exact >= e.est_lo AND x.exact <= e.est_hi AS in_bucket
+       |FROM est e JOIN ex x USING (scope, p_num, p_den)""".stripMargin
+
+  /** Pure-Scala mirror of the relational bucket map — the reference
+    * implementation the property test checks invariants on (and checks
+    * AGAINST the SQL-expression form on a Spark frame). v ≥ 0. */
+  private[graft] def qsBucket(v: Long): Long = {
+    val e = 64 - java.lang.Long.numberOfLeadingZeros(v) // bit length; 0 for v=0
+    v - (v % (1L << math.max(e - 1 - QsBits, 0)))
+  }
+
+  /** Width of the bucket with lower bound `b` (same exponent as members). */
+  private[graft] def qsWidth(b: Long): Long = {
+    val e = 64 - java.lang.Long.numberOfLeadingZeros(b)
+    1L << math.max(e - 1 - QsBits, 0)
+  }
+
+  private[graft] def qsBits: Int = QsBits
+
   val all: Seq[VerifiedQuery] = Seq(
     VerifiedQuery("q_countmin", countMin, Some(countMinSql)),
     VerifiedQuery("q_bloom", bloom, Some(bloomSql)),
@@ -739,5 +899,6 @@ object Sketches {
     VerifiedQuery("q_hll_intersect", hllIntersect, Some(hllIntersectSql)),
     VerifiedQuery("q_hll_det", hllDet, Some(hllDetSql)),
     VerifiedQuery("q_topk_freq", topkFreq, Some(topkFreqSql)),
+    VerifiedQuery("q_quantile_sketch", quantileSketch, Some(quantileSketchSql)),
   )
 }

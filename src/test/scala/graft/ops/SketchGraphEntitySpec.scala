@@ -339,4 +339,56 @@ class SketchGraphEntitySpec extends SparkSpec {
       }
     }
   }
+
+  test("quantile sketch: bucket bounds, exact merge, containment, and SQL-expr parity") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // values spanning the full exponent range, including bucket edges
+    val vs = (Seq(1L, 2L, 31L, 32L, 33L, 63L, 64L, Long.MaxValue, Long.MaxValue - 1) ++
+      (1 to 2000).map(_ => math.abs(rnd.nextLong()) % (1L << rnd.nextInt(62)) + 1)).distinct
+    // (1) structural bounds: v sits in its bucket; relative width ≤ 2^-QsBits
+    vs.foreach { v =>
+      val b = Sketches.qsBucket(v)
+      val w = Sketches.qsWidth(b)
+      assert(b <= v && v <= b + w - 1, s"$v outside bucket [$b, ${b + w - 1}]")
+      assert(w == 1 || w * (1L << Sketches.qsBits) <= b,
+        s"bucket width $w too wide for lower bound $b")
+    }
+    // (2) the relational bucket expression IS qsBucket (engine parity of
+    // bin/shiftleft/% on the exact same values the scala mirror maps)
+    val fromSpark = vs.toDF("v")
+      .selectExpr("v", s"v - v % shiftleft(cast(1 as bigint), greatest(length(bin(v)) - 1 - ${Sketches.qsBits}, 0)) AS b")
+      .as[(Long, Long)].collect()
+    fromSpark.foreach { case (v, b) =>
+      assert(b === Sketches.qsBucket(v), s"SQL-expr bucket of $v diverges from the scala mirror")
+    }
+    // (3) merge exactness: sketch(A ++ B) == bucket-wise sum — fixed
+    // value-space cells, unlike rank-space summaries, lose nothing
+    val (a, b2) = vs.splitAt(vs.size / 3)
+    def sketchOf(xs: Seq[Long]): Map[Long, Long] =
+      xs.groupBy(Sketches.qsBucket).map { case (k, g) => k -> g.size.toLong }
+    val mergedMap = (sketchOf(a).keySet ++ sketchOf(b2).keySet).map(k =>
+      k -> (sketchOf(a).getOrElse(k, 0L) + sketchOf(b2).getOrElse(k, 0L))).toMap
+    assert(mergedMap === sketchOf(a ++ b2))
+    // (4) containment: for every probe, the exact quantile (smallest value
+    // whose cumulative count reaches ceil(p·n)) falls inside the bucket
+    // the sketch answers with
+    val sorted = vs.sorted
+    val n = sorted.size.toLong
+    val cum = sketchOf(vs).toSeq.sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, c), (k, cnt)) => (k, c + cnt) }.drop(1)
+    Seq((1L, 2L), (9L, 10L), (99L, 100L), (999L, 1000L)).foreach { case (num, den) =>
+      val rank = (num * n + den - 1) / den
+      val exact = sorted((rank - 1).toInt)
+      val estLo = cum.find(_._2 >= rank).get._1
+      val estHi = estLo + Sketches.qsWidth(estLo) - 1
+      assert(exact >= estLo && exact <= estHi,
+        s"p=$num/$den: exact $exact outside sketch bucket [$estLo, $estHi]")
+    }
+    // (5) the registered query's containment invariant holds on real data
+    val out = Sketches.quantileSketch(spark, sf).collect()
+    assert(out.length === 16) // 4 scopes (3 flags + ALL) x 4 probes
+    out.foreach(r => assert(r.getAs[Boolean]("in_bucket"),
+      s"containment violated: $r"))
+  }
 }
