@@ -92,7 +92,7 @@ object Entity {
       .agg(sum($"o_cnt").as("cross_n"),
         min(struct($"dist", $"o_ck1")).as("mbest"))
 
-    keyed
+    val out = keyed
       .join(groups.select($"nk", $"nm", $"cnt", $"ck1", $"ck2", $"n_block_names"),
         Seq("nk", "nm"))
       .join(nameStats, Seq("nk", "nm"), "left")
@@ -104,6 +104,14 @@ object Entity {
         when($"cnt" > 1, when($"ck" === $"ck1", $"ck2").otherwise($"ck1"))
           .otherwise($"mbest.o_ck1").as("best_match"),
         $"n_block_names")
+      // Materialize-and-release (the kHop pattern): force the match-set-
+      // sized output once, then drop the groups cache so a long-lived
+      // session (Verify/Bench sweep 150+ queries in one JVM) doesn't leak
+      // an InMemoryRelation per invocation (ADVICE r8).
+      .cache()
+    out.count()
+    groups.unpersist()
+    out
   }
 
   /** Deliberately the NAIVE entity-level formulation: in-block all-pairs

@@ -180,6 +180,9 @@ object Multimodal {
       while (off + 8 <= bytes.length && data == null) {
         val id = new String(bytes, off, 4, "US-ASCII")
         val sz = le32(bytes, off + 4)
+        // A corrupt negative size would make the walk advance by <= 0 and
+        // spin an executor task forever; malformed bytes must fail fast.
+        require(sz >= 0, s"corrupt RIFF chunk '$id': negative size $sz")
         if (id == "fmt ") {
           val audioFormat = le16(bytes, off + 8) & 0xFFFF
           val channels = le16(bytes, off + 10) & 0xFFFF

@@ -57,13 +57,26 @@ object DeterminismCheck {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => oracled(n) && nameFilter(n) }
 
-    def fingerprint(name: String): (Long, Long) = {
+    // (xor, wrap-around sum, count) of per-row hashes: xor+count alone lets
+    // paired row differences cancel ({A,A,B} vs {C,C,B} share both); adding
+    // the sum removes that cancellation class at no extra cost (ADVICE r8).
+    // The sum is mod 2^64: a plain sum(h) of arbitrary longs overflows under
+    // ANSI mode, so sum the 32-bit halves separately (each fits a long for
+    // any result under 2^31 rows) and recombine on the driver, where JVM
+    // long arithmetic wraps by definition.
+    def fingerprint(name: String): (Long, Long, Long) = {
       val df = SparkEntry.queries(name)(spark, sfDir)
       val row = df
         .select(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)).as("h"))
-        .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("n"))
+        .agg(expr("bit_xor(h)").as("x"),
+          expr("sum(h & 4294967295)").as("slo"),
+          expr("sum(shiftright(h, 32))").as("shi"),
+          count(lit(1)).as("n"))
         .head()
-      (if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1))
+      val s =
+        if (row.isNullAt(1)) 0L
+        else (row.getLong(2) << 32) + row.getLong(1)
+      (if (row.isNullAt(0)) 0L else row.getLong(0), s, row.getLong(3))
     }
 
     var failures = 0
@@ -73,7 +86,7 @@ object DeterminismCheck {
         spark.catalog.clearCache()
         val r2 = fingerprint(name)
         spark.catalog.clearCache()
-        if (r1 == r2) println(f"[determinism] PASS $name%-32s hash=${r1._1}%20d rows=${r1._2}")
+        if (r1 == r2) println(f"[determinism] PASS $name%-32s hash=${r1._1}%20d sum=${r1._2}%20d rows=${r1._3}")
         else {
           println(s"[determinism] FAIL $name: run1=$r1 run2=$r2")
           failures += 1

@@ -206,4 +206,14 @@ class MultimodalSpec extends SparkSpec {
     assert(WavDecoder.features(withJunk)._1 == ss.map(s => math.abs(s.toLong)).sum,
       "parser must chunk-walk past foreign chunks")
   }
+
+  test("WavDecoder fails fast on a corrupt negative chunk size (no infinite walk)") {
+    // A chunk size <= -8 would advance the walk by zero/negative bytes and
+    // spin the executor task forever (ADVICE r8); it must raise instead.
+    val corrupt = WavDecoder.encode(Array(1, 2, 3))
+    corrupt(40) = 0xF8.toByte; corrupt(41) = 0xFF.toByte // data size = -8
+    corrupt(42) = 0xFF.toByte; corrupt(43) = 0xFF.toByte
+    val e = intercept[IllegalArgumentException](WavDecoder.features(corrupt))
+    assert(e.getMessage.contains("negative size"))
+  }
 }
