@@ -826,17 +826,43 @@ object Similarity {
 
   /** Shared IVF pair scorer: exact cosine over candidate pairs generated
     * within a block (block-keyed self-join — Σ(block²) pairs, never
-    * corpus²). Input needs (vec_id, block, emb: array<double>). */
-  private def cosinePairsInBlocks(e0: DataFrame, minCos: Double): DataFrame = {
+    * corpus²). Input needs (vec_id, block, emb: array<double>).
+    *
+    * The self-join is TRIANGULARLY TILED (the r9 100× probe's one
+    * super-linear finding): a plain join on `block` has exactly one
+    * shuffle key per block, so a 10-block corpus runs its Σ(block²) pair
+    * work on 10 tasks no matter how many cores/executors exist — at 100×
+    * data that serialized 2×10⁹ pairs onto a third of the machine
+    * (measured 452× wall at 100× bytes). Each row is hashed into one of
+    * `nTiles` sub-buckets; side A replicates a row to tiles (s, q ≥ s),
+    * side B to tiles (p ≤ s, s), and the join key becomes
+    * (block, p, q) — every unordered in-block pair lands in EXACTLY one
+    * of the nTiles·(nTiles+1)/2 tiles (cross-tile pairs once by
+    * construction; diagonal tiles deduped by the id inequality), so the
+    * same pair set now spreads over blocks × tiles² keys. Replication
+    * cost: each input row crosses the shuffle (nTiles+1) times — rows are
+    * the cheap dimension here; pairs are the expensive one. Output is
+    * bit-identical (dot/norm folds are orientation-independent:
+    * a·b ≡ b·a in IEEE, so least/greatest id normalization changes no
+    * double) and the DuckDB oracle is untouched. */
+  private def cosinePairsInBlocks(e0: DataFrame, minCos: Double,
+                                  nTiles: Int = 8): DataFrame = {
     // Norms are precomputed per ROW before the join — higher-order array
     // expressions are CodegenFallback (interpreted, no CSE), so a norm
     // inside the pair expression would be re-evaluated once per partner.
     val e = e0.withColumn("nrm", V.normNative(col("emb")))
-    val a = e.as("a")
-    val b = e.as("b")
-    a.join(b, col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        (V.dotNative(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .withColumn("tile", pmod(hash(col("vec_id")), lit(nTiles)))
+    val a = e.withColumn("q", explode(sequence(col("tile"), lit(nTiles - 1))))
+      .select(col("vec_id").as("ida"), col("emb").as("emba"),
+        col("nrm").as("nrma"), col("block"), col("tile").as("p"), col("q"))
+    val b = e.withColumn("p", explode(sequence(lit(0), col("tile"))))
+      .select(col("vec_id").as("idb"), col("emb").as("embb"),
+        col("nrm").as("nrmb"), col("block"), col("p"), col("tile").as("q"))
+    a.join(b, Seq("block", "p", "q"))
+      .filter(col("p") < col("q") || col("ida") < col("idb"))
+      .select(least(col("ida"), col("idb")).as("vec_a"),
+        greatest(col("ida"), col("idb")).as("vec_b"),
+        (V.dotNative(col("emba"), col("embb")) / (col("nrma") * col("nrmb"))).as("cos"))
       .filter(col("cos") >= minCos)
   }
 
@@ -867,12 +893,24 @@ object Similarity {
     * IVF shape: [[cosineNearDupBlocked]] on `label` stays the oracled
     * correctness query — KMeans centroids aren't SQL-reproducible, so this
     * registers rows-only; recall vs ground truth is scalatest-asserted on
-    * a clustered fixture). */
-  def cosineNearDupKMeans(emb: DataFrame, k: Int = 16,
-                          minCos: Double = 0.3, seed: Long = 42): DataFrame =
+    * a clustered fixture).
+    *
+    * `k <= 0` = AUTO: k = max(16, n/2000), i.e. the quantizer cardinality
+    * TRACKS the corpus so mean cell size stays ~bounded. This is the IVF
+    * scale contract the fixed-cardinality oracled query cannot express
+    * (its `label` blocking is the correctness gadget; pair work within a
+    * fixed partitioning is inherently Σ cell² — FAISS guidance is
+    * nlist ≈ √N for the same reason). With bounded cells, candidate pairs
+    * grow LINEARLY in corpus size at fixed duplicate density — measured
+    * in the r9 100× probe writeup (SCALE.md). At test SF (n < 32k) auto
+    * resolves to 16, so registered output is unchanged. */
+  def cosineNearDupKMeans(emb: DataFrame, k: Int = -1,
+                          minCos: Double = 0.3, seed: Long = 42): DataFrame = {
+    val kk = if (k > 0) k else math.max(16L, emb.count() / 2000L).toInt
     cosinePairsInBlocks(
-      kmeansBlocks(emb, k, seed).select(col("vec_id"), col("block"),
+      kmeansBlocks(emb, kk, seed).select(col("vec_id"), col("block"),
         col("embedding").cast("array<double>").as("emb")), minCos)
+  }
 
   def cosineNearDupKMeansQuery(spark: SparkSession, dir: String): DataFrame =
     cosineNearDupKMeans(Tables.embeddings(spark, dir))

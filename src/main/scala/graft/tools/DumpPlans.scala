@@ -23,7 +23,7 @@ object DumpPlans {
     "q_salted_agg" -> "two-phase salted aggregation",
     "q_asof_join" -> "as-of via tag-union + keyed window (one single-key exchange)",
     "q_ann_cosine" -> "brute-force cosine with native codegen'd graft_dot",
-    "q_cosine_neardup" -> "IVF-blocked near-dup: per-row norms hoisted, graft_dot pairs",
+    "q_cosine_neardup" -> "IVF-blocked near-dup: per-row norms hoisted, graft_dot pairs, triangular-tiled self-join (blocks x tiles^2 shuffle keys)",
     "q_word_count" -> "generator path: explode -> partial/final count agg -> TakeOrdered",
     "q_sessionize" -> "gap sessions: one shuffle on user_id, windowed in-partition",
     "q_topk" -> "TakeOrderedAndProject top-k",
