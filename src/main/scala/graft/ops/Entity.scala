@@ -107,10 +107,14 @@ object Entity {
       // Materialize-and-release (the kHop pattern): force the match-set-
       // sized output once, then drop the groups cache so a long-lived
       // session (Verify/Bench sweep 150+ queries in one JVM) doesn't leak
-      // an InMemoryRelation per invocation (ADVICE r8).
+      // an InMemoryRelation per invocation (ADVICE r8). The groups release
+      // is in a finally so a failed materialization can't strand it
+      // (ADVICE r9); the returned relation is cached and OWNED BY THE
+      // CALLER — unpersist it (EntitySkewProbe, SketchGraphEntitySpec) or
+      // clearCache between queries (Bench) when sweeping many invocations.
       .cache()
-    out.count()
-    groups.unpersist()
+    try out.count()
+    finally groups.unpersist()
     out
   }
 

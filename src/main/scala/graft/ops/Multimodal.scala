@@ -580,12 +580,20 @@ object Multimodal {
     * thumbnail with the pure-integer index map dst(x,y) ← src(x·w div
     * side, y·h div side) (nearest-neighbor is the ONE resampling kernel
     * whose output is bit-exact in any engine — bilinear would put
-    * rounding policy into the hash), PNG-encode the thumbnail and decode
-    * it AGAIN: the emitted stats come from the round-tripped bytes, so
-    * the resize math and the re-encode loop are both under the oracle.
-    * Typed mapPartitions like every codec path here (JDK ImageIO has no
-    * Catalyst expression form); per-row work, no shuffle. */
-  def imageThumbs(media: Dataset[MediaRecord], side: Int = 8): Dataset[ThumbStats] = {
+    * rounding policy into the hash), and emit stats over the resampled
+    * raster. Typed mapPartitions like every codec path here (JDK ImageIO
+    * has no Catalyst expression form); per-row work, no shuffle.
+    *
+    * `roundTripAudit = true` additionally PNG-encodes the thumbnail and
+    * decodes it again, statting the round-tripped bytes — the
+    * q_quantile_sketch pattern of a verification shape beside the
+    * production shape (r9 verdict item 4: the registered query paid ×4
+    * codec passes per row when half were audit-only — 28× at 100× data,
+    * the multimodal family's worst ratio). Gray PNG is lossless, so the
+    * two shapes are bit-identical — asserted in MultimodalSpec, which is
+    * what licenses registering the cheap shape under the oracle. */
+  def imageThumbs(media: Dataset[MediaRecord], side: Int = 8,
+                  roundTripAudit: Boolean = false): Dataset[ThumbStats] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
@@ -605,27 +613,34 @@ object Multimodal {
           }
           y += 1
         }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(dst, "png", bos)
-        val rt = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+        val raster =
+          if (!roundTripAudit) dst.getRaster
+          else {
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", bos)
+            javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bos.toByteArray)).getRaster
+          }
         var sum = 0L
         var yy = 0
         while (yy < side) {
           var xx = 0
-          while (xx < side) { sum += rt.getRaster.getSample(xx, yy, 0); xx += 1 }
+          while (xx < side) { sum += raster.getSample(xx, yy, 0); xx += 1 }
           yy += 1
         }
         ThumbStats(m.media_id, sum,
-          rt.getRaster.getSample(0, 0, 0).toLong,
-          rt.getRaster.getSample(side - 1, side - 1, 0).toLong)
+          raster.getSample(0, 0, 0).toLong,
+          raster.getSample(side - 1, side - 1, 0).toLong)
       }
     }
   }
 
   /** Oracled RESIZE query: generator PNG → decode → 8×8 nearest-neighbor
-    * thumbnail → re-encode → re-decode → stats; the oracle recomputes the
-    * identical integer index mapping from the generator formula, so a
-    * wrong stride, axis swap or off-by-one in the resample hash-fails. */
+    * thumbnail → stats; the oracle recomputes the identical integer index
+    * mapping from the generator formula, so a wrong stride, axis swap or
+    * off-by-one in the resample hash-fails. Production shape (no
+    * re-encode audit — see [[imageThumbs]]); the audit shape's equality
+    * is a MultimodalSpec assertion, not a per-row cost. */
   def imageResize(spark: SparkSession, dir: String): DataFrame = {
     imageThumbs(imagesFromDocuments(
       graft.Tuning.spread(Tables.documents(spark, dir)))).toDF()

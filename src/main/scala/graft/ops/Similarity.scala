@@ -906,10 +906,18 @@ object Similarity {
     * resolves to 16, so registered output is unchanged. */
   def cosineNearDupKMeans(emb: DataFrame, k: Int = -1,
                           minCos: Double = 0.3, seed: Long = 42): DataFrame = {
-    val kk = if (k > 0) k else math.max(16L, emb.count() / 2000L).toInt
-    cosinePairsInBlocks(
-      kmeansBlocks(emb, kk, seed).select(col("vec_id"), col("block"),
-        col("embedding").cast("array<double>").as("emb")), minCos)
+    // ADVICE r9: auto-k takes TWO eager passes over the corpus (count +
+    // KMeans fit). Cache around them so the source is scanned once, and
+    // release in a finally before returning — the returned pair frame is
+    // lazy and re-reads the source at evaluation exactly like the
+    // explicit-k path, so nothing stays pinned per invocation.
+    val cached = if (k > 0) None else Some(emb.cache())
+    try {
+      val kk = if (k > 0) k else math.max(16L, cached.get.count() / 2000L).toInt
+      cosinePairsInBlocks(
+        kmeansBlocks(emb, kk, seed).select(col("vec_id"), col("block"),
+          col("embedding").cast("array<double>").as("emb")), minCos)
+    } finally cached.foreach(_.unpersist())
   }
 
   def cosineNearDupKMeansQuery(spark: SparkSession, dir: String): DataFrame =

@@ -42,7 +42,9 @@ class ArtifactFreshnessSpec extends AnyFunSuite {
   test("latest determinism artifact covers the full oracled registry with 0 failures") {
     val dir = repoFile("tools/determinism")
     assert(dir.isDirectory, "tools/determinism artifact directory missing")
-    val latest = dir.listFiles().filter(_.getName.endsWith(".txt")).sortBy(_.getName).lastOption
+    // r9 advice: lexicographic name sort picks "r9" over "r10" — sort by
+    // mtime so the gate always validates the artifact most recently run.
+    val latest = dir.listFiles().filter(_.getName.endsWith(".txt")).sortBy(_.lastModified()).lastOption
     assert(latest.isDefined, "no determinism artifact committed")
     val text = new String(java.nio.file.Files.readAllBytes(latest.get.toPath), "UTF-8")
     val m = """(\d+)/(\d+) stable, (\d+) failed""".r.findFirstMatchIn(text)

@@ -152,6 +152,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imageThumbs audit shape (re-encode→re-decode) is bit-identical to the production shape") {
+    // r9 verdict item 4: the registered q_image_resize now stats the
+    // resampled raster directly (2 codec passes, not 4). This assertion is
+    // what licenses that: gray PNG is lossless, so the round-tripped audit
+    // shape must agree exactly — if an encoder change ever broke that, the
+    // cheap registered shape would no longer prove the encode loop, and
+    // this test (not the oracle hash) is where it surfaces.
+    import spark.implicits._
+    val docs = (0L until 40L).toDF("doc_id")
+    val media = Multimodal.imagesFromDocuments(docs)
+    val prod = Multimodal.imageThumbs(media).collect().sortBy(_.media_id)
+    val audit = Multimodal.imageThumbs(media, roundTripAudit = true)
+      .collect().sortBy(_.media_id)
+    assert(prod.toSeq == audit.toSeq, "PNG round trip is no longer lossless")
+  }
+
   test("WavDecoder is byte- and sample-parity with the JDK AudioSystem codec both directions") {
     // the hot path is a lock-free byte-level RIFF codec (AudioSystem's
     // globally synchronized registry serialized the decode stage — r7

@@ -269,8 +269,10 @@ class SketchGraphEntitySpec extends SparkSpec {
     ).toDF("c_custkey", "c_name", "c_nationkey")
       .withColumn("c_acctbal", lit(0.0)).withColumn("c_mktsegment", lit("X"))
       .write.mode("overwrite").parquet(s"$dir/customer.parquet")
-    val out = Entity.entityMatch(spark, dir).collect()
+    val matched = Entity.entityMatch(spark, dir)
+    val out = matched.collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getLong(3)))).toMap
+    matched.unpersist() // entityMatch returns a caller-owned cached relation
     assert(out(1L) === ((2L, 1, 2L)))  // best = #2 at distance 1
     assert(out(2L) === ((2L, 1, 1L)))
     assert(out(3L)._2 === 2)

@@ -46,6 +46,22 @@ class MakeScaledCorpusSpec extends SparkSpec {
     assert(orphanNations == 0, s"$orphanNations customers lost their nation")
   }
 
+  test("r10: per-copy remaps stay distinct for 1000 copies (sf100 validity)") {
+    // The r8 generator's 36-way rotation repeated every 36 copies and its
+    // %13 embedding offset every 13 — at the 1000-copy sf100 build that
+    // means byte-identical docs and cosine-identical vectors across copies,
+    // i.e. the probe would measure adversarial dup cliques, not growth.
+    val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val perms = (0 until 1000).map(MakeScaledCorpus.permFor)
+    assert(perms.distinct.size == 1000, "text permutations collide within 1000 copies")
+    assert(perms.head == alpha, "copy 0 must stay byte-identical to the source")
+    perms.foreach(p => assert(p.sorted == alpha.sorted, s"not a bijection: $p"))
+    // embedding offset: for any fixed dimension j, i -> (31j + 997i) mod 1009
+    // is injective over 0..999 (997 coprime to the prime 1009)
+    val offs = (0 until 1000).map(i => (31 * 5 + i * 997) % 1009)
+    assert(offs.distinct.size == 1000, "embedding offsets collide within 1000 copies")
+  }
+
   test("copy-1 document text is remapped bijectively, not copied verbatim") {
     val docs = spark.read.parquet(s"$dest/documents.parquet")
     val shift = 100000000L

@@ -75,13 +75,17 @@ def main(base_path, scaled_path, label="scaled"):
         tb += a["b"]
         ts += a["s"]
         wr, wn = a["worst"]
+        # ADVICE r9: guard zero-base sums like the per-query ratios, with
+        # one convention everywhere (inf for zero base).
+        fr = a["s"] / a["b"] if a["b"] > 0 else float("inf")
         print(f"| {f} | {a['n']} | {a['b']:.1f} | {a['s']:.1f} | "
-              f"**{a['s']/a['b']:.1f}** | {wn} {wr:.1f} |")
+              f"**{fr:.1f}** | {wn} {wr:.1f} |")
+    tr = ts / tb if tb > 0 else float("inf")
     print(f"| **whole registry** | {len(shared)} | {tb:.1f} | {ts:.1f} | "
-          f"**{ts/tb:.1f}** | — |")
+          f"**{tr:.1f}** | — |")
     if only:
         print(f"\nNOT in both records ({len(only)}): {', '.join(only)}")
-    worst = sorted(((scaled[n] / base[n] if base[n] > 0 else 0, n)
+    worst = sorted(((scaled[n] / base[n] if base[n] > 0 else float("inf"), n)
                     for n in shared), reverse=True)[:12]
     print("\nTop individual ratios:")
     for r, n in worst:
