@@ -207,6 +207,43 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("lshDetTopKAdaptive: integer bits schedule; coincides with the oracled gadget at small n") {
+    // bits = smallest b with n/2^b <= 256, floored at the gadget's 4 —
+    // pinned at the decade boundaries the sf-probe corpora sit on
+    assert(Similarity.adaptiveSignBits(200) == 4)       // verify SF
+    assert(Similarity.adaptiveSignBits(4096) == 4)
+    assert(Similarity.adaptiveSignBits(4097) == 5)
+    assert(Similarity.adaptiveSignBits(200000) == 10)   // sf10 embeddings
+    assert(Similarity.adaptiveSignBits(2000000) == 13)  // sf100 embeddings
+    // same width => same hash family => identical rows at small n, which
+    // is what lets the fixed-bits oracle stand in for this one at test SF
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val fixed = Similarity.lshDetTopK(emb).collect().map(_.toSeq).toSet
+    val adapt = Similarity.lshDetTopKAdaptive(emb).collect().map(_.toSeq).toSet
+    assert(fixed == adapt, "adaptive must equal the fixed gadget below the first width step")
+  }
+
+  test("lshDetTopKAdaptive: recall floor on a clustered corpus once bits exceed the fixed width") {
+    // 40 well-separated direction clusters in 64 dims (the plane family's
+    // dimensionality) — the shape a real embedding corpus has; 4.8k rows
+    // push adaptive bits to 5, so this exercises the width the fixed
+    // gadget never takes
+    assert(Similarity.adaptiveSignBits(4800) == 5)
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(40)(Array.fill(64)(rnd.nextGaussian()))
+    val points = (0 until 4800).map { i =>
+      val c = centers(i % 40)
+      (i.toLong, c.map(v => (v + rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val emb = points.toDF("vec_id", "embedding")
+    val ad = Similarity.lshDetTopKAdaptive(emb)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val bf = Similarity.bruteForceTopK(emb)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val recall = ad.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.9, s"adaptive sign-LSH recall@10 $recall < 0.9 on clustered corpus")
+  }
+
   test("rerankTopK: SQ8 stage-1 keeps the true top-k; reranked cosines are brute-force-exact") {
     val dir = "/root/testdata/sf0.001"
     val emb = graft.Tables.embeddings(spark, dir)
