@@ -728,14 +728,17 @@ object Similarity {
   private val AnnBits = 4
   private val AnnDims = 64
 
-  /** Hyperplane component (t,w,d), identical formula to the oracle SQL. */
-  private def planeLit(t: Int, w: Int): Column = {
-    val vals = (0 until AnnDims).map { d =>
+  /** Flat plane matrix for table `t` (row-major, `nBits` × [[AnnDims]]):
+    * component (t,w,d) by the identical LCG formula as the oracle SQL.
+    * Driver-side doubles — the same IEEE values the former per-plane
+    * `lit(...)` arrays carried. */
+  private def planesFor(t: Int, nBits: Int): Array[Double] =
+    Array.tabulate(nBits * AnnDims) { i =>
+      val w = i / AnnDims
+      val d = i % AnnDims
       ((1103515245L * ((t.toLong * AnnBits + w) * AnnDims + d) + 12345L) % 2147483647L)
         .toDouble / 2147483647.0 * 2 - 1
     }
-    array(vals.map(lit): _*)
-  }
 
   /** Deterministic distinct dim pair for widening bit (t, w): an
     * AXIS-PAIR hyperplane sign(emb[a] − emb[b]) — a hyperplane with two
@@ -751,26 +754,40 @@ object Similarity {
   }
 
   /** One row per (vec_id, table, key): the first [[AnnBits]] key bits are
-    * sign bits of the embedding against the table's hyperplanes (native
-    * [[graft.plans.DotProduct]] — bit-identical to DuckDB's
-    * list_dot_product; at bits = AnnBits this is byte-identical to the
-    * oracled gadget's signature). Bits BEYOND AnnBits are O(1) axis-pair
-    * signs ([[widenDims]]) — measured r10: widening with full dot-product
-    * bits made the adaptive query SLOWER than fixed at 100× data
-    * (134 s vs 77 s: 16 tables × 10 bits × 64-dim dots dominate once
-    * candidates are cheap), so width must not multiply the dot cost. */
+    * sign bits of the embedding against the table's hyperplanes via the
+    * FUSED native [[graft.plans.SignBucketKey]] — same sequential-fold
+    * dots as graft_dot (bit-identical to DuckDB's list_dot_product; at
+    * bits = AnnBits byte-identical to the oracled gadget's signature),
+    * but one codegen'd loop per table instead of `bits` inlined
+    * 64-iteration DotProduct loops. The composed form blew Janino's 64 KB
+    * method limit (16 tables × bits dots in one doConsume), silently
+    * dropping the WHOLE signature scan — the family's dominant cost — to
+    * interpreted evaluation (r10 sf100 probe log). Bits BEYOND AnnBits
+    * are O(1) axis-pair signs ([[widenDims]]) — measured r10: widening
+    * with full dot-product bits made the adaptive query SLOWER than fixed
+    * at 100× data (134 s vs 77 s: the dot cost multiplied while
+    * candidates were already cheap), so width must not multiply the dot
+    * cost. */
   def hyperplaneSignatures(emb: DataFrame, tables: Int = AnnTables,
                            bits: Int = AnnBits): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .select(col("vec_id"), col("emb"), explode(array((0 until tables).map { t =>
+        // the ENTIRE per-table key — base hyperplane bits AND widening
+        // axis-pair bits — is one native expression: composing the
+        // widening from per-bit when(element_at …) stayed in codegen but
+        // ran 160× the 4-bit scan (65 s vs 0.4 s at sf10, SigWidthProbe)
+        // because the Generate's one giant method outgrows what HotSpot
+        // will optimize and Spark can't split expression code inside a
+        // Generate's consume path
+        val baseBits = math.min(bits, AnnBits)
+        val pairs = (AnnBits until bits).flatMap { w =>
+          val (a, b) = widenDims(t, w)
+          Seq(a, b)
+        }
         struct(lit(t).as("t"),
-          ((0 until math.min(bits, AnnBits)).map { w =>
-            when(V.dotNative(col("emb"), planeLit(t, w)) > 0, lit(1L << w)).otherwise(lit(0L))
-          } ++ (AnnBits until bits).map { w =>
-            val (a, b) = widenDims(t, w)
-            when(element_at(col("emb"), a + 1) > element_at(col("emb"), b + 1),
-              lit(1L << w)).otherwise(lit(0L))
-          }).reduce(_ + _).as("key"))
+          call_function("graft_sign_key", col("emb"),
+            lit(planesFor(t, baseBits)), lit(baseBits),
+            lit(pairs.toArray)).as("key"))
       }: _*)).as("tk"))
       .select(col("vec_id"), col("emb"), col("tk.t"), col("tk.key"))
 

@@ -65,6 +65,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimhashDet(exprs.head)
       }))
     extensions.injectFunction((
+      new FunctionIdentifier("graft_sign_key"),
+      new ExpressionInfo(classOf[SignBucketKey].getName, "graft_sign_key"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 3 && exprs.length != 4) {
+          throw new AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_sign_key`",
+              "expectedNum" -> "3",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        }
+        // plane matrix, width and widen pairs are structural parameters,
+        // not per-row data — they must fold at analysis time
+        // (lit(Array[Double]), lit(Int), lit(Array[Int]))
+        require(exprs.drop(1).forall(_.foldable),
+          "graft_sign_key planes/bits/widenPairs must be literals")
+        val planes = exprs(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+        val bits = exprs(2).eval() match {
+          case i: java.lang.Integer => i.intValue()
+          case l: java.lang.Long => l.toInt
+          case other => throw new IllegalArgumentException(s"bits literal: $other")
+        }
+        val pairs = exprs.lift(3).map(_.eval()
+            .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray())
+          .getOrElse(Array.empty[Int])
+        def asDouble(e: Expression): Expression = e.dataType match {
+          case ArrayType(DoubleType, _) => e
+          case _ => Cast(e, ArrayType(DoubleType))
+        }
+        SignBucketKey(asDouble(exprs.head), planes, bits, pairs)
+      }))
+    extensions.injectFunction((
       new FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[Simhash64].getName, "graft_simhash64"),
       (exprs: Seq[Expression]) => {
