@@ -28,7 +28,20 @@ object ProfileQuery {
     names.foreach { n =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        qs(n)(spark, dir).collect()
+        // Bench's force contract, not collect(): full row evaluation via a
+        // checksum aggregate, ONE row to the driver. collect() on a
+        // pair-emitting query at probe scale is a driver OOM, and it would
+        // time result serialization the bench never pays (r10: the sf100
+        // near-dup probe died exactly that way).
+        val df = qs(n)(spark, dir)
+        import org.apache.spark.sql.functions.{col, struct, xxhash64, expr}
+        val checksummed =
+          try Some(df.select(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)).as("h")))
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        checksummed match {
+          case Some(h) => h.agg(expr("bit_xor(h)")).collect()
+          case None    => df.foreach(_ => ())
+        }
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[profile] $n%-28s ${times.map(t => f"$t%.2f").mkString(" ")}")
