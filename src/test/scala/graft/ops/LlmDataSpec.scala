@@ -244,6 +244,60 @@ class LlmDataSpec extends SparkSpec {
     assert(recall >= 0.9, s"adaptive sign-LSH recall@10 $recall < 0.9 on clustered corpus")
   }
 
+  test("lshDetTopKBatch: coincides with the oracled gadget at verify SF (3 queries, base bits)") {
+    // n=500 → nQueries = max(3, 0) = 3 and bits = AnnBits, so the batch
+    // query IS q_ann_lsh_det there — which is what lets the fixed gadget's
+    // DuckDB oracle stand in for the rows-only registry entry
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val fixed = Similarity.lshDetTopK(emb).collect().map(_.toSeq).toSet
+    val batch = Similarity.lshDetTopKBatch(emb).collect().map(_.toSeq).toSet
+    assert(fixed == batch, "batch ANN must equal the fixed gadget below both scaling steps")
+  }
+
+  test("lshDetTopKBatch: query count tracks the corpus; recall holds on a clustered corpus") {
+    // 4,800 rows → nQueries = 4 (the query batch grows with n) and
+    // bits = 5 (one widening step) — both scaling axes exercised at once
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(40)(Array.fill(64)(rnd.nextGaussian()))
+    val points = (0 until 4800).map { i =>
+      val c = centers(i % 40)
+      (i.toLong, c.map(v => (v + rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val emb = points.toDF("vec_id", "embedding")
+    val batch = Similarity.lshDetTopKBatch(emb)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect()
+    assert(batch.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L),
+      "batch size must be max(3, n/1000) = 4 at n = 4800")
+    val bf = Similarity.bruteForceTopK(emb, nQueries = 4)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val recall = batch.toSet.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.9, s"batch sign-LSH recall@10 $recall < 0.9 on clustered corpus")
+  }
+
+  test("cosineNearDupBlocked: per-block cap is deterministic and a no-op when blocks fit") {
+    // 3 blocks × 30 rows; cap 10 must restrict candidates to each block's
+    // 10 smallest vec_ids, and cap >= block size must change nothing
+    val rnd = new scala.util.Random(5)
+    val centers = Array.fill(3)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = (0 until 90).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, i % 3, c.map(v => (v + rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val uncapped = Similarity.cosineNearDupBlocked(emb, minCos = 0.9)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    val wideCap = Similarity.cosineNearDupBlocked(emb, minCos = 0.9, maxRowsPerBlock = 30)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    assert(wideCap == uncapped, "a cap >= every block size must be a no-op")
+    val capped = Similarity.cosineNearDupBlocked(emb, minCos = 0.9, maxRowsPerBlock = 10)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    // block b's 10 smallest vec_ids are b, b+3, …, b+27 — ids < 30
+    assert(capped.nonEmpty && capped.forall { case (a, b) => a < 30 && b < 30 },
+      s"cap must keep each block's smallest vec_ids only: ${capped.filterNot { case (a, b) => a < 30 && b < 30 }.take(3)}")
+    val expected = uncapped.filter { case (a, b) => a < 30 && b < 30 }
+    assert(capped == expected, "capped pair set must equal the uncapped set restricted to the slice")
+  }
+
   test("rerankTopK: SQ8 stage-1 keeps the true top-k; reranked cosines are brute-force-exact") {
     val dir = "/root/testdata/sf0.001"
     val emb = graft.Tables.embeddings(spark, dir)

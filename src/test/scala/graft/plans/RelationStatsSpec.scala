@@ -1,0 +1,45 @@
+package graft.plans
+
+/** Pins the r10 verdict item-4 contract: the adaptive ANN family's corpus
+  * count comes from parquet FOOTER METADATA for table-backed frames — no
+  * scan job — and falls back to an executed count() exactly when the plan
+  * could change the row count, so the derived bits schedule is
+  * byte-identical to the old eager-count implementation.
+  */
+class RelationStatsSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("footerRowCount: exact on a plain parquet table read, with zero Spark jobs") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val expected = emb.count()
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val n = try {
+      val n = RelationStats.footerRowCount(emb)
+      Thread.sleep(500) // listener bus is async; drain before reading the counter
+      n
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs == 0, s"footerRowCount ran $jobs Spark jobs — it must be metadata-only")
+    assert(n.contains(expected))
+  }
+
+  test("footerRowCount: None whenever the plan could change the row count") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    assert(RelationStats.footerRowCount(emb.filter($"vec_id" > 10)).isEmpty,
+      "a filtered frame must fall back to count()")
+    assert(RelationStats.footerRowCount(Seq((1L, 2L)).toDF("a", "b")).isEmpty,
+      "an in-memory frame must fall back to count()")
+    // count-preserving projection above the scan keeps the fast path
+    assert(RelationStats.footerRowCount(emb.select($"vec_id")).isDefined,
+      "a projection is count-preserving and must stay on the metadata path")
+  }
+
+  test("Similarity.corpusCount agrees with count() on the embeddings table") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    assert(graft.ops.Similarity.corpusCount(emb) == emb.count())
+  }
+}

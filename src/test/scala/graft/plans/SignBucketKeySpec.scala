@@ -60,6 +60,49 @@ class SignBucketKeySpec extends SparkSpec {
     assert(out(1L) != 0L, "fixture degenerate: constant vector keyed to 0")
   }
 
+  test("graft_sign_key rejects non-foldable structural args with an AnalysisException") {
+    // ADVICE r10: the non-foldable case must surface on the same error
+    // path as the arity check (analysis), not as an IllegalArgumentException
+    val df = Seq((1L, Array.fill(dims)(0.5))).toDF("id", "emb")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("graft_sign_key", $"emb", $"emb", lit(bits)))
+    }
+    assert(e.getMessage.contains("foldable"), s"unexpected message: ${e.getMessage}")
+  }
+
+  test("graft_sign_key bits literal: in-range Long accepted, out-of-range rejected") {
+    val df = Seq((1L, Array.fill(dims)(0.5))).toDF("id", "emb")
+    // a Long literal in Int range must behave exactly like the Int literal
+    val asInt = df.select(call_function("graft_sign_key", $"emb", lit(planes(0)), lit(bits)))
+      .as[Long].head()
+    val asLong = df.select(call_function("graft_sign_key", $"emb", lit(planes(0)), lit(bits.toLong)))
+      .as[Long].head()
+    assert(asInt == asLong)
+    // ADVICE r10: a Long past Int.MaxValue was silently truncated with toInt
+    val e = intercept[Exception] {
+      df.select(call_function("graft_sign_key", $"emb", lit(planes(0)), lit(5000000000L)))
+    }
+    assert(e.getMessage.contains("32-bit"), s"unexpected message: ${e.getMessage}")
+  }
+
+  test("widening pairs are distinct hyperplanes within every table (ADVICE r10)") {
+    // two widening bits on the same unordered axis pair — in either
+    // orientation — are perfectly correlated and silently shrink the
+    // effective key width below adaptiveSignBits' occupancy target
+    val maxWiden = 59 // 63-bit key cap minus the 4 base bits
+    for (t <- 0 until 16) {
+      val flat = graft.ops.Similarity.widenPairsFor(t, maxWiden)
+      assert(flat.length == maxWiden * 2)
+      val pairs = flat.grouped(2).map { p =>
+        assert(p(0) != p(1), s"table $t: degenerate pair ${p.toSeq}")
+        assert(p(0) >= 0 && p(0) < dims && p(1) >= 0 && p(1) < dims)
+        (math.min(p(0), p(1)), math.max(p(0), p(1)))
+      }.toSeq
+      assert(pairs.distinct.size == maxWiden,
+        s"table $t: ${maxWiden - pairs.distinct.size} duplicate widening hyperplanes")
+    }
+  }
+
   test("signature scan stays inside WholeStageCodegen (the fusion's whole point)") {
     val dir = java.nio.file.Files.createTempDirectory("signkey").toFile.getAbsolutePath
     vecs.write.mode("overwrite").parquet(dir)

@@ -24,7 +24,9 @@ class StreamStateStoreParitySpec extends SparkSpec {
 
   test("sessionize output is identical under HDFS and RocksDB state stores") {
     val default = sessions()
-    spark.conf.set(StreamSessionize.StateStoreKey, "rocksdb")
+    // apply the PRODUCTION posture exactly as Tuning documents it, so this
+    // parity test covers the config a deployment would actually set
+    graft.Tuning.scaleStreamingConf.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       val rocks = sessions()
       assert(rocks.nonEmpty, "rocksdb run produced no sessions")
@@ -46,7 +48,7 @@ class StreamStateStoreParitySpec extends SparkSpec {
     def windows(): Set[Row] =
       StreamSessionize.availableNowWindowedCounts(spark, dir).collect().toSet
     val default = windows()
-    spark.conf.set(StreamSessionize.StateStoreKey, "rocksdb")
+    graft.Tuning.scaleStreamingConf.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       val rocks = windows()
       assert(rocks.nonEmpty && rocks == default,
