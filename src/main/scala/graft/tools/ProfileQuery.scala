@@ -5,6 +5,18 @@ import org.apache.spark.sql.SparkSession
 /** Dev profiler: time arbitrary registered queries under the Bench session
   * conf (local[32], fixture tuning on). Args: [sfDir] [comma-list of query
   * names] [iters]. Prints per-iteration seconds per query.
+  *
+  * Protocol matches Bench since round 11: `spark.catalog.clearCache()`
+  * runs BEFORE EVERY iteration. Without it, any registered query that
+  * returns a materialized `.cache()`ed frame (kHopQuery, pageRankQuery,
+  * splitLeakage — the materialize-before-release pattern) plan-matches
+  * its own previous invocation's cached result and re-reads rows instead
+  * of executing: BenchEnvProbe measured q_khop_bfs at 1.1 s cache-read vs
+  * 4.1 s honest cold run at sf0.1. Every pre-r11 "solo steady" number for
+  * a self-caching query is a cache-read, and the gap it showed against
+  * the (clearCache-protected, always-honest) bench medians was THIS, not
+  * a once-per-JVM tier warm. Set SPARK_GRAFT_PROFILE_KEEP_CACHE=1 to opt
+  * back into the reuse regime when measuring exactly that.
   */
 object ProfileQuery {
   def main(args: Array[String]): Unit = {
@@ -25,8 +37,10 @@ object ProfileQuery {
     val ckptRoot = java.nio.file.Files.createTempDirectory("graft-ckpt-").toFile
     spark.sparkContext.setCheckpointDir(ckptRoot.getAbsolutePath)
     val qs = graft.SparkEntry.queries
+    val keepCache = sys.env.get("SPARK_GRAFT_PROFILE_KEEP_CACHE").contains("1")
     names.foreach { n =>
       val times = (1 to iters).map { _ =>
+        if (!keepCache) spark.catalog.clearCache()
         val t0 = System.nanoTime()
         // Bench's force contract, not collect(): full row evaluation via a
         // checksum aggregate, ONE row to the driver. collect() on a
