@@ -61,7 +61,17 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int = 5,
                completeGraph: Boolean = false): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val ed = edges.join(deg, "src").cache()
+    // Pre-hash-partition the cached edge frame on src BEFORE caching
+    // (kHopQuery's measured pattern, applied here in r11): the deg join
+    // broadcasts, so without this the cache holds the SCAN's partitioning
+    // and every round's ranks⋈edges join re-shuffles the full edge side —
+    // 5 avoidable edge-sized exchanges per query. Partitioned on the join
+    // key, each round shuffles only the (node-sized) ranks frame; the
+    // per-round dst aggregation still shuffles, but partial aggregation
+    // collapses it to per-partition partial sums first. Physical layout
+    // only — the integer rank math is summation-order-independent, so the
+    // oracle hash is untouched (Verify gates it).
+    val ed = edges.join(deg, "src").repartition(col("src")).cache()
     val nodes = ed.select(col("src").as("node")).distinct().cache()
     var ranks = nodes.select(col("node"), lit(1000000L).as("r"))
     for (_ <- 1 to iters) ranks = step(nodes, ed, ranks, completeGraph)
@@ -94,7 +104,11 @@ object Graph {
   def oneRoundPlan(spark: SparkSession, dir: String): DataFrame = {
     val edges = interactionEdges(spark, dir)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val ed = edges.join(deg, "src")
+    // mirror the registered query's shape (r11): ed pre-hash-partitioned
+    // on src, so the round's ranks join reuses it instead of re-shuffling
+    // the edge side — in the registered query this sits under a cache and
+    // pays once for all 5 rounds
+    val ed = edges.join(deg, "src").repartition(col("src"))
     val nodes = ed.select(col("src").as("node")).distinct()
     step(nodes, ed, nodes.select(col("node"), lit(1000000L).as("r")),
       completeGraph = true)
@@ -389,9 +403,13 @@ object Graph {
   def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    // symmetrize: votes flow both ways along each undirected edge
+    // symmetrize: votes flow both ways along each undirected edge.
+    // Pre-hash-partitioned on src before caching (same rationale as
+    // pageRank/kHopQuery): the per-round labels⋈sym join would otherwise
+    // re-shuffle the full cached edge side every iteration.
     val sym = edges.select($"u".as("src"), $"v".as("dst"))
       .unionByName(edges.select($"v".as("src"), $"u".as("dst")))
+      .repartition($"src")
       .cache()
     var labels = sym.select($"src".as("node")).distinct()
       .select($"node", $"node".as("label"))

@@ -298,6 +298,21 @@ class LlmDataSpec extends SparkSpec {
     assert(capped == expected, "capped pair set must equal the uncapped set restricted to the slice")
   }
 
+  test("gadget block cap is a no-op at every oracle SF (guards the q_cosine_neardup hash)") {
+    // The registered gadget caps label blocks at GadgetBlockCap rows so the
+    // fixed-label Sigma block^2 shape stays bounded at probe scale. The cap
+    // MUST NOT bind at the SFs the DuckDB oracle runs on, or the hash gate
+    // breaks — pin that margin here so a testdata regeneration with larger
+    // label blocks fails this test instead of the oracle compare.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val maxBlock = graft.Tables.embeddings(spark, dir)
+        .groupBy($"label").count().agg(max($"count")).as[Long].head()
+      assert(maxBlock * 2 <= Similarity.GadgetBlockCap,
+        s"$dir: max label block $maxBlock is within 2x of GadgetBlockCap " +
+          s"${Similarity.GadgetBlockCap} — the probe cap would soon bind at an oracle SF")
+    }
+  }
+
   test("rerankTopK: SQ8 stage-1 keeps the true top-k; reranked cosines are brute-force-exact") {
     val dir = "/root/testdata/sf0.001"
     val emb = graft.Tables.embeddings(spark, dir)

@@ -311,4 +311,38 @@ class PlanShapeSpec extends SparkSpec {
     val out = joined.collect()
     assert(out.length == 1 && out.head.getString(0) == "click")
   }
+
+  test("graph tier: cached pre-partitioned edge frame feeds per-round joins without re-exchange") {
+    // The r11 pageRank/labelPropagation change: the edge frame cached for
+    // the iteration loop is hash-partitioned on the join key BEFORE
+    // caching, so every round's join shuffles only the node-sized ranks
+    // side. This pins the mechanism in miniature: (a) the cached relation
+    // carries src hash-partitioning; (b) a round-shaped join + dst agg
+    // over it plans with ZERO src-key exchanges (pre-fix, the broadcast
+    // deg join left the cache scan-partitioned and every round inserted
+    // one edge-sized src exchange).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count => cnt, expr, lit, sum}
+    val edges = spark.range(1000).selectExpr("id % 100 as src", "(id * 7) % 100 as dst")
+    val deg = edges.groupBy($"src").agg(cnt(lit(1)).as("outdeg"))
+    val ed = edges.join(deg, "src").repartition($"src").cache()
+    try {
+      ed.count()
+      val ranks = spark.range(100).selectExpr("id as node", "id * 10 as r")
+      val round = ed.join(ranks, ed("src") === ranks("node"))
+        .select(ed("dst"), expr("r div outdeg").as("contrib"))
+        .groupBy($"dst").agg(sum($"contrib").as("s_in"))
+      round.collect()
+      val full = round.queryExecution.executedPlan.toString
+      assert(full.contains("InMemoryTableScan"),
+        s"round join is not reading the cached edge frame:\n$full")
+      // everything below the InMemoryRelation is the cached BUILD plan
+      // (which legitimately contains the one REPARTITION_BY_COL exchange,
+      // paid once); the round itself must add no src-key exchange above it
+      val plan = full.substring(0, full.indexOf("InMemoryRelation"))
+      val srcExchanges = """Exchange hashpartitioning\(src#""".r.findAllIn(plan).size
+      assert(srcExchanges == 0,
+        s"round join re-shuffled the cached edge side ($srcExchanges src exchanges):\n$full")
+    } finally ed.unpersist()
+  }
 }
