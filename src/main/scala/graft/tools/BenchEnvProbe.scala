@@ -64,8 +64,12 @@ object BenchEnvProbe {
       spark.sparkContext.getConf.get("spark.local.dir", System.getProperty("java.io.tmpdir")))
 
     val qs = graft.SparkEntry.queries
+    // clearCache before EVERY timed run (the bench protocol): without it a
+    // self-caching query's later runs are cache reads (see ProfileQuery),
+    // and the phase comparison below would be meaningless
     def timeProbe(tag: String): Unit = probeNames.foreach { n =>
       val times = (1 to 3).map { _ =>
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         force(qs(n)(spark, dir))
         (System.nanoTime() - t0) / 1e9
@@ -86,10 +90,7 @@ object BenchEnvProbe {
     println(f"[env-probe] registry pass ${(System.nanoTime() - t0) / 1e9}%.1f s")
     env("post-pass")
     timeProbe("post-pass")
-    // candidate fix 1: drop cached data the pass left behind
-    spark.catalog.clearCache()
-    timeProbe("post-clearcache")
-    // candidate fix 2: force a full GC cycle (ContextCleaner drains
+    // candidate fix: force a full GC cycle (ContextCleaner drains
     // weak-ref queues and deletes accumulated shuffle scratch only when
     // the driver GC collects the references)
     System.gc(); Thread.sleep(3000); System.gc(); Thread.sleep(2000)
