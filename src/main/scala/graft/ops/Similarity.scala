@@ -1126,6 +1126,65 @@ object Similarity {
   def ivfTopKQuery(spark: SparkSession, dir: String): DataFrame =
     ivfTopK(Tables.embeddings(spark, dir))
 
+  /** TRANSITIVE embedding-cosine dedup — the closure variant the MinHash
+    * family has ([[minhashDedupTransitive]]), completing the embedding
+    * near-dup family (r11): connected components over the blocked cosine
+    * pair graph, keep the MINIMUM vec_id per component. Single-linkage
+    * ("drop if a smaller direct neighbor exists") over-keeps on chains —
+    * pairs 1–5, 5–3 keep {1, 3} though the component is {1, 3, 5}; the
+    * closure keeps only {1} (spec-asserted on an angle-chain fixture).
+    *
+    * Scale shape: pair generation is the blocked+tiled
+    * [[cosineNearDupBlocked]] (never all-pairs); the component loop is
+    * [[connectedComponents]] (pointer-jumping, checkpointed, driver
+    * union-find only under 100k edges); the drop set is pair-graph-sized.
+    * Fully DuckDB-oracled: the pair CTE is the oracled gadget's, the
+    * closure the same recursive CTE as the minhash transitive oracle. */
+  def cosineNearDupTransitive(emb: DataFrame, blockCol: String = "label",
+                              minCos: Double = 0.3,
+                              maxRowsPerBlock: Int = Int.MaxValue): DataFrame = {
+    val pairs = cosineNearDupBlocked(emb, blockCol, minCos, maxRowsPerBlock)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val comps = connectedComponents(pairs)
+    // same release discipline as dropNonMinima: materialize the (pair-
+    // graph-sized) drop set, unpersist the loop's label cache, return a
+    // frame that depends only on the drop set
+    val dropIds = comps.filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id").as("vec_id")).cache()
+    dropIds.count()
+    comps.unpersist()
+    emb.join(dropIds, Seq("vec_id"), "left_anti")
+  }
+
+  def cosineNearDupTransitiveQuery(spark: SparkSession, dir: String): DataFrame =
+    cosineNearDupTransitive(Tables.embeddings(spark, dir),
+      maxRowsPerBlock = GadgetBlockCap)
+      .select(col("vec_id"), col("label"))
+
+  private val cosineNearDupTransitiveSql =
+    """WITH RECURSIVE e AS (
+      |  SELECT vec_id, label AS block, CAST(embedding AS DOUBLE[]) AS emb,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings
+      |), pairs AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst
+      |  FROM e a JOIN e b ON a.block = b.block AND a.vec_id < b.vec_id
+      |  WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.3
+      |), edges AS (
+      |  SELECT src, dst FROM pairs
+      |  UNION
+      |  SELECT dst AS src, src AS dst FROM pairs
+      |), reach AS (
+      |  SELECT src AS a, dst AS b FROM edges
+      |  UNION
+      |  SELECT r.a, e2.dst AS b FROM reach r JOIN edges e2 ON r.b = e2.src
+      |), labels AS (
+      |  SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a
+      |), drops AS (
+      |  SELECT vec_id FROM labels WHERE cluster < vec_id)
+      |SELECT vec_id, label FROM embeddings
+      |WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin
+
   /** Probe-scale bound for the registered gadget query: 4,096 rows per
     * label block. A NO-OP at every oracle scale (verify sf0.01 blocks are
     * ~50 rows, bench sf0.1 blocks ~200 — the Verify hash gates that), but
@@ -1691,6 +1750,7 @@ object Similarity {
     VerifiedQuery("q_simhash_dedup", simhashDedupQuery, None),
     VerifiedQuery("q_simhash_det_dedup", simhashDetDedupQuery, Some(simhashDetDedupSql)),
     VerifiedQuery("q_cosine_neardup", cosineNearDupQuery, Some(cosineNearDupSql)),
+    VerifiedQuery("q_cosine_neardup_transitive", cosineNearDupTransitiveQuery, Some(cosineNearDupTransitiveSql)),
     VerifiedQuery("q_cosine_neardup_kmeans", cosineNearDupKMeansQuery, None),
     VerifiedQuery("q_ann_ivf", ivfTopKQuery, None),
     VerifiedQuery("q_ann_rerank", rerankTopKQuery, Some(rerankTopKSql)),

@@ -24,6 +24,7 @@ object DumpPlans {
     "q_asof_join" -> "as-of via tag-union + keyed window (one single-key exchange)",
     "q_ann_cosine" -> "brute-force cosine with native codegen'd graft_dot",
     "q_cosine_neardup" -> "IVF-blocked near-dup: per-block probe cap window (no-op at oracle SF), per-row norms hoisted, graft_dot pairs, triangular-tiled self-join (blocks x tiles^2 shuffle keys)",
+    "q_cosine_neardup_transitive" -> "closure dedup over the blocked cosine pair graph: tiled pair join -> CC (driver union-find under 100k edges; pointer-jumping loop above) -> anti-join drop of non-minima",
     "q_word_count" -> "generator path: explode -> partial/final count agg -> TakeOrdered",
     "q_sessionize" -> "gap sessions: one shuffle on user_id, windowed in-partition",
     "q_topk" -> "TakeOrderedAndProject top-k",

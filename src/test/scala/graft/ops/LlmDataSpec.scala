@@ -298,6 +298,27 @@ class LlmDataSpec extends SparkSpec {
     assert(capped == expected, "capped pair set must equal the uncapped set restricted to the slice")
   }
 
+  test("cosineNearDupTransitive keeps one vector per CLOSURE component (chain case)") {
+    // angle chain on a 2D circle embedded in 4D: cos-sim = cos(delta-angle).
+    // v1=0deg, v5=40deg, v3=80deg with minCos=0.5 gives pairs (1,5) and
+    // (3,5) but NOT (1,3) — single-linkage ("drop if a smaller direct
+    // neighbor exists") would keep {1, 3}; the closure must keep only {1}.
+    def v(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat, 0f, 0f)
+    }
+    val emb = Seq((1L, 0, v(0)), (5L, 0, v(40)), (3L, 0, v(80)))
+      .toDF("vec_id", "label", "embedding")
+    val kept = Similarity.cosineNearDupTransitive(emb, minCos = 0.5)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L), s"closure dedup kept $kept, expected {1}")
+    // and an isolated vector (no near-dups) always survives
+    val emb2 = emb.unionByName(Seq((9L, 0, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "label", "embedding"))
+    val kept2 = Similarity.cosineNearDupTransitive(emb2, minCos = 0.5)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept2 == Set(1L, 9L), s"isolated vector must survive: $kept2")
+  }
+
   test("gadget block cap is a no-op at every oracle SF (guards the q_cosine_neardup hash)") {
     // The registered gadget caps label blocks at GadgetBlockCap rows so the
     // fixed-label Sigma block^2 shape stays bounded at probe scale. The cap
