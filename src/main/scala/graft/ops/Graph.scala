@@ -21,6 +21,90 @@ import graft.{Tables, VerifiedQuery}
   */
 object Graph {
 
+  // ------------------------------------------------ persisted edge tables
+
+  private val edgeTablesReady = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val edgeLock = new Object
+
+  private def tag(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Test hook: forget the per-session "already ensured" keys so a spec
+    * can drive the catalog-miss paths (rebuild, re-register) in one JVM. */
+  private[graft] def resetEdgeTableRegistryForTests(): Unit = edgeTablesReady.clear()
+
+  /** Short fingerprint of the edge tables' SOURCE files (names + sizes +
+    * mtimes of lineitem/orders parquet under `dir`), embedded in the
+    * materialized table's name: a regenerated testdata dir misses the old
+    * table and rebuilds, instead of serving stale edges. At 100 TB the
+    * catalog's own table versioning plays this role. */
+  private def sourceFingerprint(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory) {
+        val fs = f.listFiles()
+        if (fs != null) fs.sortBy(_.getName).foreach(walk)
+      } else md.update(s"${f.getName}:${f.length}:${f.lastModified}".getBytes("UTF-8"))
+    Seq("lineitem.parquet", "orders.parquet").foreach(n => walk(new java.io.File(dir, n)))
+    md.digest().take(4).map("%02x".format(_)).mkString
+  }
+
+  /** The r11 verdict's one architecture item: every graph query used to
+    * rebuild its edge frame from `lineitem ⋈ orders` COLD, per query —
+    * the honest-protocol correction measured that one scan at ~500 s of
+    * khop's sf100 cold time, paid again by pagerank/labelprop/triangles.
+    * At 100 TB nobody derives edges per query: this materializes the edge
+    * list ONCE per dataset as a bucketed-by-`src` parquet table (the same
+    * bucket-once/join-forever contract as [[Scale.ensureBucketedTables]])
+    * and every graph query reads it.
+    *
+    * Cross-JVM reuse: the in-memory session catalog forgets table
+    * METADATA at JVM exit, but the bucketed data files (bucket ids are
+    * carried in the file names) survive in the warehouse — a later
+    * session re-registers the existing location with the identical
+    * bucket spec instead of rebuilding. Stale siblings (same dataset,
+    * older source fingerprint) are deleted at build time. A failed build
+    * leaves no `_SUCCESS`, so the next call rebuilds rather than reading
+    * a partial table. */
+  private def ensureEdgeTable(spark: SparkSession, dir: String, kind: String,
+                              buckets: Int = 32)(build: => DataFrame): DataFrame = {
+    val fp = sourceFingerprint(dir)
+    val name = s"graft_edges_${kind}_${tag(dir)}_$fp"
+    val key = s"${spark.hashCode()}:$name"
+    if (!edgeTablesReady.contains(key)) edgeLock.synchronized {
+      if (!edgeTablesReady.contains(key)) {
+        if (!spark.catalog.tableExists(name)) {
+          val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+          val loc = new java.io.File(warehouse, name)
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+            f.delete()
+          }
+          if (new java.io.File(loc, "_SUCCESS").exists()) {
+            // previous JVM built it: re-register the location (schema from
+            // the files themselves; bucket spec must match the write below)
+            val cols = spark.read.parquet(loc.getAbsolutePath).schema.fields
+              .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+            spark.sql(s"CREATE TABLE $name ($cols) USING parquet " +
+              s"CLUSTERED BY (src) SORTED BY (src) INTO $buckets BUCKETS " +
+              s"LOCATION '${loc.toURI}'")
+          } else {
+            // drop partial leftovers and stale-fingerprint siblings
+            val stale = Option(new java.io.File(warehouse).listFiles()).getOrElse(Array.empty)
+              .filter(f => f.getName.startsWith(s"graft_edges_${kind}_${tag(dir)}_") &&
+                f.getName != name)
+            (stale :+ loc).filter(_.exists()).foreach(rm)
+            build.write.mode("overwrite")
+              .bucketBy(buckets, "src").sortBy("src")
+              .option("path", loc.getAbsolutePath)
+              .saveAsTable(name)
+          }
+        }
+        edgeTablesReady.add(key)
+      }
+    }
+    spark.table(name)
+  }
+
   /** One synchronous PageRank round over an edge list that already carries
     * `outdeg` on the source: ranks shuffle on the join key, contributions
     * hash-aggregate on dst (map-side partial sums), and isolated /
@@ -85,7 +169,7 @@ object Graph {
   /** The query graph: lineitem⋈orders distinct (supplier, customer)
     * pairs, both directions, disjoint node encoding (supplier s → 2s,
     * customer c → 2c+1). */
-  private def interactionEdges(spark: SparkSession, dir: String): DataFrame = {
+  private[ops] def interactionEdges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pairs = Tables.lineitem(spark, dir).select($"l_suppkey", $"l_orderkey")
       .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
@@ -96,13 +180,36 @@ object Graph {
       .unionByName(pairs.select(($"c" * 2 + 1).as("src"), ($"s" * 2).as("dst")))
   }
 
+  /** The interaction graph as a PERSISTED bucketed table (r11 verdict item
+    * 1): identical edge set to [[interactionEdges]] — the oracle SQL still
+    * derives from the base tables — but pagerank/khop read the
+    * materialized table instead of re-running the fact join per query. */
+  private[graft] def interactionEdgeTable(spark: SparkSession, dir: String): DataFrame =
+    ensureEdgeTable(spark, dir, "inter")(interactionEdges(spark, dir))
+
+  /** The SYMMETRIZED co-supplier graph, persisted and bucketed by src —
+    * one table serves both co-supplier consumers: label propagation reads
+    * it directly (its votes flow both ways), and the undirected pair list
+    * is recovered exactly by `src < dst` ([[coSupplierPairsFromTable]])
+    * since [[coSupplierEdges]] emits each pair once with u < v. */
+  private[graft] def coSupplierSymTable(spark: SparkSession, dir: String): DataFrame =
+    ensureEdgeTable(spark, dir, "cosup") {
+      val p = coSupplierEdges(spark, dir)
+      p.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(p.select(col("v").as("src"), col("u").as("dst")))
+    }
+
+  private[graft] def coSupplierPairsFromTable(spark: SparkSession, dir: String): DataFrame =
+    coSupplierSymTable(spark, dir).filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+
   /** Plan-audit helper: ONE un-executed PageRank round over the query
     * graph. [[pageRankQuery]]'s returned frame is cache-materialized, so
     * its explain prints the whole 5-round lineage below an
     * InMemoryTableScan — this exposes the per-round shape (the thing
     * that repeats at scale) for DumpPlans instead. */
   def oneRoundPlan(spark: SparkSession, dir: String): DataFrame = {
-    val edges = interactionEdges(spark, dir)
+    val edges = interactionEdgeTable(spark, dir)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // mirror the registered query's shape (r11): ed pre-hash-partitioned
     // on src, so the round's ranks join reuses it instead of re-shuffling
@@ -124,7 +231,7 @@ object Graph {
     * contribution aggregate (hot dst keys split at runtime). */
   def pageRankQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    pageRank(interactionEdges(spark, dir), iters = 5, completeGraph = true)
+    pageRank(interactionEdgeTable(spark, dir), iters = 5, completeGraph = true)
       .select($"node", ($"node" % 2).cast("int").as("node_type"),
         expr("node div 2").as("entity_id"), $"r".as("rank_micros"))
   }
@@ -230,9 +337,11 @@ object Graph {
     // The edge frame is re-joined on src every round: pre-hash-partition
     // it ONCE before caching so the cached partitioning satisfies each
     // round's join requirement and only the (small) frontier side
-    // shuffles — the iterative-graph analog of bucketing, the same reason
-    // a production deployment pre-buckets its edge table.
-    val edges = interactionEdges(spark, dir).repartition(col("src")).cache()
+    // shuffles — the iterative-graph analog of bucketing. Since r12 the
+    // frame READS the persisted bucketed edge table instead of rebuilding
+    // lineitem⋈orders per query (the honest-protocol correction measured
+    // that rebuild at ~500 s of khop's sf100 cold time).
+    val edges = interactionEdgeTable(spark, dir).repartition(col("src")).cache()
     val seeds = edges.select($"src".as("node")).distinct()
       .filter($"node" % 2 === 0 && expr("(node div 2) % 10") === 0)
     val (dist, release) = kHopReachability(edges, seeds, k = 3)
@@ -342,7 +451,7 @@ object Graph {
     * InMemoryRelation in explain output). */
   def trianglePlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val edges = coSupplierEdges(spark, dir)
+    val edges = coSupplierPairsFromTable(spark, dir)
     val e = edges.select($"u".as("src"), $"v".as("dst"))
     e.as("e1")
       .join(e.as("e2"), col("e1.dst") === col("e2.src"))
@@ -356,7 +465,7 @@ object Graph {
     * supplier triangles (cliques of mutual co-occurrence) through it. */
   def triangleQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    triangleCounts(coSupplierEdges(spark, dir))
+    triangleCounts(coSupplierPairsFromTable(spark, dir))
       .select($"node".as("suppkey"), $"degree", $"n_tri")
   }
 
@@ -403,14 +512,23 @@ object Graph {
   def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    // symmetrize: votes flow both ways along each undirected edge.
-    // Pre-hash-partitioned on src before caching (same rationale as
-    // pageRank/kHopQuery): the per-round labels⋈sym join would otherwise
-    // re-shuffle the full cached edge side every iteration.
-    val sym = edges.select($"u".as("src"), $"v".as("dst"))
-      .unionByName(edges.select($"v".as("src"), $"u".as("dst")))
-      .repartition($"src")
-      .cache()
+    // symmetrize: votes flow both ways along each undirected edge
+    labelPropagationSym(
+      edges.select($"u".as("src"), $"v".as("dst"))
+        .unionByName(edges.select($"v".as("src"), $"u".as("dst"))),
+      iters)
+  }
+
+  /** Label-prop loop over an ALREADY-symmetric (src, dst) edge frame —
+    * split out so [[labelPropQuery]] can feed the persisted symmetric
+    * table directly instead of re-deriving the symmetrization it already
+    * stores. Pre-hash-partitioned on src before caching (same rationale
+    * as pageRank/kHopQuery): the per-round labels⋈sym join would
+    * otherwise re-shuffle the full cached edge side every iteration. */
+  private[ops] def labelPropagationSym(sym0: DataFrame, iters: Int): DataFrame = {
+    val spark = sym0.sparkSession
+    import spark.implicits._
+    val sym = sym0.repartition($"src").cache()
     var labels = sym.select($"src".as("node")).distinct()
       .select($"node", $"node".as("label"))
     for (_ <- 1 to iters) {
@@ -432,7 +550,7 @@ object Graph {
     * join-back. */
   def labelPropQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val labels = labelPropagation(coSupplierEdges(spark, dir), iters = 3)
+    val labels = labelPropagationSym(coSupplierSymTable(spark, dir), iters = 3)
     val sizes = labels.groupBy($"label").agg(count(lit(1)).as("community_size"))
     labels.join(sizes, Seq("label"))
       .select($"node".as("suppkey"), $"label".as("community"), $"community_size")

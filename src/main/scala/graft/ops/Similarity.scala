@@ -964,11 +964,22 @@ object Similarity {
     // A deterministic per-block slice (first `maxRowsPerBlock` vec_ids)
     // bounds each block's pair work; callers choose a cap that is a NO-OP
     // at their verification scale so oracle hashes are untouched.
+    // ADVICE r11: a BINDING cap must be observable, not silent — the
+    // pre-filter frame carries an `observe` node (rows dropped + widest
+    // block seen; streaming aggregates, no extra job) and a session-level
+    // QueryExecutionListener WARN-logs whenever rows_dropped > 0, so a
+    // corpus that outgrows the cap announces itself at run time instead of
+    // only failing the 2×-margin fixture test.
     val capped =
       if (maxRowsPerBlock == Int.MaxValue) e
       else {
+        CapBindingWarner.register(e.sparkSession)
         val w = Window.partitionBy(col("block")).orderBy(col("vec_id"))
         e.withColumn("graft_rn", row_number().over(w))
+          .observe(CapBindingWarner.MetricName,
+            coalesce(sum(when(col("graft_rn") > maxRowsPerBlock, lit(1L))
+              .otherwise(lit(0L))), lit(0L)).as("rows_dropped"),
+            coalesce(max(col("graft_rn")), lit(0)).as("max_block_rows"))
           .filter(col("graft_rn") <= maxRowsPerBlock).drop("graft_rn")
       }
     cosinePairsInBlocks(capped, minCos)
@@ -1056,24 +1067,38 @@ object Similarity {
     * resolves to 16, so registered output is unchanged. */
   def cosineNearDupKMeans(emb: DataFrame, k: Int = -1,
                           minCos: Double = 0.3, seed: Long = 42): DataFrame = {
-    // ADVICE r9: auto-k takes TWO eager passes over the corpus (count +
-    // KMeans fit). Cache around them so the source is scanned once, and
-    // release in a finally before returning — the returned pair frame is
-    // lazy and re-reads the source at evaluation exactly like the
-    // explicit-k path, so nothing stays pinned per invocation.
-    // ADVICE r10: Dataset.cache is idempotent per logical plan, so manage
-    // only a cache WE created — if the caller already cached this frame,
-    // an unpersist here would silently drop the caller's entry.
+    // r11 verdict item 3: auto-k sizing reads n from parquet FOOTER
+    // metadata when the frame is a plain table read (the production case
+    // — zero Spark jobs, RelationStatsSpec-asserted), so the KMeans fit is
+    // the ONLY eager pass and no sizing cache is needed. The k schedule is
+    // byte-identical either way (footer count == executed count by
+    // contract). Only the fallback (filtered/joined/in-memory frames,
+    // where the footer is unsafe) still runs count() — and only THAT path
+    // caches around its two eager passes (ADVICE r9), managing solely a
+    // cache we created (ADVICE r10: an unpersist on a caller-cached frame
+    // would silently drop the caller's entry).
+    val footerN =
+      if (k > 0) None else graft.plans.RelationStats.footerRowCount(emb)
     val cached =
-      if (k > 0 || emb.storageLevel != org.apache.spark.storage.StorageLevel.NONE) None
+      if (k > 0 || footerN.isDefined ||
+          emb.storageLevel != org.apache.spark.storage.StorageLevel.NONE) None
       else Some(emb.cache())
     try {
-      val kk = if (k > 0) k else math.max(16L, emb.count() / 2000L).toInt
+      val kk =
+        if (k > 0) k
+        else math.max(16L, footerN.getOrElse(emb.count()) / 2000L).toInt
       cosinePairsInBlocks(
         kmeansBlocks(emb, kk, seed).select(col("vec_id"), col("block"),
           col("embedding").cast("array<double>").as("emb")), minCos)
     } finally cached.foreach(_.unpersist())
   }
+
+  /** The auto-k schedule in isolation (k = max(16, n/2000), quantizer
+    * cardinality tracking the corpus — see [[cosineNearDupKMeans]]),
+    * exposed so RelationStatsSpec can assert the sizing decision runs
+    * ZERO Spark jobs on a plain table read. */
+  private[graft] def autoQuantizerK(emb: DataFrame): Int =
+    math.max(16L, corpusCount(emb) / 2000L).toInt
 
   def cosineNearDupKMeansQuery(spark: SparkSession, dir: String): DataFrame =
     cosineNearDupKMeans(Tables.embeddings(spark, dir))
@@ -1196,6 +1221,51 @@ object Similarity {
     * [[cosineNearDupKMeans]], whose quantizer cardinality tracks n. */
   private[ops] val GadgetBlockCap = 4096
 
+  /** Session-level observer for the block-cap `observe` metric (ADVICE
+    * r11): WARN-logs whenever a capped near-dup scan actually DROPPED rows
+    * — i.e. the registered `q_cosine_neardup`/`q_cosine_neardup_transitive`
+    * returned a strict subset of the uncapped (= oracle) semantics. At
+    * every oracle SF the cap is a no-op (fixture-tested at 2× margin), so
+    * in a green pipeline this never fires; at probe/production corpora it
+    * turns a silent truncation into a logged, metric-backed signal.
+    * Idempotent per session; the listener reads the query's own observed
+    * metrics — no extra job, no driver data. */
+  private[ops] object CapBindingWarner extends org.apache.spark.internal.Logging {
+    val MetricName = "graft_block_cap"
+    private val registered =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+    def register(spark: SparkSession): Unit =
+      if (registered.add(spark)) {
+        spark.listenerManager.register(
+          new org.apache.spark.sql.util.QueryExecutionListener {
+            override def onSuccess(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                durationNs: Long): Unit =
+              qe.observedMetrics.get(MetricName).foreach { row =>
+                val dropped = row.getAs[Long]("rows_dropped")
+                if (dropped > 0)
+                  logWarning(s"GadgetBlockCap bound: $dropped rows beyond the " +
+                    s"$GadgetBlockCap-rows/block cap were excluded from a capped " +
+                    s"near-dup pair scan (widest block: " +
+                    s"${row.get(row.fieldIndex("max_block_rows"))} rows). The capped " +
+                    "result is a strict SUBSET of the documented uncapped semantics " +
+                    "at this corpus size — use cosineNearDupKMeans (quantizer " +
+                    "cardinality tracks n) as the production path.")
+              }
+            override def onFailure(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                exception: Exception): Unit = ()
+          })
+      }
+  }
+
+  /** Registered correctness gadget. NOTE the cap consumers should know
+    * about: pair generation is bounded to the first [[GadgetBlockCap]]
+    * vec_ids per label block — a no-op at every oracle SF (hash-gated),
+    * but on a corpus whose blocks outgrow the cap the result is a strict
+    * subset of the uncapped semantics; a binding cap WARN-logs with a
+    * dropped-row metric ([[CapBindingWarner]]) and the production-scale
+    * path is `q_cosine_neardup_kmeans`. */
   def cosineNearDupQuery(spark: SparkSession, dir: String): DataFrame =
     cosineNearDupBlocked(Tables.embeddings(spark, dir),
       maxRowsPerBlock = GadgetBlockCap)
@@ -1738,10 +1808,14 @@ object Similarity {
     // width is a distinct hash family — q_ann_lsh_det (fixed bits) is the
     // oracled twin; recall floor is LlmDataSpec's clustered-fixture test
     VerifiedQuery("q_ann_lsh_adaptive", lshDetTopKAdaptiveQuery, None),
-    // rows-only by design: query count AND key width both derive from the
-    // corpus count — the query-count scaling axis (r10 verdict item 1);
-    // coincides with the oracled q_ann_lsh_det at verify SF (LlmDataSpec)
-    VerifiedQuery("q_ann_batch", lshDetTopKBatchQuery, None),
+    // query count AND key width both derive from the corpus count — the
+    // query-count scaling axis (r10 verdict item 1). At verify SF the
+    // schedule resolves to nQueries=3 / bits=AnnBits, i.e. the batch query
+    // IS q_ann_lsh_det there BY CONSTRUCTION, so the fixed gadget's DuckDB
+    // SQL oracles it exactly (r11 verdict item 6); LlmDataSpec pins the
+    // coincidence at both oracle SFs with a 2x corpus margin so a testdata
+    // regeneration fails a test, not the hash gate.
+    VerifiedQuery("q_ann_batch", lshDetTopKBatchQuery, Some(lshDetTopKSql)),
     VerifiedQuery("q_minhash_dedup", minhashDedupQuery, None),
     VerifiedQuery("q_minhash_det_dedup", minhashDetDedupQuery, Some(minhashDetDedupSql)),
     VerifiedQuery("q_minhash_det_transitive", minhashDetTransitiveQuery, Some(minhashDetTransitiveSql)),

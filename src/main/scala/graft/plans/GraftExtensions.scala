@@ -83,15 +83,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // AnalysisException (same error path as the arity check), not a
         // bare require, so a non-foldable argument surfaces as an analysis
         // error rather than an IllegalArgumentException from plan rewrite.
-        val paramNames = Seq("planes", "bits", "widenPairs")
-        exprs.drop(1).zip(paramNames).foreach { case (e, name) =>
+        // ADVICE r11: pair each param with ITS type — a non-foldable
+        // planes/widenPairs used to produce an error claiming INT
+        val params = Seq("planes" -> "\"ARRAY<DOUBLE>\"", "bits" -> "\"INT\"",
+          "widenPairs" -> "\"ARRAY<INT>\"")
+        exprs.drop(1).zip(params).foreach { case (e, (name, tpe)) =>
           if (!e.foldable) {
             throw new AnalysisException(
               errorClass = "NON_FOLDABLE_ARGUMENT",
               messageParameters = Map(
                 "funcName" -> "`graft_sign_key`",
                 "paramName" -> s"`$name`",
-                "paramType" -> "\"INT\""))
+                "paramType" -> tpe))
           }
         }
         val planes = exprs(1).eval()

@@ -55,6 +55,16 @@ class DocsFreshnessSpec extends AnyFunSuite {
       s"COVERAGE 'rows-only' claims $claims are stale (registry has $rowsOnly)")
   }
 
+  test("every q_* mentioned in COVERAGE.md exists in the live registry (r11 verdict item 7)") {
+    // The totals above catch COUNT drift, but a renamed query used to
+    // leave its old name in COVERAGE.md's per-operator rows silently —
+    // pin every mentioned query name to the registry.
+    val mentioned = """q_[a-z0-9_]+""".r.findAllIn(read("COVERAGE.md")).toSet
+    val stale = mentioned -- SparkEntry.queries.keySet
+    assert(stale.isEmpty,
+      s"COVERAGE.md mentions queries absent from SparkEntry.queries: ${stale.toSeq.sorted}")
+  }
+
   test("BASELINE.md bench-protocol claim matches the driver's BENCH artifact") {
     // r9 verdict item 3: BASELINE.md said local[4]/partitions=4 while the
     // driver bench has run local[32]/32 since round 7 — tie the protocol

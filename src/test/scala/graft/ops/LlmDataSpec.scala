@@ -244,14 +244,25 @@ class LlmDataSpec extends SparkSpec {
     assert(recall >= 0.9, s"adaptive sign-LSH recall@10 $recall < 0.9 on clustered corpus")
   }
 
-  test("lshDetTopKBatch: coincides with the oracled gadget at verify SF (3 queries, base bits)") {
+  test("lshDetTopKBatch: coincides with the oracled gadget at BOTH oracle SFs, 2x corpus margin") {
     // n=500 → nQueries = max(3, 0) = 3 and bits = AnnBits, so the batch
     // query IS q_ann_lsh_det there — which is what lets the fixed gadget's
-    // DuckDB oracle stand in for the rows-only registry entry
-    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val fixed = Similarity.lshDetTopK(emb).collect().map(_.toSeq).toSet
-    val batch = Similarity.lshDetTopKBatch(emb).collect().map(_.toSeq).toSet
-    assert(fixed == batch, "batch ANN must equal the fixed gadget below both scaling steps")
+    // DuckDB SQL oracle q_ann_batch directly (r11 verdict item 6). Since
+    // that coincidence now sits UNDER the driver's hash gate, pin it at
+    // every SF the oracle runs on, with a 2x margin: the corpus must
+    // DOUBLE before the batch schedule departs from the gadget, and then
+    // this test fails instead of the oracle compare.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val emb = graft.Tables.embeddings(spark, dir)
+      val n = Similarity.corpusCount(emb)
+      assert(math.max(3L, (2 * n) / 1000L) == 3L &&
+          Similarity.adaptiveSignBits(2 * n) == Similarity.adaptiveSignBits(1L),
+        s"$dir: corpus n=$n is within 2x of a batch nQueries/bits schedule step")
+      val fixed = Similarity.lshDetTopK(emb).collect().map(_.toSeq).toSet
+      val batch = Similarity.lshDetTopKBatch(emb).collect().map(_.toSeq).toSet
+      assert(fixed == batch,
+        s"$dir: batch ANN must equal the fixed gadget below both scaling steps")
+    }
   }
 
   test("lshDetTopKBatch: query count tracks the corpus; recall holds on a clustered corpus") {
@@ -296,6 +307,39 @@ class LlmDataSpec extends SparkSpec {
       s"cap must keep each block's smallest vec_ids only: ${capped.filterNot { case (a, b) => a < 30 && b < 30 }.take(3)}")
     val expected = uncapped.filter { case (a, b) => a < 30 && b < 30 }
     assert(capped == expected, "capped pair set must equal the uncapped set restricted to the slice")
+  }
+
+  test("a BINDING block cap is observable: rows_dropped metric fires (ADVICE r11)") {
+    // The capped gadget must never truncate silently: the pre-filter frame
+    // carries an observe() node, and the session listener WARN-logs when
+    // it reports dropped rows. Assert the metric itself here — 3 blocks x
+    // 30 rows under a cap of 10 drops exactly 60 rows.
+    val rnd = new scala.util.Random(5)
+    val centers = Array.fill(3)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = (0 until 90).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, i % 3, c.map(v => (v + rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    @volatile var observed: Option[org.apache.spark.sql.Row] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.get(Similarity.CapBindingWarner.MetricName)
+          .foreach(r => observed = Some(r))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Similarity.cosineNearDupBlocked(emb, minCos = 0.9, maxRowsPerBlock = 10).collect()
+      org.apache.spark.GraftTestBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+      assert(observed.isDefined, "capped scan emitted no graft_block_cap observation")
+      assert(observed.get.getAs[Long]("rows_dropped") == 60L,
+        s"expected 60 dropped rows (3 blocks x 20), got ${observed.get}")
+      assert(observed.get.getAs[Int]("max_block_rows") == 30,
+        s"expected widest block 30, got ${observed.get}")
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("cosineNearDupTransitive keeps one vector per CLOSURE component (chain case)") {

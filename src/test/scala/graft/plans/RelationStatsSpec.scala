@@ -20,7 +20,9 @@ class RelationStatsSpec extends graft.SparkSpec {
     spark.sparkContext.addSparkListener(listener)
     val n = try {
       val n = RelationStats.footerRowCount(emb)
-      Thread.sleep(500) // listener bus is async; drain before reading the counter
+      // listener bus is async; drain deterministically before reading the
+      // counter (ADVICE r11: a fixed sleep races under CI load)
+      org.apache.spark.GraftTestBridge.waitUntilListenerBusEmpty(spark.sparkContext)
       n
     } finally spark.sparkContext.removeSparkListener(listener)
     assert(jobs == 0, s"footerRowCount ran $jobs Spark jobs — it must be metadata-only")
@@ -41,5 +43,42 @@ class RelationStatsSpec extends graft.SparkSpec {
   test("Similarity.corpusCount agrees with count() on the embeddings table") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     assert(graft.ops.Similarity.corpusCount(emb) == emb.count())
+  }
+
+  test("footer counts are memoized: one footer pass per table per session") {
+    // r11 verdict item 4: the batch/adaptive ANN family sizes itself off
+    // the same table repeatedly; footers must be opened once per session,
+    // not per invocation. Footer I/O is driver-side (no Spark listener
+    // sees it), so the contract is asserted through the read counter.
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val first = RelationStats.footerRowCount(emb)
+    assert(first.isDefined)
+    val readsAfterFirst = RelationStats.footerReads.get()
+    val second = RelationStats.footerRowCount(
+      graft.Tables.embeddings(spark, "/root/testdata/sf0.001"))
+    assert(second == first)
+    assert(RelationStats.footerReads.get() == readsAfterFirst,
+      "second invocation re-opened footers — the memo must serve it")
+  }
+
+  test("cosineNearDupKMeans auto-k sizing runs zero Spark jobs on a plain table read") {
+    // r11 verdict item 3: auto-k used an eager emb.count() — the exact
+    // pattern RelationStats was built to remove. The k schedule itself is
+    // byte-identical (same n either way; corpusCount's contract).
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    RelationStats.footerRowCount(emb) // warm the memo so the assert below is pure sizing
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val k = try {
+      val k = graft.ops.Similarity.autoQuantizerK(emb)
+      org.apache.spark.GraftTestBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+      k
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs == 0, s"auto-k sizing ran $jobs Spark jobs — it must be metadata-only")
+    assert(k == math.max(16L, emb.count() / 2000L).toInt)
   }
 }
