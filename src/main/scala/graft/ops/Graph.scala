@@ -23,93 +23,25 @@ object Graph {
 
   // ------------------------------------------------ persisted edge tables
 
-  private val edgeTablesReady = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private val edgeLock = new Object
-
-  private def tag(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
-
   /** Test hook: forget the per-session "already ensured" keys so a spec
     * can drive the catalog-miss paths (rebuild, re-register) in one JVM. */
-  private[graft] def resetEdgeTableRegistryForTests(): Unit = edgeTablesReady.clear()
-
-  /** Short fingerprint of the edge tables' SOURCE files (names + sizes +
-    * mtimes of lineitem/orders parquet under `dir`), embedded in the
-    * materialized table's name: a regenerated testdata dir misses the old
-    * table and rebuilds, instead of serving stale edges. At 100 TB the
-    * catalog's own table versioning plays this role. */
-  private def sourceFingerprint(dir: String): String = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    def walk(f: java.io.File): Unit =
-      if (f.isDirectory) {
-        val fs = f.listFiles()
-        if (fs != null) fs.sortBy(_.getName).foreach(walk)
-      } else md.update(s"${f.getName}:${f.length}:${f.lastModified}".getBytes("UTF-8"))
-    Seq("lineitem.parquet", "orders.parquet").foreach(n => walk(new java.io.File(dir, n)))
-    md.digest().take(4).map("%02x".format(_)).mkString
-  }
+  private[graft] def resetEdgeTableRegistryForTests(): Unit = Materialize.resetForTests()
 
   /** The r11 verdict's one architecture item: every graph query used to
     * rebuild its edge frame from `lineitem ⋈ orders` COLD, per query —
     * the honest-protocol correction measured that one scan at ~500 s of
     * khop's sf100 cold time, paid again by pagerank/labelprop/triangles.
-    * At 100 TB nobody derives edges per query: this materializes the edge
-    * list ONCE per dataset as a bucketed-by-`src` parquet table (the same
-    * bucket-once/join-forever contract as [[Scale.ensureBucketedTables]])
-    * and every graph query reads it.
-    *
-    * Cross-JVM reuse: the in-memory session catalog forgets table
-    * METADATA at JVM exit, but the bucketed data files (bucket ids are
-    * carried in the file names) survive in the warehouse — a later
-    * session re-registers the existing location with the identical
-    * bucket spec instead of rebuilding. Stale siblings (same dataset,
-    * older source fingerprint) are deleted at build time. A failed build
-    * leaves no `_SUCCESS`, so the next call rebuilds rather than reading
-    * a partial table. */
-  private def ensureEdgeTable(spark: SparkSession, dir: String, kind: String,
-                              buckets: Int = 32)(build: => DataFrame): DataFrame = {
-    val fp = sourceFingerprint(dir)
-    val name = s"graft_edges_${kind}_${tag(dir)}_$fp"
-    val key = s"${spark.hashCode()}:$name"
-    if (!edgeTablesReady.contains(key)) edgeLock.synchronized {
-      if (!edgeTablesReady.contains(key)) {
-        if (!spark.catalog.tableExists(name)) {
-          val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-          val loc = new java.io.File(warehouse, name)
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
-            f.delete()
-          }
-          if (new java.io.File(loc, "_SUCCESS").exists()) {
-            // previous JVM built it: re-register the location (schema from
-            // the files themselves; bucket spec must match the write below)
-            val cols = spark.read.parquet(loc.getAbsolutePath).schema.fields
-              .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
-            spark.sql(s"CREATE TABLE $name ($cols) USING parquet " +
-              s"CLUSTERED BY (src) SORTED BY (src) INTO $buckets BUCKETS " +
-              s"LOCATION '${loc.toURI}'")
-          } else {
-            // drop partial leftovers and stale-fingerprint siblings
-            val stale = Option(new java.io.File(warehouse).listFiles()).getOrElse(Array.empty)
-              .filter(f => f.getName.startsWith(s"graft_edges_${kind}_${tag(dir)}_") &&
-                f.getName != name)
-            (stale :+ loc).filter(_.exists()).foreach(rm)
-            // repartition on the bucket column BEFORE the bucketed write:
-            // Spark's bucket hash == repartition hash, so each write task
-            // holds exactly one bucket's rows and emits ONE file — without
-            // it every upstream task writes a sliver of every bucket
-            // (measured: 2,049 files at sf100, a listing+open tax on every
-            // downstream scan; 32 files after)
-            build.repartition(buckets, col("src")).write.mode("overwrite")
-              .bucketBy(buckets, "src").sortBy("src")
-              .option("path", loc.getAbsolutePath)
-              .saveAsTable(name)
-          }
-        }
-        edgeTablesReady.add(key)
-      }
-    }
-    spark.table(name)
-  }
+    * At 100 TB nobody derives edges per query: the edge list is
+    * materialized ONCE per dataset as a bucketed-by-`src` parquet table
+    * and every graph query reads it. All the machinery (source
+    * fingerprinting, cross-JVM re-registration, one-file-per-bucket
+    * writes, stale-sibling cleanup) lives in [[Materialize]], shared with
+    * the relational tier's bucketed fact copies. */
+  private def ensureEdgeTable(spark: SparkSession, dir: String, kind: String)
+                             (build: => DataFrame): DataFrame =
+    spark.table(Materialize.ensureBucketedTable(spark,
+      s"edges_${kind}_${Materialize.tag(dir)}", "src", buckets = 32,
+      sourcePaths = Seq(s"$dir/lineitem.parquet", s"$dir/orders.parquet"))(build))
 
   /** One synchronous PageRank round over an edge list that already carries
     * `outdeg` on the source: ranks shuffle on the join key, contributions
@@ -151,17 +83,29 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int = 5,
                completeGraph: Boolean = false): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    pageRankPreDeg(edges.join(deg, "src"), iters, completeGraph)
+  }
+
+  /** PageRank loop over an edge frame that already carries `outdeg`.
+    * (Kept as the seam the r12 denormalized-outdeg experiment used; the
+    * registered query goes through [[pageRank]] — the per-query degree
+    * aggregation over the bucketed table measured as cheap as reading a
+    * persisted outdeg column, see [[interactionEdgeTable]].) */
+  private[graft] def pageRankPreDeg(withDeg: DataFrame, iters: Int,
+                                    completeGraph: Boolean): DataFrame = {
     // Pre-hash-partition the cached edge frame on src BEFORE caching
-    // (kHopQuery's measured pattern, applied here in r11): the deg join
-    // broadcasts, so without this the cache holds the SCAN's partitioning
-    // and every round's ranks⋈edges join re-shuffles the full edge side —
-    // 5 avoidable edge-sized exchanges per query. Partitioned on the join
-    // key, each round shuffles only the (node-sized) ranks frame; the
-    // per-round dst aggregation still shuffles, but partial aggregation
-    // collapses it to per-partition partial sums first. Physical layout
-    // only — the integer rank math is summation-order-independent, so the
-    // oracle hash is untouched (Verify gates it).
-    val ed = edges.join(deg, "src").repartition(col("src")).cache()
+    // (kHopQuery's measured pattern, applied here in r11): without this
+    // the cache holds the SCAN's partitioning and every round's
+    // ranks⋈edges join re-shuffles the full edge side — 5 avoidable
+    // edge-sized exchanges per query. (Over the bucketed edge table the
+    // repartition is planner-elided — buckets == shuffle partitions.)
+    // Partitioned on the join key, each round shuffles only the
+    // (node-sized) ranks frame; the per-round dst aggregation still
+    // shuffles, but partial aggregation collapses it to per-partition
+    // partial sums first. Physical layout only — the integer rank math is
+    // summation-order-independent, so the oracle hash is untouched
+    // (Verify gates it).
+    val ed = withDeg.repartition(col("src")).cache()
     val nodes = ed.select(col("src").as("node")).distinct().cache()
     var ranks = nodes.select(col("node"), lit(1000000L).as("r"))
     for (_ <- 1 to iters) ranks = step(nodes, ed, ranks, completeGraph)
@@ -189,7 +133,17 @@ object Graph {
   /** The interaction graph as a PERSISTED bucketed table (r11 verdict item
     * 1): identical edge set to [[interactionEdges]] — the oracle SQL still
     * derives from the base tables — but pagerank/khop read the
-    * materialized table instead of re-running the fact join per query. */
+    * materialized table instead of re-running the fact join per query.
+    *
+    * Deliberately (src, dst) ONLY. A v2 that denormalized `outdeg` onto
+    * every edge row (moving PageRank's per-query degree aggregation into
+    * the build) was measured and REVERTED in r12: per-query pagerank was
+    * a wash at sf10 (18.7–19.4 s vs 16.6–18.2) and sf100 (242–264 s vs
+    * 192–303, overlapping noise bands) because the degree aggregation
+    * over a src-bucketed table is exchange-free and cheap next to the 5
+    * join rounds — while the one-time build nearly doubled (571 → 1016 s
+    * at sf100) and the table grew 33%. SCALE.md round-12 notes carry the
+    * measurements. */
   private[graft] def interactionEdgeTable(spark: SparkSession, dir: String): DataFrame =
     ensureEdgeTable(spark, dir, "inter")(interactionEdges(spark, dir))
 
@@ -217,10 +171,10 @@ object Graph {
   def oneRoundPlan(spark: SparkSession, dir: String): DataFrame = {
     val edges = interactionEdgeTable(spark, dir)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // mirror the registered query's shape (r11): ed pre-hash-partitioned
-    // on src, so the round's ranks join reuses it instead of re-shuffling
-    // the edge side — in the registered query this sits under a cache and
-    // pays once for all 5 rounds
+    // mirror the registered query's shape: persisted-table scan → deg
+    // join (exchange-free over the bucketed scan) → repartition
+    // (planner-elided, buckets == shuffle partitions) — in the registered
+    // query this sits under a cache and pays once for all 5 rounds
     val ed = edges.join(deg, "src").repartition(col("src"))
     val nodes = ed.select(col("src").as("node")).distinct()
     step(nodes, ed, nodes.select(col("node"), lit(1000000L).as("r")),
@@ -346,8 +300,11 @@ object Graph {
     // shuffles — the iterative-graph analog of bucketing. Since r12 the
     // frame READS the persisted bucketed edge table instead of rebuilding
     // lineitem⋈orders per query (the honest-protocol correction measured
-    // that rebuild at ~500 s of khop's sf100 cold time).
-    val edges = interactionEdgeTable(spark, dir).repartition(col("src")).cache()
+    // that rebuild at ~500 s of khop's sf100 cold time). BFS needs only
+    // (src, dst): the explicit projection pins that contract even if the
+    // persisted table ever grows columns.
+    val edges = interactionEdgeTable(spark, dir).select($"src", $"dst")
+      .repartition(col("src")).cache()
     val seeds = edges.select($"src".as("node")).distinct()
       .filter($"node" % 2 === 0 && expr("(node div 2) % 10") === 0)
     val (dist, release) = kHopReachability(edges, seeds, k = 3)

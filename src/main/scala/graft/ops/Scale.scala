@@ -12,56 +12,24 @@ import graft.{Tables, VerifiedQuery}
   */
 object Scale {
 
-  private val created = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private val createLock = new Object
-
-  private def tag(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
-
-  /** Create bucketed+sorted copies of lineitem/orders in the session
-    * catalog (idempotent per session+sf). At 100 TB these are the
+  /** Create bucketed+sorted copies of lineitem/orders (idempotent per
+    * dataset version, ACROSS JVMs since r12 — [[Materialize]] carries the
+    * fingerprinting/re-registration/one-file-per-bucket machinery shared
+    * with the graph tier's edge tables). At 100 TB these are the
     * pre-bucketed fact tables every co-located join reads — bucket once,
-    * join shuffle-free forever after.
-    *
-    * The session key is registered only AFTER both writes succeed (under a
-    * creation lock): a concurrent caller blocks until the tables exist
-    * instead of racing past the guard, and a failed saveAsTable leaves the
-    * key unregistered so the next call retries creation rather than
-    * surfacing TABLE_NOT_FOUND forever. */
+    * join shuffle-free forever after. */
   def ensureBucketedTables(spark: SparkSession, dir: String, buckets: Int = 8): (String, String) = {
-    val liName = s"li_bucketed_${tag(dir)}"
-    val ordName = s"ord_bucketed_${tag(dir)}"
-    val key = s"${spark.hashCode()}:$dir"
-    if (!created.contains(key)) createLock.synchronized {
-      if (!created.contains(key)) {
-        // A fresh (in-memory) catalog knows nothing about a previous JVM's
-        // managed-table directories — remove orphaned locations or the
-        // CREATE fails with LOCATION_ALREADY_EXISTS.
-        val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-          .stripPrefix("file:")
-        Seq(liName, ordName).foreach { t =>
-          if (!spark.catalog.tableExists(t)) {
-            val loc = new java.io.File(warehouse, t)
-            if (loc.exists()) {
-              def rm(f: java.io.File): Unit = {
-                if (f.isDirectory) f.listFiles().foreach(rm)
-                f.delete()
-              }
-              rm(loc)
-            }
-          }
-        }
-        Tables.lineitem(spark, dir)
-          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"), col("l_quantity"))
-          .write.mode("overwrite")
-          .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
-          .saveAsTable(liName)
-        Tables.orders(spark, dir)
-          .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"), col("o_totalprice"))
-          .write.mode("overwrite")
-          .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
-          .saveAsTable(ordName)
-        created.add(key)
-      }
+    val liName = Materialize.ensureBucketedTable(spark,
+      s"li_bucketed_${Materialize.tag(dir)}", "l_orderkey", buckets,
+      sourcePaths = Seq(s"$dir/lineitem.parquet")) {
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"), col("l_quantity"))
+    }
+    val ordName = Materialize.ensureBucketedTable(spark,
+      s"ord_bucketed_${Materialize.tag(dir)}", "o_orderkey", buckets,
+      sourcePaths = Seq(s"$dir/orders.parquet")) {
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"), col("o_totalprice"))
     }
     (liName, ordName)
   }

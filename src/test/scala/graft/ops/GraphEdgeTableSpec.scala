@@ -17,7 +17,7 @@ class GraphEdgeTableSpec extends graft.SparkSpec {
 
   test("interaction edge table content == raw lineitem-join-orders derivation") {
     val table = Graph.interactionEdgeTable(spark, dir)
-      .as[(Long, Long)].collect().toSet
+      .select($"src", $"dst").as[(Long, Long)].collect().toSet
     val raw = Graph.interactionEdges(spark, dir)
       .as[(Long, Long)].collect().toSet
     assert(table == raw, s"persisted edge set diverges from the derivation " +
@@ -39,7 +39,7 @@ class GraphEdgeTableSpec extends graft.SparkSpec {
     // first touch guarantees the table exists and is registered
     val before = Graph.interactionEdgeTable(spark, dir).count()
     val tableName = spark.catalog.listTables()
-      .filter($"name".startsWith("graft_edges_inter_"))
+      .filter($"name".startsWith("graft_mv_edges_inter_"))
       .filter($"name".contains("sf0_001"))
       .select($"name").as[String].head()
     val loc = new java.io.File(
@@ -68,7 +68,7 @@ class GraphEdgeTableSpec extends graft.SparkSpec {
     // elided when redundant), NOT the old lineitem⋈orders rebuild. The
     // un-materialized one-round plan exposes the same shape for pagerank.
     val plan = Graph.oneRoundPlan(spark, dir).queryExecution.executedPlan.toString
-    assert(plan.contains("graft_edges_inter"),
+    assert(plan.contains("graft_mv_edges_inter"),
       s"pagerank round does not read the persisted edge table:\n$plan")
     assert(!plan.contains("lineitem"),
       s"pagerank round still rebuilds edges from the fact tables:\n$plan")

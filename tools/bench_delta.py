@@ -38,6 +38,19 @@ def load(path):
 def main(old_path, new_path, min_sec=1.0):
     old, new = load(old_path), load(new_path)
     oq, nq = old["queries"], new["queries"]
+    # Host-epoch normalization (r12): if both records carry the fixed
+    # calibration probe, report deltas on calib-normalized seconds — the
+    # r12 A/B showed the box's absolute speed drifts ~1.25x across days
+    # with every load-based signal reading clean, so raw cross-round
+    # deltas conflate code and host.
+    oc, nc = old.get("calib_sec", -1), new.get("calib_sec", -1)
+    if oc and nc and oc > 0 and nc > 0:
+        scale = oc / nc
+        print(f"calib_sec: {old_path} {oc:.3f} | {new_path} {nc:.3f} — "
+              f"new-host speed = {scale:.2f}x old; NEW medians scaled by "
+              f"{scale:.2f} below (calib-normalized)")
+        nq = {k: v * scale for k, v in nq.items()}
+        new = dict(new, value=new["value"] * scale)
     both = sorted(set(oq) & set(nq), key=lambda k: -max(oq[k], nq[k]))
     print(f"| query | {old_path} (s) | {new_path} (s) | delta |")
     print("|---|---|---|---|")
