@@ -1804,10 +1804,14 @@ object Similarity {
     VerifiedQuery("q_ann_cosine", bruteForceTopKQuery, Some(bruteForceTopKSql)),
     VerifiedQuery("q_ann_lsh", lshTopKQuery, None),
     VerifiedQuery("q_ann_lsh_det", lshDetTopKQuery, Some(lshDetTopKSql)),
-    // rows-only by design: adaptive bits depend on the corpus count, each
-    // width is a distinct hash family — q_ann_lsh_det (fixed bits) is the
-    // oracled twin; recall floor is LlmDataSpec's clustered-fixture test
-    VerifiedQuery("q_ann_lsh_adaptive", lshDetTopKAdaptiveQuery, None),
+    // adaptive bits depend on the corpus count (each width is a distinct
+    // hash family), but at verify SF the schedule resolves to AnnBits so
+    // the query IS q_ann_lsh_det there by construction — the gadget's SQL
+    // hash-gates it, exactly like q_ann_batch below (LlmDataSpec pins the
+    // coincidence at both oracle SFs with a 2x corpus margin); the
+    // widened-width behavior is covered by the clustered-fixture recall
+    // floor and the probe-scale recall table in SCALE.md
+    VerifiedQuery("q_ann_lsh_adaptive", lshDetTopKAdaptiveQuery, Some(lshDetTopKSql)),
     // query count AND key width both derive from the corpus count — the
     // query-count scaling axis (r10 verdict item 1). At verify SF the
     // schedule resolves to nQueries=3 / bits=AnnBits, i.e. the batch query

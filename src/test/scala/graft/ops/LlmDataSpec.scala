@@ -262,6 +262,12 @@ class LlmDataSpec extends SparkSpec {
       val batch = Similarity.lshDetTopKBatch(emb).collect().map(_.toSeq).toSet
       assert(fixed == batch,
         s"$dir: batch ANN must equal the fixed gadget below both scaling steps")
+      // q_ann_lsh_adaptive rides the same coincidence (bits resolve to
+      // AnnBits at these n; nQueries is fixed at 3) and is hash-gated by
+      // the same SQL since r12 — pin it under the same margin
+      val adaptive = Similarity.lshDetTopKAdaptive(emb).collect().map(_.toSeq).toSet
+      assert(fixed == adaptive,
+        s"$dir: adaptive ANN must equal the fixed gadget below the widening step")
     }
   }
 
