@@ -135,12 +135,19 @@ object Bench {
     // load-based signal. calib_sec makes that epoch explicit, so two
     // rounds' artifacts can be compared as value/calib ratios instead of
     // needing a manual same-day close-baseline re-run.
-    val calibSec = {
+    // Median of THREE probes (ADVICE r12): a single probe taken in a
+    // contended or thermally-throttled window would mis-scale every
+    // cross-round comparison that normalizes by it, while looking
+    // authoritative. Three spaced samples cost ~2 s and let the median
+    // discard one bad window.
+    val calibSamples = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
       spark.range(200000000L).selectExpr("bit_xor(xxhash64(id))").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    System.err.println(f"[bench] host calibration: $calibSec%.3f s (fixed 2e8-row xxhash fold)")
+    val calibSec = calibSamples.sorted.apply(1)
+    System.err.println(f"[bench] host calibration: $calibSec%.3f s " +
+      f"(median of ${calibSamples.map(s => f"$s%.3f").mkString("/")}; fixed 2e8-row xxhash fold)")
     // Deterministic (sorted) query order so per-query timings and cache
     // interactions are comparable across runs and rounds. Multiple
     // iterations with a cache clear between them: per-query medians defang

@@ -39,8 +39,14 @@ object Graph {
     * the relational tier's bucketed fact copies. */
   private def ensureEdgeTable(spark: SparkSession, dir: String, kind: String)
                              (build: => DataFrame): DataFrame =
+    // Bucket count = the session's shuffle partitions (r12 hardcoded 32,
+    // which kept the planner's repartition($"src") elision tied to one
+    // lucky SPARK_GRAFT_CPUS value). The bucket spec is part of the table
+    // name (Materialize), so sessions sized differently coexist: each
+    // reads/builds the table whose bucketing its own planner can elide.
     spark.table(Materialize.ensureBucketedTable(spark,
-      s"edges_${kind}_${Materialize.tag(dir)}", "src", buckets = 32,
+      s"edges_${kind}_$dir", "src",
+      buckets = spark.sessionState.conf.numShufflePartitions,
       sourcePaths = Seq(s"$dir/lineitem.parquet", s"$dir/orders.parquet"))(build))
 
   /** One synchronous PageRank round over an edge list that already carries

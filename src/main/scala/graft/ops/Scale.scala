@@ -20,13 +20,13 @@ object Scale {
     * join shuffle-free forever after. */
   def ensureBucketedTables(spark: SparkSession, dir: String, buckets: Int = 8): (String, String) = {
     val liName = Materialize.ensureBucketedTable(spark,
-      s"li_bucketed_${Materialize.tag(dir)}", "l_orderkey", buckets,
+      s"li_bucketed_$dir", "l_orderkey", buckets,
       sourcePaths = Seq(s"$dir/lineitem.parquet")) {
       Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"), col("l_quantity"))
     }
     val ordName = Materialize.ensureBucketedTable(spark,
-      s"ord_bucketed_${Materialize.tag(dir)}", "o_orderkey", buckets,
+      s"ord_bucketed_$dir", "o_orderkey", buckets,
       sourcePaths = Seq(s"$dir/orders.parquet")) {
       Tables.orders(spark, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"), col("o_totalprice"))

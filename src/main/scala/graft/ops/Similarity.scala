@@ -1232,8 +1232,14 @@ object Similarity {
     * metrics — no extra job, no driver data. */
   private[ops] object CapBindingWarner extends org.apache.spark.internal.Logging {
     val MetricName = "graft_block_cap"
-    private val registered =
-      java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+    // WEAK identity set (ADVICE r12): a strong set would pin every session
+    // (and its listener graph) for the life of the JVM — a long-lived
+    // service creating many sessions could never collect any of them. The
+    // listener itself is held by the session's own listenerManager, so a
+    // collected session takes its registration with it.
+    private val registered = java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
     def register(spark: SparkSession): Unit =
       if (registered.add(spark)) {
         spark.listenerManager.register(

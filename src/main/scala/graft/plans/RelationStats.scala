@@ -32,10 +32,14 @@ object RelationStats {
     * A 100 TB table has 10⁵–10⁶ files; the adaptive ANN family may size
     * itself off the same table many times per session, and footer counts
     * for an identical file list are identical by definition — read them
-    * once (r11 verdict item 4). The key hashes the sorted file NAMES plus
-    * the relation's total byte size: Spark writes new part-file names on
-    * every overwrite, so a rewritten table misses the memo and re-reads. */
+    * once (r11 verdict item 4). The key hashes each file's PATH + LENGTH
+    * + MTIME (ADVICE r12: names + total bytes alone would serve a stale
+    * count after an in-place rewrite that preserves both; the statuses
+    * come from the relation's own FileIndex, already cached driver-side —
+    * no extra filesystem calls). Bounded: cleared past [[MemoCap]]
+    * entries — the memo is a per-table cache, not a history. */
   private val memo = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private val MemoCap = 256
 
   /** Test instrumentation: total parquet footers actually opened. The
     * memo contract (one footer pass per table per session) is asserted by
@@ -62,11 +66,13 @@ object RelationStats {
       case _ => None
     }
     relation(df.queryExecution.optimizedPlan).flatMap { rel =>
-      val files = rel.location.inputFiles.sorted
+      val statuses = rel.location.listFiles(Nil, Nil).flatMap(_.files)
+        .sortBy(_.getPath.toString)
+      val files = statuses.map(_.getPath.toString)
       val key = {
         val md = java.security.MessageDigest.getInstance("SHA-256")
-        files.foreach(f => md.update(f.getBytes("UTF-8")))
-        md.update(rel.location.sizeInBytes.toString.getBytes("UTF-8"))
+        statuses.foreach(s => md.update(
+          s"${s.getPath}:${s.getLen}:${s.getModificationTime}".getBytes("UTF-8")))
         md.digest().map("%02x".format(_)).mkString
       }
       memo.get(key).orElse {
@@ -86,6 +92,7 @@ object RelationStats {
           }
           val total = futures.map(_.get()).sum
           footerReads.addAndGet(files.length)
+          if (memo.size >= MemoCap) memo.clear()
           memo.put(key, total)
           Some(total)
         } catch {

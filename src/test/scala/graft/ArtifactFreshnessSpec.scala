@@ -75,6 +75,38 @@ class ArtifactFreshnessSpec extends AnyFunSuite {
         s"artifact is round $corrRound — re-run graft.tools.DeterminismCheck at this HEAD")
   }
 
+  test("every post-r11 bench artifact carries the honest-comparison fields") {
+    // r12 verdict item 6 (landed r13): calib_sec (host-speed probe) and
+    // iter_external_load (per-iteration contention residual) are what make
+    // cross-round comparisons honest — the r12 phantom-regression chase
+    // showed the box's absolute speed drifts ~1.25x across days with every
+    // load signal reading clean. Nothing REQUIRED the fields until now;
+    // this gate fails if a future bench or close-baseline artifact drops
+    // them, so the comparison protocol can't regress silently.
+    val calibRe = """"calib_sec":\s*([0-9.eE+-]+)""".r
+    val extRe = """"iter_external_load":\s*\[""".r
+    def check(label: String, text: String): Unit = {
+      val calib = calibRe.findFirstMatchIn(text).map(_.group(1).toDouble)
+      assert(calib.isDefined, s"$label lacks calib_sec — Bench must record the host probe")
+      assert(calib.get > 0, s"$label has calib_sec=${calib.get} (probe did not run?)")
+      assert(extRe.findFirstIn(text).isDefined,
+        s"$label lacks iter_external_load — per-iteration contention attribution missing")
+    }
+    val roundOf = """BENCH_r(\d+)\.json""".r
+    Option(repoFile(".").listFiles()).getOrElse(Array.empty)
+      .flatMap(f => roundOf.findFirstMatchIn(f.getName).map(m => (m.group(1).toInt, f)))
+      .filter(_._1 >= 12).sortBy(_._1).lastOption.foreach { case (_, f) =>
+        check(f.getName, new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      }
+    val closeRound = """bench_r(\d+)_close""".r
+    val baselines = repoFile("tools/bench_baselines")
+    Option(baselines.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => closeRound.findFirstMatchIn(f.getName).map(m => (m.group(1).toInt, f)))
+      .filter(_._1 >= 12).sortBy(f => (f._1, f._2.getName)).lastOption.foreach { case (_, f) =>
+        check(f.getName, new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      }
+  }
+
   test("PLANS.md curated note for q_image_resize matches the registered plan shape") {
     // r10 verdict item 5: this note went stale when the audit loop was cut
     // from the registered query (3 codec passes → 2). Pin the note's claim

