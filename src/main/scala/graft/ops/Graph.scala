@@ -87,9 +87,11 @@ object Graph {
     * (cache + count) before the working caches are released, so callers
     * get a computed result, not a live dependency on dropped caches. */
   def pageRank(edges: DataFrame, iters: Int = 5,
-               completeGraph: Boolean = false): DataFrame = {
+               completeGraph: Boolean = false,
+               storage: Option[org.apache.spark.storage.StorageLevel] =
+                 Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    pageRankPreDeg(edges.join(deg, "src"), iters, completeGraph)
+    pageRankPreDeg(edges.join(deg, "src"), iters, completeGraph, storage)
   }
 
   /** PageRank loop over an edge frame that already carries `outdeg`.
@@ -98,7 +100,9 @@ object Graph {
     * aggregation over the bucketed table measured as cheap as reading a
     * persisted outdeg column, see [[interactionEdgeTable]].) */
   private[graft] def pageRankPreDeg(withDeg: DataFrame, iters: Int,
-                                    completeGraph: Boolean): DataFrame = {
+                                    completeGraph: Boolean,
+                                    storage: Option[org.apache.spark.storage.StorageLevel] =
+                                      Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
     // Pre-hash-partition the cached edge frame on src BEFORE caching
     // (kHopQuery's measured pattern, applied here in r11): without this
     // the cache holds the SCAN's partitioning and every round's
@@ -111,13 +115,20 @@ object Graph {
     // partial sums first. Physical layout only — the integer rank math is
     // summation-order-independent, so the oracle hash is untouched
     // (Verify gates it).
-    val ed = withDeg.repartition(col("src")).cache()
+    // The `storage` parameter exists for the r13 persistence experiment
+    // (tools/PageRankStorageProbe): None = no edge persistence, every
+    // round re-derives the edge frame from its lineage (over the bucketed
+    // table that lineage is scan + exchange-free deg agg + elided
+    // repartition). The registered query keeps the default; the probe's
+    // sf100 measurements beside the chosen level live in SCALE.md.
+    val repart = withDeg.repartition(col("src"))
+    val ed = storage.map(repart.persist).getOrElse(repart)
     val nodes = ed.select(col("src").as("node")).distinct().cache()
     var ranks = nodes.select(col("node"), lit(1000000L).as("r"))
     for (_ <- 1 to iters) ranks = step(nodes, ed, ranks, completeGraph)
     val out = ranks.cache()
     out.count() // materialize before releasing the frames it was built from
-    ed.unpersist()
+    if (storage.isDefined) ed.unpersist()
     nodes.unpersist()
     out
   }
