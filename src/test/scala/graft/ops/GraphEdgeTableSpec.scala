@@ -99,9 +99,12 @@ class GraphEdgeTableSpec extends graft.SparkSpec {
     spark.range(100).selectExpr("id AS k", "id * 2 AS v")
       .write.mode("overwrite").parquet(srcFile.getAbsolutePath)
     // explicit file:-scheme source URI: the machinery resolves every path
-    // through Hadoop FileSystem (r12 verdict item 4 — any Hadoop-FS URI)
+    // through Hadoop FileSystem (r12 verdict item 4 — any Hadoop-FS URI).
+    // FIXED base string: each test run's fixture has a fresh fingerprint,
+    // so the machinery's own stale-dataset cleanup garbage-collects the
+    // previous run's directories — the fixture exercises it for free.
     def ensure(buckets: Int): String = Materialize.ensureBucketedTable(spark,
-      s"specdrift_${srcDir.getName}", "k", buckets, Seq("file:" + srcFile.getAbsolutePath)) {
+      "specdrift_fixture", "k", buckets, Seq("file:" + srcFile.getAbsolutePath)) {
       spark.read.parquet(srcFile.getAbsolutePath)
     }
     val name4 = ensure(4)
@@ -136,5 +139,13 @@ class GraphEdgeTableSpec extends graft.SparkSpec {
       "stale sibling's catalog entry must be dropped with its files")
     assert(spark.table(nameNew).count() == 200)
     spark.sql(s"DROP TABLE $nameNew")
+    // external-table DROP keeps files; the next run's fresh fingerprint
+    // would GC them, but don't rely on a next run existing
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+      f.delete()
+    }
+    rm(new java.io.File(wh, nameNew))
+    rm(srcDir)
   }
 }
