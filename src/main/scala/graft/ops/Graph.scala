@@ -89,7 +89,7 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int = 5,
                completeGraph: Boolean = false,
                storage: Option[org.apache.spark.storage.StorageLevel] =
-                 Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
+                 Some(org.apache.spark.storage.StorageLevel.DISK_ONLY)): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     pageRankPreDeg(edges.join(deg, "src"), iters, completeGraph, storage)
   }
@@ -102,7 +102,7 @@ object Graph {
   private[graft] def pageRankPreDeg(withDeg: DataFrame, iters: Int,
                                     completeGraph: Boolean,
                                     storage: Option[org.apache.spark.storage.StorageLevel] =
-                                      Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
+                                      Some(org.apache.spark.storage.StorageLevel.DISK_ONLY)): DataFrame = {
     // Pre-hash-partition the cached edge frame on src BEFORE caching
     // (kHopQuery's measured pattern, applied here in r11): without this
     // the cache holds the SCAN's partitioning and every round's
@@ -115,12 +115,24 @@ object Graph {
     // partial sums first. Physical layout only — the integer rank math is
     // summation-order-independent, so the oracle hash is untouched
     // (Verify gates it).
-    // The `storage` parameter exists for the r13 persistence experiment
-    // (tools/PageRankStorageProbe): None = no edge persistence, every
-    // round re-derives the edge frame from its lineage (over the bucketed
-    // table that lineage is scan + exchange-free deg agg + elided
-    // repartition). The registered query keeps the default; the probe's
-    // sf100 measurements beside the chosen level live in SCALE.md.
+    // Default storage = DISK_ONLY, chosen on tools/PageRankStorageProbe
+    // evidence (r12 verdict item 2; full tables in SCALE.md round 13).
+    // Steady medians, clearCache protocol, 6 iters:
+    //   sf0.1 (8g heap):  m_a_d 2.1 s | disk_only 2.0 s | none 2.0 s
+    //   sf10 (100g heap): m_a_d 43.5 s band 13.8-82.2 | disk_only 13.4 s
+    //                     flat | none 24.5 s
+    //   sf100 (100g heap): m_a_d 211 s band 154-226 | disk_only 212 s
+    //                     band 188-249 | none 238 s
+    // At sf100 the 5 join rounds' shuffles dominate and the posture is a
+    // wash; at sf10 MEMORY_AND_DISK's deserialized on-heap columnar
+    // batches drive GC churn (3x slower, 6x variance) while DISK_ONLY's
+    // serialized batches ride the OS page cache; at bench scale they tie.
+    // DISK_ONLY is the one posture whose behavior is heap-size-invariant
+    // — on a real cluster the frame is read 5 times and discarded, which
+    // is exactly the page-cache-backed pattern. None = no persistence
+    // (every round re-derives from the bucketed table: scan +
+    // exchange-free deg agg + elided repartition) costs 13-80% and is
+    // kept for callers whose edge frame is cheaper than its cache.
     val repart = withDeg.repartition(col("src"))
     val ed = storage.map(repart.persist).getOrElse(repart)
     val nodes = ed.select(col("src").as("node")).distinct().cache()
