@@ -64,7 +64,7 @@ object Bench {
     val iterContended =
       loadThreshold > 0 && iterExternalLoads.exists(_ > loadThreshold)
     val contended = (startLoad > loadThreshold && loadThreshold > 0) || iterContended
-    s"""{"metric":"total_median","value":$total,"unit":"sec","sf":"$sfDir","iters":$iters,"n_queries":$nQueries,"iter_totals":$itJson,"iter_load_avg":$loadJson,"iter_external_load":$extJson,"calib_sec":$calibSec,"start_load_avg":$startLoad,"load_gate_threshold":$loadThreshold,"load_waited_sec":$loadWaitedSec,"contended":$contended,"n_failed":${failedNames.size},"failed_names":${jStr(fails)},"host_cpus":$hostCpus,"spark_cpus":$sparkCpus,"full_record":"target/bench_full.json"}"""
+    s"""{"metric":"total_median","value":$total,"unit":"sec","sf":"$sfDir","iters":$iters,"n_queries":$nQueries,"iter_totals":$itJson,"iter_load_avg":$loadJson,"iter_external_load":$extJson,"calib_sec":$calibSec,"calib_protocol":2,"start_load_avg":$startLoad,"load_gate_threshold":$loadThreshold,"load_waited_sec":$loadWaitedSec,"contended":$contended,"n_failed":${failedNames.size},"failed_names":${jStr(fails)},"host_cpus":$hostCpus,"spark_cpus":$sparkCpus,"full_record":"target/bench_full.json"}"""
   }
 
   private def median(xs: Seq[Double]): Double = {
@@ -145,6 +145,12 @@ object Bench {
       spark.range(200000000L).selectExpr("bit_xor(xxhash64(id))").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // calib_protocol 2 = median-of-3. Protocol 1 (r12, a single sample)
+    // INCLUDED whole-stage-codegen JIT of the fold itself, which the
+    // median now discards — measured 0.515 s (r12, protocol 1) vs
+    // 0.197 s (r13, protocol 2) on comparable boxes. Ratios across
+    // protocols are therefore meaningless; bench_delta refuses to
+    // normalize unless both artifacts carry the same protocol number.
     val calibSec = calibSamples.sorted.apply(1)
     System.err.println(f"[bench] host calibration: $calibSec%.3f s " +
       f"(median of ${calibSamples.map(s => f"$s%.3f").mkString("/")}; fixed 2e8-row xxhash fold)")
@@ -244,7 +250,7 @@ object Bench {
     val loadJson = iterLoadAvg.mkString("[", ",", "]")
     val nCpus = Runtime.getRuntime.availableProcessors
     val extJson = iterExternalLoad.mkString("[", ",", "]")
-    val fullLine = s"""{"metric":"total_median","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"iter_totals":$itJson,"per_query_iters":$perIter,"iter_load_avg":$loadJson,"iter_external_load":$extJson,"calib_sec":$calibSec,"start_load_avg":$startLoad,"load_gate_threshold":$maxLoad,"load_waited_sec":$loadWaited,"failed_queries":$failJson,"host_cpus":$nCpus,"load_avg_start_of_report":${osBean.getSystemLoadAverage},"spark_cpus":$cpus,"slow_threshold_sec":$slowSec,"slow_extra_iters":$slowIters,"slow_queries":${slowNames.sorted.map(jStr).mkString("[", ",", "]")}}"""
+    val fullLine = s"""{"metric":"total_median","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"iter_totals":$itJson,"per_query_iters":$perIter,"iter_load_avg":$loadJson,"iter_external_load":$extJson,"calib_sec":$calibSec,"calib_protocol":2,"start_load_avg":$startLoad,"load_gate_threshold":$maxLoad,"load_waited_sec":$loadWaited,"failed_queries":$failJson,"host_cpus":$nCpus,"load_avg_start_of_report":${osBean.getSystemLoadAverage},"spark_cpus":$cpus,"slow_threshold_sec":$slowSec,"slow_extra_iters":$slowIters,"slow_queries":${slowNames.sorted.map(jStr).mkString("[", ",", "]")}}"""
     println(fullLine)
     // The full line above is ~10 KB (146 queries × per-iteration arrays); the
     // driver's artifact keeps only the last ~2000 chars of stdout, which

@@ -85,25 +85,33 @@ class ArtifactFreshnessSpec extends AnyFunSuite {
     // them, so the comparison protocol can't regress silently.
     val calibRe = """"calib_sec":\s*([0-9.eE+-]+)""".r
     val extRe = """"iter_external_load":\s*\[""".r
-    def check(label: String, text: String): Unit = {
+    val protoRe = """"calib_protocol":\s*(\d+)""".r
+    def check(label: String, round: Int, text: String): Unit = {
       val calib = calibRe.findFirstMatchIn(text).map(_.group(1).toDouble)
       assert(calib.isDefined, s"$label lacks calib_sec — Bench must record the host probe")
       assert(calib.get > 0, s"$label has calib_sec=${calib.get} (probe did not run?)")
       assert(extRe.findFirstIn(text).isDefined,
         s"$label lacks iter_external_load — per-iteration contention attribution missing")
+      // r13: the calib PROTOCOL must be explicit from r13 on — protocol 1
+      // (r12's single sample) included the fold's own JIT, protocol 2
+      // (median of 3) discards it; an artifact without the field would be
+      // mis-normalized as protocol 1 by bench_delta.
+      if (round >= 13)
+        assert(protoRe.findFirstIn(text).isDefined,
+          s"$label lacks calib_protocol — cross-protocol calib ratios are meaningless")
     }
     val roundOf = """BENCH_r(\d+)\.json""".r
     Option(repoFile(".").listFiles()).getOrElse(Array.empty)
       .flatMap(f => roundOf.findFirstMatchIn(f.getName).map(m => (m.group(1).toInt, f)))
-      .filter(_._1 >= 12).sortBy(_._1).lastOption.foreach { case (_, f) =>
-        check(f.getName, new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      .filter(_._1 >= 12).sortBy(_._1).lastOption.foreach { case (r, f) =>
+        check(f.getName, r, new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
       }
     val closeRound = """bench_r(\d+)_close""".r
     val baselines = repoFile("tools/bench_baselines")
     Option(baselines.listFiles()).getOrElse(Array.empty)
       .flatMap(f => closeRound.findFirstMatchIn(f.getName).map(m => (m.group(1).toInt, f)))
-      .filter(_._1 >= 12).sortBy(f => (f._1, f._2.getName)).lastOption.foreach { case (_, f) =>
-        check(f.getName, new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      .filter(_._1 >= 12).sortBy(f => (f._1, f._2.getName)).lastOption.foreach { case (r, f) =>
+        check(f.getName, r, new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
       }
   }
 

@@ -44,6 +44,16 @@ def main(old_path, new_path, min_sec=1.0):
     # with every load-based signal reading clean, so raw cross-round
     # deltas conflate code and host.
     oc, nc = old.get("calib_sec", -1), new.get("calib_sec", -1)
+    # Protocol gate (r13): protocol 1 (r12, single sample) included the
+    # fold's own whole-stage-codegen JIT; protocol 2 (median of 3)
+    # discards it — measured 0.515 s vs 0.197 s on comparable boxes, so a
+    # cross-protocol ratio is a 2.6x lie. Absent field = protocol 1.
+    op, np_ = old.get("calib_protocol", 1), new.get("calib_protocol", 1)
+    if oc and nc and oc > 0 and nc > 0 and op != np_:
+        print(f"NOTE: calib protocols differ ({old_path} p{op}, {new_path} "
+              f"p{np_}) — calib ratios are not comparable across protocols; "
+              f"showing RAW seconds (no host-speed normalization).")
+        oc = nc = -1
     if oc and nc and oc > 0 and nc > 0:
         scale = oc / nc
         # ADVICE r12: the calib probe is a point sample — if the two runs'
