@@ -4,6 +4,13 @@ import org.apache.spark.sql.functions._
 
 object Bench {
 
+  /** Calibration protocol number stamped into BOTH the full record and
+    * the compact summary (they must never disagree — ADVICE r13). 2 =
+    * median-of-3 fixed xxhash fold; 1 (r12) was a single sample that
+    * included the fold's own JIT. bench_delta refuses to normalize
+    * calib ratios across differing protocol numbers. */
+  private[graft] val CalibProtocol = 2
+
   /** Force FULL evaluation of every output column. A `count()` action lets
     * Catalyst prune the projection list, so expression-heavy narrow queries
     * (regex/string/array work) would be timed without ever running their
@@ -64,7 +71,7 @@ object Bench {
     val iterContended =
       loadThreshold > 0 && iterExternalLoads.exists(_ > loadThreshold)
     val contended = (startLoad > loadThreshold && loadThreshold > 0) || iterContended
-    s"""{"metric":"total_median","value":$total,"unit":"sec","sf":"$sfDir","iters":$iters,"n_queries":$nQueries,"iter_totals":$itJson,"iter_load_avg":$loadJson,"iter_external_load":$extJson,"calib_sec":$calibSec,"calib_protocol":2,"start_load_avg":$startLoad,"load_gate_threshold":$loadThreshold,"load_waited_sec":$loadWaitedSec,"contended":$contended,"n_failed":${failedNames.size},"failed_names":${jStr(fails)},"host_cpus":$hostCpus,"spark_cpus":$sparkCpus,"full_record":"target/bench_full.json"}"""
+    s"""{"metric":"total_median","value":$total,"unit":"sec","sf":"$sfDir","iters":$iters,"n_queries":$nQueries,"iter_totals":$itJson,"iter_load_avg":$loadJson,"iter_external_load":$extJson,"calib_sec":$calibSec,"calib_protocol":$CalibProtocol,"start_load_avg":$startLoad,"load_gate_threshold":$loadThreshold,"load_waited_sec":$loadWaitedSec,"contended":$contended,"n_failed":${failedNames.size},"failed_names":${jStr(fails)},"host_cpus":$hostCpus,"spark_cpus":$sparkCpus,"full_record":"target/bench_full.json"}"""
   }
 
   private def median(xs: Seq[Double]): Double = {
@@ -250,7 +257,7 @@ object Bench {
     val loadJson = iterLoadAvg.mkString("[", ",", "]")
     val nCpus = Runtime.getRuntime.availableProcessors
     val extJson = iterExternalLoad.mkString("[", ",", "]")
-    val fullLine = s"""{"metric":"total_median","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"iter_totals":$itJson,"per_query_iters":$perIter,"iter_load_avg":$loadJson,"iter_external_load":$extJson,"calib_sec":$calibSec,"calib_protocol":2,"start_load_avg":$startLoad,"load_gate_threshold":$maxLoad,"load_waited_sec":$loadWaited,"failed_queries":$failJson,"host_cpus":$nCpus,"load_avg_start_of_report":${osBean.getSystemLoadAverage},"spark_cpus":$cpus,"slow_threshold_sec":$slowSec,"slow_extra_iters":$slowIters,"slow_queries":${slowNames.sorted.map(jStr).mkString("[", ",", "]")}}"""
+    val fullLine = s"""{"metric":"total_median","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"iter_totals":$itJson,"per_query_iters":$perIter,"iter_load_avg":$loadJson,"iter_external_load":$extJson,"calib_sec":$calibSec,"calib_protocol":$CalibProtocol,"start_load_avg":$startLoad,"load_gate_threshold":$maxLoad,"load_waited_sec":$loadWaited,"failed_queries":$failJson,"host_cpus":$nCpus,"load_avg_start_of_report":${osBean.getSystemLoadAverage},"spark_cpus":$cpus,"slow_threshold_sec":$slowSec,"slow_extra_iters":$slowIters,"slow_queries":${slowNames.sorted.map(jStr).mkString("[", ",", "]")}}"""
     println(fullLine)
     // The full line above is ~10 KB (146 queries × per-iteration arrays); the
     // driver's artifact keeps only the last ~2000 chars of stdout, which

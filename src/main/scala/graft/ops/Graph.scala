@@ -76,8 +76,9 @@ object Graph {
     * over the supplier↔customer interaction graph.
     *
     * Scale shape: the edge list (+ out-degrees) is the only re-used frame —
-    * cached once, read by every round (at 100 TB: persist to
-    * MEMORY_AND_DISK or pre-bucket by src, same plan). Each round is one
+    * persisted once DISK_ONLY (probe-chosen default; rationale at
+    * [[pageRankPreDeg]]) over the pre-bucketed table, read by every
+    * round. Each round is one
     * shuffle join (ranks onto edges by src) + one hash agg (by dst) + one
     * left join back to the node set — no driver round-trips at all for a
     * fixed K, unlike the convergence-tested CC loop. K=5 keeps lineage

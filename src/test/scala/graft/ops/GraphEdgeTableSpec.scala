@@ -148,4 +148,136 @@ class GraphEdgeTableSpec extends graft.SparkSpec {
     rm(new java.io.File(wh, nameNew))
     rm(srcDir)
   }
+
+  test("a strict-SUBSET bucket directory is rebuilt, never re-declared (two-sided id check)") {
+    // r13 verdict item 4: the reuse validation used to be one-sided —
+    // files for buckets 0..3 declared as 8 would pass `forall(_ < 8)` and
+    // Spark would trust the metadata to elide exchanges over half-empty
+    // buckets. Reachable only by tampering now that the spec is in the
+    // name, but the check is one line: all declared ids must be PRESENT.
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-subset-").toFile
+    val srcFile = new java.io.File(srcDir, "data.parquet")
+    spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+      .write.mode("overwrite").parquet(srcFile.getAbsolutePath)
+    def ensure(): String = Materialize.ensureBucketedTable(spark,
+      "subset_fixture", "k", 8, Seq("file:" + srcFile.getAbsolutePath)) {
+      spark.read.parquet(srcFile.getAbsolutePath)
+    }
+    val name = ensure()
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    val loc = new java.io.File(wh, name)
+    // tamper: remove the files of buckets 4..7, keep _SUCCESS
+    val removed = loc.listFiles().filter { f =>
+      val m = """_(\d{5})\.""".r.findFirstMatchIn(f.getName)
+      f.getName.startsWith("part-") && m.exists(_.group(1).toInt >= 4)
+    }
+    assert(removed.length == 4, s"fixture expects one file per bucket, got ${removed.length}")
+    removed.foreach(f => assert(f.delete()))
+    // fresh-JVM simulation: catalog + session keys forgotten
+    spark.sql(s"DROP TABLE $name")
+    Materialize.resetForTests()
+    val name2 = ensure()
+    assert(name2 == name, "same dataset+spec must resolve to the same identity")
+    val files = loc.listFiles().map(_.getName).filter(_.startsWith("part-"))
+    assert(files.length == 8,
+      s"subset directory must be REBUILT to all 8 buckets, found ${files.length}")
+    assert(spark.table(name2).count() == 100)
+    spark.sql(s"DROP TABLE $name2")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+      f.delete()
+    }
+    rm(loc)
+    rm(srcDir)
+  }
+
+  test("two CONCURRENT writer JVMs over one warehouse publish exactly one build") {
+    // r13 verdict item 1: the cross-JVM "build at most once" contract was
+    // guarded only by an in-process lock — two JVMs that both missed
+    // _SUCCESS would both mode("overwrite") into the SAME directory. The
+    // protocol is now build-into-temp + one atomic publish rename; the
+    // loser discards its output and registers the winner's table. Driven
+    // here with two REAL JVMs (the in-process lock makes a two-thread
+    // version vacuous): each worker's build tags rows with its own id, so
+    // a mixed tag set in the published table would prove interleaving.
+    import scala.jdk.CollectionConverters._
+    val work = java.nio.file.Files.createTempDirectory("graft-conc-").toFile
+    val wh = new java.io.File(work, "warehouse")
+    val srcFile = new java.io.File(work, "data.parquet")
+    spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+      .write.mode("overwrite").parquet(srcFile.getAbsolutePath)
+    val barrier = new java.io.File(work, "barrier")
+    val java17 = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    // reuse this JVM's own --add-opens set (build.sbt's JDK17 list)
+    val inArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toList
+    val opens = inArgs.zipWithIndex.flatMap {
+      case (a, i) if a == "--add-opens" => Seq(a, inArgs(i + 1))
+      case (a, _) if a.startsWith("--add-opens=") => Seq(a)
+      case _ => Nil
+    }
+    def launch(tg: String): (Process, java.io.File) = {
+      val out = new java.io.File(work, s"out_$tg")
+      val log = new java.io.File(work, s"log_$tg")
+      val cmd = (Seq(java17) ++ opens ++ Seq("-Xmx2g",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.ops.ConcurrentEnsureWorker", wh.getAbsolutePath,
+        srcFile.getAbsolutePath, barrier.getAbsolutePath, tg,
+        out.getAbsolutePath)).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(log)
+      (pb.start(), out)
+    }
+    val (pa, outA) = launch("alpha")
+    val (pb, outB) = launch("beta")
+    try {
+      // hold the barrier until BOTH sessions are up — JVM/session startup
+      // skew (seconds) must not decide the race before it starts
+      val deadline = System.currentTimeMillis() + 120000
+      while ((!new java.io.File(work, "out_alpha.ready").exists() ||
+              !new java.io.File(work, "out_beta.ready").exists()) &&
+             System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(new java.io.File(work, "out_alpha.ready").exists() &&
+        new java.io.File(work, "out_beta.ready").exists(),
+        "worker sessions did not come up in time")
+      assert(barrier.createNewFile())
+      assert(pa.waitFor(180, java.util.concurrent.TimeUnit.SECONDS) &&
+        pb.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+        "worker JVMs did not finish in time")
+      def report(f: java.io.File, tg: String): (String, Long, String) = {
+        assert(f.exists(), s"worker $tg wrote no report — see ${work}/log_$tg:\n" +
+          scala.util.Try(java.nio.file.Files.readString(
+            new java.io.File(work, s"log_$tg").toPath).takeRight(2000)).getOrElse(""))
+        val Array(n, r, w) = java.nio.file.Files.readString(f.toPath).trim.split('|')
+        (n, r.toLong, w)
+      }
+      val (nameA, rowsA, writersA) = report(outA, "alpha")
+      val (nameB, rowsB, writersB) = report(outB, "beta")
+      assert(nameA == nameB, "both sessions must resolve one table identity")
+      assert(rowsA == 100 && rowsB == 100,
+        s"both readers must see the full table, got $rowsA/$rowsB")
+      assert(!writersA.contains(",") && writersA == writersB,
+        s"published table must carry exactly ONE writer's build, " +
+          s"got alpha=[$writersA] beta=[$writersB] — two writers interleaved")
+      val leftovers = Option(wh.listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(n => n.contains(".build.") || n.contains(".trash."))
+      assert(leftovers.isEmpty,
+        s"losing writer must clean its temp output, found ${leftovers.mkString(", ")}")
+      val published = new java.io.File(wh, nameA)
+      assert(new java.io.File(published, "_SUCCESS").exists())
+      assert(published.listFiles().count(_.getName.startsWith("part-")) == 4,
+        "published table must be the one-file-per-bucket layout")
+    } finally {
+      pa.destroyForcibly(); pb.destroyForcibly()
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+        f.delete()
+      }
+      rm(work)
+    }
+  }
 }
