@@ -16,10 +16,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * poly' = (poly − c_out·B^(k−1))·B + c_in (mod p) — for O(len) total,
   * inside WholeStageCodegen.
   *
-  * Bit-identical to the HOF form on BMP strings: window value
-  * = (7·B^k + Σ c_i·B^(k−1−i)) mod p with B=31, p=2³¹−1, chars as UTF-16
-  * units (the normalized-text domain is ASCII). Inputs shorter than k
-  * yield an empty array; null input yields null.
+  * Bit-identical to the HOF form on ANY input: window value
+  * = (7·B^k + Σ c_i·B^(k−1−i)) mod p with B=31, p=2³¹−1, c_i the
+  * CODEPOINTS of the window — Spark's `length`/`substr`/`split` (the HOF
+  * building blocks) are all codepoint-based, so the native loop decodes
+  * the string to a codepoint array first (r13 was UTF-16-unit-based and
+  * bit-identical only on BMP input; the normalized-text domain is ASCII,
+  * but the contract is now domain-free — NativeExprPropertySpec fuzzes
+  * it across astral planes). Inputs shorter than k CODEPOINTS yield an
+  * empty array; null input yields null.
   */
 case class KgramHashes(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -72,10 +77,14 @@ object KgramHashes {
   private final val Seed = 7L
 
   /** Shared by interpreted eval and codegen (one tight JIT-compiled loop —
-    * a per-call static method keeps the generated code tiny). */
+    * a per-call static method keeps the generated code tiny). Slides over
+    * CODEPOINTS (the HOF twin's substr/length unit); the decode pass is
+    * O(len) like the slide itself. */
   def compute(s: String, k: Int): Array[Long] = {
-    val n = s.length
-    if (k <= 0 || n < k) return Array.emptyLongArray
+    if (k <= 0) return Array.emptyLongArray
+    val cps = codePointsOf(s)
+    val n = cps.length
+    if (n < k) return Array.emptyLongArray
     var bPow = 1L
     var i = 0
     while (i < k - 1) { bPow = bPow * B % P; i += 1 }
@@ -84,14 +93,29 @@ object KgramHashes {
     while (i < k) { seedTerm = seedTerm * B % P; i += 1 }
     var poly = 0L
     i = 0
-    while (i < k) { poly = (poly * B + s.charAt(i)) % P; i += 1 }
+    while (i < k) { poly = (poly * B + cps(i)) % P; i += 1 }
     val out = new Array[Long](n - k + 1)
     out(0) = (seedTerm + poly) % P
     i = 1
     while (i <= n - k) {
-      poly = ((poly - s.charAt(i - 1) * bPow % P + P) % P * B + s.charAt(i + k - 1)) % P
+      poly = ((poly - cps(i - 1) * bPow % P + P) % P * B + cps(i + k - 1)) % P
       out(i) = (seedTerm + poly) % P
       i += 1
+    }
+    out
+  }
+
+  /** Codepoint array of `s` (surrogate pairs decode to one element, the
+    * unit Spark's string expressions operate in). */
+  private[plans] def codePointsOf(s: String): Array[Int] = {
+    val out = new Array[Int](s.codePointCount(0, s.length))
+    var i = 0
+    var o = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out(o) = cp
+      o += 1
+      i += Character.charCount(cp)
     }
     out
   }

@@ -43,6 +43,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * embedding) likewise yields key 0 for ALL bits, never null. The
   * oracled q_ann_lsh_det keeps its DuckDB SQL untouched: this changes
   * the plan, not one output byte (Verify hash-gates that).
+  *
+  * Sign comparisons use SPARK's double ordering (NaN greater than
+  * everything, ±0.0 equal — `nanSafeCompareDoubles`, the same code
+  * Catalyst generates for `>`), not Java primitive `>` (r14: the
+  * NativeExprPropertySpec fuzz domain includes NaN/±Inf embeddings,
+  * where Java `NaN > 0` = false would split the fused key from the
+  * composed form — and from the DuckDB oracle, whose comparison also
+  * totals NaN last). Finite embeddings, the production domain, are
+  * bit-for-bit unaffected.
   */
 case class SignBucketKey(child: Expression, planes: Array[Double],
                          baseBits: Int, widenPairs: Array[Int] = Array.empty)
@@ -82,12 +91,13 @@ case class SignBucketKey(child: Expression, planes: Array[Double],
             acc += x.getDouble(d) * planes(base + d)
             d += 1
           }
-          if (acc > 0.0) key |= 1L << w
+          if (SignBucketKey.nanCmp(acc, 0.0) > 0) key |= 1L << w
           w += 1
         }
         var p = 0
         while (p < widenPairs.length) {
-          if (x.getDouble(widenPairs(p)) > x.getDouble(widenPairs(p + 1)))
+          if (SignBucketKey.nanCmp(x.getDouble(widenPairs(p)),
+              x.getDouble(widenPairs(p + 1))) > 0)
             key |= 1L << (baseBits + p / 2)
           p += 2
         }
@@ -116,10 +126,11 @@ case class SignBucketKey(child: Expression, planes: Array[Double],
           for (int $d = 0; $d < $dims; $d++) {
             $acc += ${c.value}.getDouble($d) * $planesRef[$base + $d];
           }
-          if ($acc > 0.0) $key |= 1L << $w;
+          if (graft.plans.SignBucketKey.nanCmp($acc, 0.0) > 0) $key |= 1L << $w;
         }
         for (int $p = 0; $p < ${widenPairs.length}; $p += 2) {
-          if (${c.value}.getDouble($pairsRef[$p]) > ${c.value}.getDouble($pairsRef[$p + 1]))
+          if (graft.plans.SignBucketKey.nanCmp(${c.value}.getDouble($pairsRef[$p]),
+              ${c.value}.getDouble($pairsRef[$p + 1])) > 0)
             $key |= 1L << ($baseBits + $p / 2);
         }
       }
@@ -129,4 +140,21 @@ case class SignBucketKey(child: Expression, planes: Array[Double],
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object SignBucketKey {
+  /** Spark's double comparison (`Utils.nanSafeCompareDoubles` — NaN
+    * greater than any value and equal to itself, ±0.0 equal), reproduced
+    * here because `org.apache.spark.util.Utils` is `private[spark]` to
+    * Scala code; a Scala object method gets a static forwarder on the
+    * companion class, so the generated Java calls it directly. */
+  def nanCmp(x: Double, y: Double): Int = {
+    val xNaN = java.lang.Double.isNaN(x)
+    val yNaN = java.lang.Double.isNaN(y)
+    if ((xNaN && yNaN) || x == y) 0
+    else if (xNaN) 1
+    else if (yNaN) -1
+    else if (x > y) 1
+    else -1
+  }
 }

@@ -14,13 +14,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * 31-`when` sign arrays per element — all CodegenFallback-interpreted.
   * This expression is one tight loop per row.
   *
-  * Bit-identical semantics to the HOF on any input, pinned by tests:
+  * Bit-identical semantics to the HOF on any input, pinned by tests and
+  * fuzzed by NativeExprPropertySpec:
   * tokens = `split(trim(c), "\s+")` where trim strips ASCII SPACES only
   * (not tabs/newlines — Spark's StringTrim) and split keeps leading AND
   * trailing empty tokens (Spark's split uses limit −1, unlike Java's
   * default); per-token Rabin–Karp hash (seed 7, base 31, mod 2³¹−1) over
-  * UTF-16 units; two affine diffusion lanes vote ±1 per bit; bit i set
-  * iff its vote sum is strictly positive.
+  * CODEPOINTS (the HOF's `split(t, "")`/`ascii` unit — r13 hashed UTF-16
+  * units, which diverged from the HOF on astral-plane tokens); two
+  * affine diffusion lanes vote ±1 per bit; bit i set iff its vote sum is
+  * strictly positive.
   */
 case class SimhashDet(child: Expression) extends UnaryExpression {
 
@@ -75,7 +78,11 @@ object SimhashDet {
       val tok = tokens(t)
       var h = Seed
       var i = 0
-      while (i < tok.length) { h = (h * B + tok.charAt(i)) % P; i += 1 }
+      while (i < tok.length) {
+        val cp = tok.codePointAt(i)
+        h = (h * B + cp) % P
+        i += Character.charCount(cp)
+      }
       val h1 = (h * 1103515245L + 12345L) % P
       val h2 = (h * 69069L + 362437L) % P
       i = 0
