@@ -260,6 +260,122 @@ object Graph {
        |FROM r5""".stripMargin
   }
 
+  /** CONVERGENCE-mode PageRank (r13 verdict item 6): iterate until
+    * `max |Δr| < eps` micros or `maxIters`, whichever first — the
+    * stopping rule production PageRank actually uses, beside the oracled
+    * fixed-K variant. The integer rank math makes the rule fully
+    * deterministic (bit-identical deltas in any summation order), so the
+    * whole loop REMAINS DuckDB-oracle-able: the oracle unrolls maxIters
+    * steps with per-step max-delta CTEs and selects the first converged
+    * iteration — "first `it` with delta < eps, else maxIters" is the
+    * query's contract on BOTH sides, at any scale factor (no SF-tuned
+    * constant: a corpus that converges slower than maxIters caps
+    * identically in engine and oracle).
+    *
+    * Shape per round: the fixed-K [[step]] plus one node-sized
+    * join+max-agg (the convergence test — an inherent driver round-trip
+    * per iteration, the price of a data-dependent stopping rule; the
+    * frames involved are node-sized, never edge-sized). Lineage is
+    * truncated on [[Similarity.connectedComponents]]'s checkpoint-every-5
+    * cadence. Returns the converged ranks (cache-materialized) and the
+    * iteration count actually run. */
+  private[graft] def pageRankConverged(edges: DataFrame, eps: Long,
+      maxIters: Int,
+      storage: Option[org.apache.spark.storage.StorageLevel] =
+        Some(org.apache.spark.storage.StorageLevel.DISK_ONLY)): (DataFrame, Int) = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val repart = edges.join(deg, "src").repartition(col("src"))
+    val ed = storage.map(repart.persist).getOrElse(repart)
+    val nodes = ed.select(col("src").as("node")).distinct().cache()
+    var ranks = nodes.select(col("node"), lit(1000000L).as("r"))
+    val held = scala.collection.mutable.Buffer.empty[DataFrame]
+    var it = 0
+    var done = false
+    while (it < maxIters && !done) {
+      // complete-graph step: the callers feed SYMMETRIZED edge sets,
+      // where every node has an in-edge (same contract as labelProp)
+      var next = step(nodes, ed, ranks, completeGraph = true)
+      it += 1
+      if (it % 5 == 0) next = next.checkpoint()
+      val cached = next.cache()
+      held += cached
+      val delta = cached
+        .join(ranks.select(col("node"), col("r").as("r_prev")), "node")
+        .agg(max(abs(col("r") - col("r_prev"))).as("d")).head().getLong(0)
+      if (delta < eps) done = true
+      ranks = cached
+    }
+    ranks.count() // materialize before releasing the working frames
+    held.foreach(h => if (h ne ranks) h.unpersist())
+    if (storage.isDefined) ed.unpersist()
+    nodes.unpersist()
+    (ranks, it)
+  }
+
+  /** Registered query: PageRank-to-convergence over the symmetrized bulk
+    * co-supplier graph (eps = 10000 micros ≈ 1% of the initial rank,
+    * cap 30) — final rank per supplier plus the iteration count the loop
+    * actually ran, emitted as a column so the oracle pins the STOPPING
+    * RULE, not just the final ranks. */
+  def pageRankConvQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (ranks, iters) = pageRankConverged(coSupplierSymTable(spark, dir),
+      eps = 10000L, maxIters = 30)
+    ranks.select($"node".as("suppkey"), $"r".as("rank_micros"),
+      lit(iters).as("iters_run"))
+  }
+
+  private val pageRankConvSql = {
+    val maxIters = 30
+    val eps = 10000L
+    // r_i referenced by r_{i+1}, d_{i+1} and allr — MATERIALIZED keeps
+    // DuckDB from inlining the chain into exponential re-evaluation
+    def stepSql(prev: String, cur: String): String =
+      s"""$cur AS MATERIALIZED (
+         |  SELECT e.dst AS node,
+         |         CAST(150000 + (85 * SUM(p.r // e.outdeg)) // 100 AS BIGINT) AS r
+         |  FROM ed e JOIN $prev p ON e.src = p.node
+         |  GROUP BY e.dst
+         |)""".stripMargin
+    def deltaSql(prev: String, cur: String, d: String): String =
+      s"""$d AS MATERIALIZED (
+         |  SELECT MAX(ABS(a.r - b.r)) AS d FROM $cur a JOIN $prev b ON a.node = b.node
+         |)""".stripMargin
+    val steps = (1 to maxIters).flatMap(i =>
+      Seq(stepSql(s"r${i - 1}", s"r$i"), deltaSql(s"r${i - 1}", s"r$i", s"d$i")))
+      .mkString(",\n")
+    val deltas = (1 to maxIters)
+      .map(i => s"SELECT $i AS it, (SELECT d FROM d$i) AS d").mkString(" UNION ALL ")
+    val allr = (1 to maxIters)
+      .map(i => s"SELECT $i AS it, node, r FROM r$i").mkString(" UNION ALL ")
+    s"""WITH os AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem
+       |  WHERE l_quantity > 45
+       |), pairs AS (
+       |  SELECT DISTINCT a.s AS u, b.s AS v
+       |  FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+       |), sym AS MATERIALIZED (
+       |  SELECT u AS src, v AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT v AS src, u AS dst FROM pairs
+       |), deg AS (
+       |  SELECT src, COUNT(*) AS outdeg FROM sym GROUP BY src
+       |), ed AS MATERIALIZED (
+       |  SELECT e.src, e.dst, d.outdeg FROM sym e JOIN deg d ON e.src = d.src
+       |), nodes AS (
+       |  SELECT DISTINCT src AS node FROM ed
+       |), r0 AS MATERIALIZED (
+       |  SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes
+       |),
+       |$steps,
+       |deltas AS ($deltas),
+       |pick AS (SELECT COALESCE(MIN(it), $maxIters) AS it FROM deltas WHERE d < $eps),
+       |allr AS ($allr)
+       |SELECT node AS suppkey, r AS rank_micros,
+       |       CAST((SELECT it FROM pick) AS INTEGER) AS iters_run
+       |FROM allr WHERE it = (SELECT it FROM pick)""".stripMargin
+  }
+
   /** Bounded multi-source BFS (k-hop reachability) — the fourth graph
     * verb beside PageRank/triangles/label-prop: from a seed set, the
     * minimal hop distance of every node within `k` hops. The
@@ -583,6 +699,7 @@ object Graph {
 
   val all: Seq[VerifiedQuery] = Seq(
     VerifiedQuery("q_pagerank", pageRankQuery, Some(pageRankSql)),
+    VerifiedQuery("q_pagerank_conv", pageRankConvQuery, Some(pageRankConvSql)),
     VerifiedQuery("q_triangle_count", triangleQuery, Some(triangleSql)),
     VerifiedQuery("q_label_prop", labelPropQuery, Some(labelPropSql)),
     VerifiedQuery("q_khop_bfs", kHopQuery, Some(kHopSql)),

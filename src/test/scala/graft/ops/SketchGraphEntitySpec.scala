@@ -244,6 +244,37 @@ class SketchGraphEntitySpec extends SparkSpec {
     assert(fast === generic)
   }
 
+  test("pageRankConverged: deterministic stopping rule, fixed-K equivalence, cap") {
+    import spark.implicits._
+    val edgeList = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (4L, 1L), (5L, 1L))
+    val sym = edgeList.flatMap(e => Seq(e, e.swap)).distinct.toDF("src", "dst")
+    val (ranks, iters) = Graph.pageRankConverged(sym, eps = 5000L, maxIters = 30)
+    val got = ranks.as[(Long, Long)].collect().toMap
+    assert(iters >= 1 && iters < 30, s"fixture should converge before the cap, ran $iters")
+    // the convergence loop at its own stop count is EXACTLY fixed-K at K:
+    // same recurrence, same integer math — this is the hash-green twin
+    // relationship the oracle also encodes
+    val fixed = Graph.pageRank(sym, iters = iters, completeGraph = true)
+      .as[(Long, Long)].collect().toMap
+    assert(got === fixed, "converged ranks must equal fixed-K ranks at K = iters_run")
+    // the stopping rule held AND fired at the FIRST qualifying iteration:
+    // delta(r_K, r_{K-1}) < eps, and (for K > 1) the previous round's
+    // delta was still >= eps — the exact rule the DuckDB oracle replays
+    def fixedK(k: Int): Map[Long, Long] =
+      if (k == 0) got.keys.map(_ -> 1000000L).toMap
+      else Graph.pageRank(sym, iters = k, completeGraph = true)
+        .as[(Long, Long)].collect().toMap
+    def delta(a: Map[Long, Long], b: Map[Long, Long]): Long =
+      a.map { case (n, r) => math.abs(b(n) - r) }.max
+    assert(delta(fixedK(iters - 1), got) < 5000L, "stop fired above eps")
+    if (iters > 1)
+      assert(delta(fixedK(iters - 2), fixedK(iters - 1)) >= 5000L,
+        "loop overshot: an earlier iteration already satisfied eps")
+    // an unreachable eps respects the iteration cap
+    val (_, capped) = Graph.pageRankConverged(sym, eps = 0L, maxIters = 3)
+    assert(capped == 3)
+  }
+
   test("pageRank favors the hub over leaf nodes") {
     import spark.implicits._
     // star: every leaf points at the hub, hub points at one leaf

@@ -78,16 +78,39 @@ def main(old_path, new_path, min_sec=1.0):
         nq = {k: v * scale for k, v in nq.items()}
         new = dict(new, value=new["value"] * scale)
     both = sorted(set(oq) & set(nq), key=lambda k: -max(oq[k], nq[k]))
+    # Jitter-family contract (r13 verdict item 7): the countmin / minhash /
+    # hll / lm_score family was flagged as close-vs-close movers in r10,
+    # r11 and r12 and re-measured as host noise each time; the r13
+    # interleaved A/B (tools/jitter_ab.sh) retired it with a contract —
+    # sub-3 s members of the family jitter up to ~1.35x PER JVM INSTANCE
+    # (SCALE.md). Movers inside that band are annotated as contract noise
+    # here so future diffs arrive pre-filtered; a family member OUTSIDE
+    # the band is flagged loudly — that would be a real regression.
+    JITTER_FAMILY = re.compile(r"countmin|minhash|hll|lm_score")
+    JITTER_BAND, JITTER_SUB_SEC = 1.35, 3.0
     print(f"| query | {old_path} (s) | {new_path} (s) | delta |")
     print("|---|---|---|---|")
     small = 0
+    contract_noise = 0
     for k in both:
         a, b = oq[k], nq[k]
         if a < min_sec and b < min_sec:
             small += 1
             continue
+        in_family = bool(JITTER_FAMILY.search(k))
+        ratio = b / a if a > 0 else float("inf")
+        if in_family and a < JITTER_SUB_SEC and b < JITTER_SUB_SEC:
+            if 1 / JITTER_BAND <= ratio <= JITTER_BAND:
+                contract_noise += 1
+                continue
+            note = " ⚠ EXCEEDS the ±1.35x sub-3s jitter contract (SCALE.md)"
+        else:
+            note = ""
         sign = "+" if b > a else ""
-        print(f"| {k} | {a:.1f} | {b:.1f} | {sign}{b - a:.1f} ({b / a:.2f}x) |")
+        print(f"| {k} | {a:.1f} | {b:.1f} | {sign}{b - a:.1f} ({ratio:.2f}x){note} |")
+    if contract_noise:
+        print(f"| _{contract_noise} jitter-family queries_ | | | within the "
+              f"±1.35x sub-3s per-JVM band (SCALE.md contract — not signal) |")
     if small:
         print(f"| _{small} more queries_ | <{min_sec} | <{min_sec} | jitter-level |")
     added = sorted(set(nq) - set(oq))
