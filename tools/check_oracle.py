@@ -45,8 +45,14 @@ def close(a, b):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # driver testdata tables are single files; MakeScaledCorpus probe
+        # corpora (sf1/sf10/sf100) are Spark output DIRECTORIES of parts
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p += "/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_soft = n_fail = 0
     for name, sql in sorted(oracle.items()):
