@@ -179,6 +179,10 @@ object Similarity {
     }
     var labels = sym.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id")).cache()
+    // the cache-holding frame behind `labels` (the flattened wrapper the
+    // loop hands around carries no cache entry of its own — see the
+    // plan-flatten note below)
+    var labelsRaw: Option[DataFrame] = Some(labels)
     var converged = false
     var prevSum: Option[java.math.BigDecimal] = None
     var i = 0
@@ -196,7 +200,7 @@ object Similarity {
       val jumped = prop.as("c").join(prop.as("p"), col("c.cluster") === col("p.doc_id"))
         .select(col("c.doc_id").as("doc_id"),
           least(col("c.cluster"), col("p.cluster")).as("cluster"))
-      val next =
+      val nextRaw =
         if ((i + 1) % checkpointEvery == 0) {
           if (sym.sparkSession.sparkContext.getCheckpointDir.isDefined) {
             // cache first: reliable checkpointing runs a SECOND job to
@@ -209,6 +213,22 @@ object Similarity {
             cp
           } else jumped.localCheckpoint(true)
         } else jumped.cache()
+      // PLAN-flatten every round (r14): cache/checkpoint truncate
+      // EXECUTION, but `.cache()` leaves the LOGICAL plan intact, and the
+      // pointer-jump self-join references `prop` twice (hence `labels`
+      // 4×), so the analyzed plan grew ~4× per round between checkpoints
+      // — Catalyst's per-round tree walks turned exponential in
+      // rounds-since-checkpoint. Invisible at test SF (few rounds), it
+      // made the loop DRIVER-bound on a 27k-edge sf10 candidate graph:
+      // 392 s inside connectedComponents with the main thread at 100%
+      // CPU in TreeNode.foreachUp (bench_r14_sf10 + jstack, SCALE.md
+      // round 14), ~16 s once flattened. Wrapping the materialized RDD
+      // in a fresh DataFrame replaces the plan with a LogicalRDD leaf —
+      // per-round analysis stays O(one round's ops); RDD lineage (fault
+      // tolerance) is untouched and still bounded by the 5-round
+      // checkpoint cadence. Values are unchanged by construction — the
+      // oracle hash gate and DeterminismCheck pin that.
+      val next = sym.sparkSession.createDataFrame(nextRaw.rdd, nextRaw.schema)
       // convergence via Σcluster: labels only ever DECREASE per node
       // (least), so the total is strictly monotone until fixpoint — one
       // aggregate action per round instead of a join+filter+count.
@@ -217,12 +237,20 @@ object Similarity {
       val sum = Option(next
         .agg(org.apache.spark.sql.functions.sum(col("cluster").cast("decimal(38,0)")))
         .first().get(0).asInstanceOf[java.math.BigDecimal])
-      labels.unpersist()
+      // unpersist the RAW cached frame: the flattened wrapper holds no
+      // cache entry of its own, so unpersisting it would leak one cached
+      // round per iteration
+      labelsRaw.foreach(_.unpersist())
+      labelsRaw = Some(nextRaw)
       labels = next
       converged = sum == prevSum
       prevSum = sum
       i += 1
     }
+    // the final round's cache (labelsRaw) deliberately stays alive: the
+    // returned flattened frame re-reads it lazily, and every caller
+    // materializes promptly — the session's clearCache / query lifecycle
+    // drops it, same as the pre-r14 behavior of returning a cached frame
     sym.unpersist()
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds — labels would " +
