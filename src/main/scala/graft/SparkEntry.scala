@@ -30,4 +30,12 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     VerifiedQuery.toOracleMap(registry)
+
+  /** SF-validity contracts for oracles pinned to a fixed gadget that a
+    * count-adaptive schedule only coincides with below a corpus-size
+    * bound — machine-readable so epoch checkers above the verify SF
+    * self-report "by contract" instead of FAIL (r14 verdict item 3).
+    * Dumped by [[Verify]] as `oracle_contracts.json`. */
+  def oracleContracts: Map[String, OracleContract] =
+    VerifiedQuery.toContractMap(registry)
 }

@@ -21,7 +21,21 @@ final case class VerifiedQuery(
     name: String,
     build: (SparkSession, String) => DataFrame,
     oracle: Option[String],
+    contract: Option[OracleContract] = None,
 )
+
+/** SF-validity annotation for an oracle that is exact only while a
+  * count-adaptive schedule coincides with the fixed gadget its SQL was
+  * pinned to (r14 verdict item 3). The adaptive ANN family sizes its key
+  * width / query batch from the corpus count; the registered DuckDB SQL is
+  * the FIXED gadget's, valid exactly while `count(table) <= maxRows`.
+  * Above that the engine's output departs BY DESIGN (a wider key is a
+  * different hash family — the scale adaptation the query exists for), so
+  * an epoch checker must report a mismatch there as "by contract", not
+  * FAIL. Previously this lived as COVERAGE.md prose and the sf1 epoch
+  * printed 2 unexplained FAIL lines; now Verify dumps it machine-readable
+  * (`oracle_contracts.json`) and tools/check_oracle.py self-reports. */
+final case class OracleContract(table: String, maxRows: Long, reason: String)
 
 object VerifiedQuery {
   /** Registry helper: turn a module's query list into the SparkEntry maps. */
@@ -29,4 +43,6 @@ object VerifiedQuery {
     qs.map(q => q.name -> q.build).toMap
   def toOracleMap(qs: Seq[VerifiedQuery]): Map[String, String] =
     qs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+  def toContractMap(qs: Seq[VerifiedQuery]): Map[String, OracleContract] =
+    qs.flatMap(q => q.contract.map(q.name -> _)).toMap
 }

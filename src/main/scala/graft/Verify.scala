@@ -63,6 +63,18 @@ object Verify {
       .filter { case (k, _) => nameFilter(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // SF-validity contracts (r14 verdict item 3): which oracles are exact
+    // only below a corpus-size bound. Separate sidecar file — the driver
+    // reads oracle_sql.json as a flat {name: sql} map, so its format
+    // cannot change; epoch tooling (tools/check_oracle.py) picks this up
+    // to report above-bound divergences as "by contract" instead of FAIL.
+    val cjson = SparkEntry.oracleContracts
+      .filter { case (k, _) => nameFilter(k) }
+      .map { case (k, c) =>
+        s"${q(k)}: {${q("table")}: ${q(c.table)}, " +
+          s"${q("max_rows")}: ${c.maxRows}, ${q("reason")}: ${q(c.reason)}}"
+      }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_contracts.json"), cjson)
     spark.stop()
   }
 }

@@ -138,7 +138,12 @@ object Graph {
     val ed = storage.map(repart.persist).getOrElse(repart)
     val nodes = ed.select(col("src").as("node")).distinct().cache()
     var ranks = nodes.select(col("node"), lit(1000000L).as("r"))
-    for (_ <- 1 to iters) ranks = step(nodes, ed, ranks, completeGraph)
+    for (i <- 1 to iters) {
+      ranks = step(nodes, ed, ranks, completeGraph)
+      // single state reference per round ⇒ linear analyzed-plan growth,
+      // bounded by fixed K (IterativePlanGrowthSpec pins it)
+      graft.plans.PlanGrowth.record("pageRankFixedK", i, ranks)
+    }
     val out = ranks.cache()
     out.count() // materialize before releasing the frames it was built from
     if (storage.isDefined) ed.unpersist()
@@ -272,44 +277,87 @@ object Graph {
     * constant: a corpus that converges slower than maxIters caps
     * identically in engine and oracle).
     *
-    * Shape per round: the fixed-K [[step]] plus one node-sized
-    * join+max-agg (the convergence test — an inherent driver round-trip
-    * per iteration, the price of a data-dependent stopping rule; the
-    * frames involved are node-sized, never edge-sized). Lineage is
+    * Shape per round: the fixed-K [[step]] plus a node-sized join+max-agg
+    * convergence test — AMORTIZED to one driver round-trip per
+    * `checkEvery` rounds (r14 verdict item 4): rounds accumulate
+    * unchecked, then ONE job computes every pending round's max-delta as
+    * a unioned keyed aggregate and the FIRST qualifying round wins —
+    * byte-identical output to the per-iteration check (same "first `it`
+    * with delta < eps" rule, no monotonicity assumption: every computed
+    * round's delta is inspected, oldest first), at the price of at most
+    * `checkEvery - 1` overshoot iterations of wasted step work. The
+    * frames involved are node-sized, never edge-sized. Lineage is
     * truncated on [[Similarity.connectedComponents]]'s checkpoint-every-5
-    * cadence. Returns the converged ranks (cache-materialized) and the
-    * iteration count actually run. */
+    * cadence, cache-first with a localCheckpoint fallback when the
+    * session has no checkpoint dir (ADVICE r14 — previously a >=5-round
+    * convergence in a dir-less session threw). Returns the converged
+    * ranks (cache-materialized) and the iteration count actually run. */
   private[graft] def pageRankConverged(edges: DataFrame, eps: Long,
       maxIters: Int,
       storage: Option[org.apache.spark.storage.StorageLevel] =
-        Some(org.apache.spark.storage.StorageLevel.DISK_ONLY)): (DataFrame, Int) = {
+        Some(org.apache.spark.storage.StorageLevel.DISK_ONLY),
+      checkEvery: Int = 2): (DataFrame, Int) = {
+    val spark = edges.sparkSession
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val repart = edges.join(deg, "src").repartition(col("src"))
     val ed = storage.map(repart.persist).getOrElse(repart)
     val nodes = ed.select(col("src").as("node")).distinct().cache()
     var ranks = nodes.select(col("node"), lit(1000000L).as("r"))
     val held = scala.collection.mutable.Buffer.empty[DataFrame]
+    // rounds computed since the last convergence probe, oldest first:
+    // (iteration number, that round's ranks, the previous round's ranks)
+    val unchecked = scala.collection.mutable.Buffer.empty[(Int, DataFrame, DataFrame)]
+    var firstConv = -1
+    var convFrame: DataFrame = null
     var it = 0
-    var done = false
-    while (it < maxIters && !done) {
+    def runCheck(): Unit = if (firstConv < 0 && unchecked.nonEmpty) {
+      val diffs = unchecked.map { case (i, cur, prv) =>
+        cur.join(prv.select(col("node"), col("r").as("r_prev")), "node")
+          .select(lit(i).as("it"), abs(col("r") - col("r_prev")).as("d"))
+      }.reduce(_.unionByName(_))
+      // max over zero rows is null (empty node set) — read through the
+      // null guard and treat it as delta 0: an empty graph is converged
+      // (ADVICE r14: the old per-round .getLong NPE'd here)
+      val byIt = diffs.groupBy(col("it")).agg(max(col("d")).as("d")).collect()
+        .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
+      unchecked.foreach { case (i, cur, _) =>
+        if (firstConv < 0 && byIt.getOrElse(i, 0L) < eps) {
+          firstConv = i; convFrame = cur
+        }
+      }
+      unchecked.clear()
+    }
+    while (it < maxIters && firstConv < 0) {
       // complete-graph step: the callers feed SYMMETRIZED edge sets,
       // where every node has an in-edge (same contract as labelProp)
-      var next = step(nodes, ed, ranks, completeGraph = true)
+      val next = step(nodes, ed, ranks, completeGraph = true)
       it += 1
-      if (it % 5 == 0) next = next.checkpoint()
-      val cached = next.cache()
+      val cached =
+        if (it % 5 == 0) {
+          if (spark.sparkContext.getCheckpointDir.isDefined) {
+            // cache first: reliable checkpointing runs a SECOND job to
+            // write the files, which would otherwise recompute the
+            // round's join+agg from lineage (the Similarity.cc pattern)
+            next.cache()
+            val cp = next.checkpoint(true)
+            next.unpersist()
+            cp
+          } else next.localCheckpoint(true)
+        } else next.cache()
       held += cached
-      val delta = cached
-        .join(ranks.select(col("node"), col("r").as("r_prev")), "node")
-        .agg(max(abs(col("r") - col("r_prev"))).as("d")).head().getLong(0)
-      if (delta < eps) done = true
+      graft.plans.PlanGrowth.record("pageRankConverged", it, cached)
+      unchecked += ((it, cached, ranks))
       ranks = cached
+      if (it % checkEvery == 0) runCheck()
     }
-    ranks.count() // materialize before releasing the working frames
-    held.foreach(h => if (h ne ranks) h.unpersist())
+    runCheck() // tail rounds when maxIters is not a multiple of checkEvery
+    val (outRanks, itersRun) =
+      if (firstConv >= 0) (convFrame, firstConv) else (ranks, it)
+    outRanks.count() // materialize before releasing the working frames
+    held.foreach(h => if (h ne outRanks) h.unpersist())
     if (storage.isDefined) ed.unpersist()
     nodes.unpersist()
-    (ranks, it)
+    (outRanks, itersRun)
   }
 
   /** Registered query: PageRank-to-convergence over the symmetrized bulk
@@ -404,11 +452,18 @@ object Graph {
                                     k: Int): (DataFrame, () => Unit) = {
     // Each round reads `dist` TWICE (frontier filter + union fold), so an
     // uncached loop doubles the lineage per round — 2^k plan blowup
-    // (measured: 10.9 s → 2.6 s at sf0.1 for k=3). cache() alone is what
-    // fixes that: the cache manager substitutes one shared
-    // InMemoryRelation per round at PLAN time, so both consumers scan the
-    // same cached RDD and the DAG scheduler computes each round exactly
-    // once even inside a single job. The r7 loop also ran a count() per
+    // (measured: 10.9 s → 2.6 s at sf0.1 for k=3). cache() fixes the
+    // EXECUTED side of that: the cache manager substitutes one shared
+    // InMemoryRelation per round at PHYSICAL-planning time, so both
+    // consumers scan the same cached RDD and the DAG scheduler computes
+    // each round exactly once even inside a single job. Per the r14
+    // connectedComponents diagnosis, the ANALYZED logical tree is NOT
+    // truncated by cache and still doubles per round — ~2^k nodes of
+    // driver-side tree-walk cost, harmless at the fixed k = 3 (≤ ~8× one
+    // round's plan; IterativePlanGrowthSpec pins that bound) but the
+    // reason a larger-k variant must adopt connectedComponents' per-round
+    // LogicalRDD flatten, not just its checkpoint cadence. The r7 loop
+    // also ran a count() per
     // round to materialize before releasing the superseded round — one
     // extra job and a full cache re-read per hop (r7 verdict item 7).
     // Dropping the per-round action and keeping every round marked until
@@ -429,6 +484,7 @@ object Graph {
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .cache()
       cached += folded
+      graft.plans.PlanGrowth.record("kHopReachability", d, folded)
       dist = folded
     }
     (dist, () => cached.foreach(_.unpersist()))
@@ -640,13 +696,16 @@ object Graph {
     val sym = sym0.repartition($"src").cache()
     var labels = sym.select($"src".as("node")).distinct()
       .select($"node", $"node".as("label"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       labels = sym.join(labels, sym("src") === labels("node"))
         .groupBy(sym("dst"), col("label")).agg(count(lit(1)).as("cnt"))
         // mode with smallest-label tie-break: min over (-cnt, label) structs
         .groupBy(col("dst").as("node"))
         .agg(min(struct((-col("cnt")).as("negc"), col("label"))).as("m"))
         .select(col("node"), col("m.label").as("label"))
+      // single state reference per round ⇒ linear analyzed-plan growth,
+      // bounded by the fixed small iters (IterativePlanGrowthSpec pins it)
+      graft.plans.PlanGrowth.record("labelPropagationSym", i, labels)
     }
     val out = labels.cache()
     out.count() // materialize before releasing the edge cache

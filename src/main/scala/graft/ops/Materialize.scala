@@ -51,15 +51,14 @@ import org.apache.spark.sql.functions._
   *    rebuilds rather than reading a partial table. As a final defense
   *    the re-register path validates the on-disk bucket ids TWO-SIDED
   *    (r13 verdict item 4): no id may reach the declared count AND all
-  *    `buckets` ids must be present (pigeonhole: exactly 0..buckets-1,
-  *    given the one-file-per-bucket write below) — a strict-subset
-  *    directory (files for buckets 0..7 declared as 32, reachable only
-  *    by manual tampering now that the spec is in the name) rebuilds
-  *    instead of mis-declaring. The full-coverage check is deliberately
-  *    reuse-path-only: a legitimate tiny dataset whose key set misses a
-  *    bucket hash entirely still publishes (its own JVM trusts its own
-  *    write) but is conservatively rebuilt by later JVMs rather than
-  *    trusted.
+  *    `buckets` ids must be present — refined in r15 by a publish-time
+  *    bucket-id MANIFEST (`_graft_buckets`, ADVICE r14): Spark writes no
+  *    file for an empty bucket, so raw full-coverage would make a
+  *    legitimate tiny dataset (key set missing a bucket hash) rebuild in
+  *    every fresh JVM; reuse now validates the on-disk id set against
+  *    what the writer manifested, so empty buckets reuse and only
+  *    genuine id-set drift (tampering/partial copies) rebuilds.
+  *    Pre-manifest directories keep the conservative full-coverage rule.
   *  - Stale-sibling cleanup DROPs the catalog entries and evicts the
   *    "ready" keys of the directories it deletes — a registered table
   *    must never outlive its files (ADVICE r12). The delete itself is
@@ -69,7 +68,27 @@ import org.apache.spark.sql.functions._
   *    gets a clean table-not-found instead of watching part files vanish
   *    one by one mid-scan. Orphaned temp/trash dirs (a writer JVM killed
   *    mid-publish) are garbage-collected here too, behind a grace window
-  *    that can never catch a live writer's in-flight build.
+  *    plus a `_temporary`-presence check (a build dir with an uncommitted
+  *    Spark write in flight is never collected, however old its top-level
+  *    mtime — ADVICE r14). Destroying the final location is additionally
+  *    guarded by a last-instant re-check of `reusable` (ADVICE r14
+  *    TOCTOU): a table another JVM published between our miss and our
+  *    delete is reused, not trashed.
+  *  - READER-LIFETIME contract (r14 verdict item 6, documented limit):
+  *    the atomic rename makes a regenerated dataset's old NAME vanish in
+  *    one namespace op, but a scan that resolved its file list before the
+  *    rename still holds pre-rename paths — files it has not yet opened
+  *    are gone once the trash is deleted (already-open handles survive on
+  *    POSIX/HDFS semantics; the loss window is rename-time regardless of
+  *    when trash is emptied, so delaying the trash delete would NOT widen
+  *    reader safety). The machinery therefore assumes BOUNDED SCAN
+  *    LIFETIMES relative to dataset regeneration: regeneration is an
+  *    administrative event (new source-data version), and a reader caught
+  *    mid-scan fails loudly (FileNotFound) and retries against the new
+  *    fingerprint — it can never silently read a half-regenerated mix,
+  *    because the two versions never share a directory. A deployment
+  *    needing zero-failure cutover fronts this with a real catalog
+  *    (snapshot isolation), which is the 100 TB posture anyway.
   *  - All filesystem access goes through Hadoop [[FileSystem]] resolved
   *    from each path's own scheme, so the machinery works over any
   *    Hadoop-FS URI (HDFS, S3A, ...) exactly as it does over the local
@@ -131,13 +150,49 @@ private[graft] object Materialize {
       .flatMap(n => id.findFirstMatchIn(n).map(_.group(1).toInt))
   }
 
+  /** Bucket-id manifest written at publish time (ADVICE r14): Spark
+    * writes NO file for a genuinely empty bucket, so "all `buckets` ids
+    * present on disk" conflates legitimately-empty buckets with a
+    * strict-subset tamper — a small corpus whose key set misses a bucket
+    * hash would fail full coverage in every fresh JVM, downgrading
+    * "build at most once across JVMs" to once-per-JVM (each rebuild
+    * opening a reader-visible table-not-found window). The manifest
+    * records the id set the WRITER actually produced; reuse validates
+    * disk against it exactly, so empty buckets reuse and only genuine
+    * id-set drift rebuilds. Underscore-prefixed, so Spark's file listing
+    * skips it like `_SUCCESS`. */
+  private val ManifestFile = "_graft_buckets"
+
+  private def writeManifest(fs: FileSystem, dir: Path): Unit = {
+    val ids = bucketIdsOnDisk(fs, dir).distinct.sorted
+    val out = fs.create(new Path(dir, ManifestFile), true)
+    try out.write(ids.mkString(",").getBytes("UTF-8")) finally out.close()
+  }
+
+  private def manifestIds(fs: FileSystem, dir: Path): Option[Seq[Int]] = {
+    val p = new Path(dir, ManifestFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+      Some(if (s.trim.isEmpty) Seq.empty[Int]
+           else s.trim.split(",").toSeq.map(_.toInt))
+    }
+  }
+
   /** A published table directory another JVM may reuse: committed
-    * (`_SUCCESS`) and carrying exactly the declared bucket ids —
-    * two-sided, see the contract note on strict-subset tampering. */
+    * (`_SUCCESS`) and carrying exactly the bucket ids its writer
+    * manifested (so empty buckets reuse — see [[ManifestFile]]); a
+    * pre-manifest directory falls back to the r13 two-sided full-coverage
+    * check. Either way no id may reach the declared count. */
   private def reusable(fs: FileSystem, loc: Path, buckets: Int): Boolean =
     fs.exists(new Path(loc, "_SUCCESS")) && {
-      val ids = bucketIdsOnDisk(fs, loc)
-      ids.forall(_ < buckets) && ids.distinct.size == buckets
+      val ids = bucketIdsOnDisk(fs, loc).distinct.sorted
+      ids.forall(_ < buckets) && (manifestIds(fs, loc) match {
+        case Some(m) => ids == m.distinct.sorted
+        case None    => ids.size == buckets
+      })
     }
 
   /** Atomic-from-the-namespace delete: rename the directory to a
@@ -211,44 +266,64 @@ private[graft] object Materialize {
               ready.removeIf(_.endsWith(s":${p.getName}"))
             }
             // GC temp/trash orphans of THIS base left by a writer JVM
-            // killed mid-publish — grace-windowed so a live concurrent
-            // build is never collected out from under its writer
+            // killed mid-publish — grace-windowed, AND a build dir still
+            // holding a `_temporary` subtree is skipped regardless of age
+            // (ADVICE r14: the top-level dir's mtime is set at creation
+            // and a very long in-flight Spark write may not touch it again
+            // within the window; `_temporary` exists for exactly the
+            // lifetime of the uncommitted write, so its presence is the
+            // live-writer signal the mtime alone can't give)
             entries.filter { st =>
               val n = st.getPath.getName
               n.startsWith(s".$prefix") &&
                 (n.contains(".build.") || n.contains(".trash.")) &&
-                st.getModificationTime < System.currentTimeMillis() - OrphanGraceMs
+                st.getModificationTime < System.currentTimeMillis() - OrphanGraceMs &&
+                !(n.contains(".build.") &&
+                  fs.exists(new Path(st.getPath, "_temporary")))
             }.foreach(st => fs.delete(st.getPath, true))
-            if (fs.exists(loc)) deleteAside(fs, loc)
-            // build into a dot-prefixed temp sibling (invisible to
-            // Spark's listings even if a rename fallback ever nests it),
-            // registered transiently under a worker-unique table name
-            // (bucketBy requires saveAsTable; DROP of an external table
-            // keeps the files)
-            val bld = nonce()
-            val tmpName = s"${name}_bld_$bld"
-            val tmpLoc = new Path(warehouse, s".$name.build.$bld")
-            build.repartition(buckets, col(bucketCol)).write.mode("overwrite")
-              .bucketBy(buckets, bucketCol).sortBy(bucketCol)
-              .option("path", fs.makeQualified(tmpLoc).toString)
-              .saveAsTable(tmpName)
-            spark.sql(s"DROP TABLE $tmpName")
-            // publish: one atomic namespace op. A lost race (the final
-            // location appeared since the check, or the rename was
-            // refused because it exists now) means another writer won —
-            // discard ours and register theirs below.
-            val won = !fs.exists(loc) && fs.rename(tmpLoc, loc)
-            if (!won && fs.exists(tmpLoc)) fs.delete(tmpLoc, true)
-            // belt and braces: local-FS rename falls back to a copy when
-            // the destination exists and can nest the temp dir inside the
-            // winner's table; a dot-prefixed leaf is invisible to Spark's
-            // listing, but remove it anyway
-            val nested = new Path(loc, tmpLoc.getName)
-            if (fs.exists(nested)) fs.delete(nested, true)
-            require(fs.exists(new Path(loc, "_SUCCESS")) &&
-              bucketIdsOnDisk(fs, loc).forall(_ < buckets),
-              s"materialize publish left no committed table at $loc " +
-                s"(rename lost with no surviving winner?)")
+            // TOCTOU guard (ADVICE r14): between the reusable() miss that
+            // brought us here and this point, a concurrent JVM may have
+            // PUBLISHED a complete table at `loc` — re-check immediately
+            // before destroying the final location and reuse instead of
+            // trashing a live table out from under its readers (the old
+            // unconditional deleteAside made the winner's registered
+            // table vanish for the loser's whole rebuild).
+            if (!reusable(fs, loc, buckets)) {
+              if (fs.exists(loc)) deleteAside(fs, loc)
+              // build into a dot-prefixed temp sibling (invisible to
+              // Spark's listings even if a rename fallback ever nests it),
+              // registered transiently under a worker-unique table name
+              // (bucketBy requires saveAsTable; DROP of an external table
+              // keeps the files)
+              val bld = nonce()
+              val tmpName = s"${name}_bld_$bld"
+              val tmpLoc = new Path(warehouse, s".$name.build.$bld")
+              build.repartition(buckets, col(bucketCol)).write.mode("overwrite")
+                .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+                .option("path", fs.makeQualified(tmpLoc).toString)
+                .saveAsTable(tmpName)
+              spark.sql(s"DROP TABLE $tmpName")
+              // manifest the id set this writer actually produced, so
+              // later JVMs can reuse a table with legitimately-empty
+              // buckets (see ManifestFile)
+              writeManifest(fs, tmpLoc)
+              // publish: one atomic namespace op. A lost race (the final
+              // location appeared since the check, or the rename was
+              // refused because it exists now) means another writer won —
+              // discard ours and register theirs below.
+              val won = !fs.exists(loc) && fs.rename(tmpLoc, loc)
+              if (!won && fs.exists(tmpLoc)) fs.delete(tmpLoc, true)
+              // belt and braces: local-FS rename falls back to a copy when
+              // the destination exists and can nest the temp dir inside the
+              // winner's table; a dot-prefixed leaf is invisible to Spark's
+              // listing, but remove it anyway
+              val nested = new Path(loc, tmpLoc.getName)
+              if (fs.exists(nested)) fs.delete(nested, true)
+              require(fs.exists(new Path(loc, "_SUCCESS")) &&
+                bucketIdsOnDisk(fs, loc).forall(_ < buckets),
+                s"materialize publish left no committed table at $loc " +
+                  s"(rename lost with no surviving winner?)")
+            }
           }
           register(spark, fs, loc, name, bucketCol, buckets)
         }

@@ -6,7 +6,7 @@ import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.{Tables, Tuning, VerifiedQuery}
+import graft.{OracleContract, Tables, Tuning, VerifiedQuery}
 import graft.functions.{Text, Vectors => V}
 
 /** Near-duplicate detection and similarity search at scale (north-star
@@ -229,6 +229,7 @@ object Similarity {
       // checkpoint cadence. Values are unchanged by construction — the
       // oracle hash gate and DeterminismCheck pin that.
       val next = sym.sparkSession.createDataFrame(nextRaw.rdd, nextRaw.schema)
+      graft.plans.PlanGrowth.record("connectedComponents", i + 1, next)
       // convergence via Σcluster: labels only ever DECREASE per node
       // (least), so the total is strictly monotone until fixpoint — one
       // aggregate action per round instead of a join+filter+count.
@@ -247,15 +248,20 @@ object Similarity {
       prevSum = sum
       i += 1
     }
-    // the final round's cache (labelsRaw) deliberately stays alive: the
-    // returned flattened frame re-reads it lazily, and every caller
-    // materializes promptly — the session's clearCache / query lifecycle
-    // drops it, same as the pre-r14 behavior of returning a cached frame
     sym.unpersist()
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds — labels would " +
         "silently under-merge; raise maxIter (rounds needed ≈ log2(component diameter))")
-    labels
+    // Return the final RAW cached frame, not its flattened wrapper (ADVICE
+    // r14): the wrapper holds no cache entry, so a caller's
+    // `comps.unpersist()` (dropNonMinima, cosineNearDupTransitive,
+    // dedupClusterStats) would silently no-op and the final round's
+    // MEMORY_AND_DISK labels would leak for the session — flattening is
+    // only needed INSIDE the loop to bound per-round analysis cost, and
+    // the one returned frame's plan is a single round's ops over flattened
+    // leaves. (On a checkpoint round the raw frame is the checkpointed one
+    // — no cache entry to release, files owned by the checkpoint dir.)
+    labelsRaw.get
   }
 
   /** Transitive-closure MinHash dedup: keep one doc (the min id) per
@@ -859,6 +865,19 @@ object Similarity {
       math.max(1L, (n - 1) / targetBucket))
     math.max(AnnBits, need)
   }
+
+  /** Largest embeddings count at which [[adaptiveSignBits]] still floors
+    * at [[AnnBits]] — i.e. where `q_ann_lsh_adaptive` coincides with the
+    * fixed oracled gadget (`q_ann_lsh_det`). 256·2^AnnBits; pinned to the
+    * function itself by OracleContractSpec. */
+  private[graft] val AdaptiveGadgetMaxN: Long = 256L << AnnBits
+
+  /** Largest embeddings count at which [[lshDetTopKBatch]]'s WHOLE
+    * schedule (nQueries = max(3, n/1000) = 3 AND bits = AnnBits)
+    * coincides with the gadget — the query-count axis binds first:
+    * n/1000 reaches 4 at 4000 while bits widen only above
+    * [[AdaptiveGadgetMaxN]]. */
+  private[graft] val BatchGadgetMaxN: Long = 3999L
 
   /** Scale-adaptive deterministic sign-LSH top-k (r9 verdict item 2,
     * mirroring the IVF auto-k treatment): bits = [[adaptiveSignBits]] of
@@ -1845,7 +1864,11 @@ object Similarity {
     // coincidence at both oracle SFs with a 2x corpus margin); the
     // widened-width behavior is covered by the clustered-fixture recall
     // floor and the probe-scale recall table in SCALE.md
-    VerifiedQuery("q_ann_lsh_adaptive", lshDetTopKAdaptiveQuery, Some(lshDetTopKSql)),
+    VerifiedQuery("q_ann_lsh_adaptive", lshDetTopKAdaptiveQuery, Some(lshDetTopKSql),
+      contract = Some(OracleContract("embeddings", AdaptiveGadgetMaxN,
+        "adaptiveSignBits(n) floors at the gadget's AnnBits only for " +
+          "n <= 4096; above it the widened key is a different hash family " +
+          "and neighbors diverge BY DESIGN (COVERAGE.md rows-only table)"))),
     // query count AND key width both derive from the corpus count — the
     // query-count scaling axis (r10 verdict item 1). At verify SF the
     // schedule resolves to nQueries=3 / bits=AnnBits, i.e. the batch query
@@ -1853,7 +1876,11 @@ object Similarity {
     // SQL oracles it exactly (r11 verdict item 6); LlmDataSpec pins the
     // coincidence at both oracle SFs with a 2x corpus margin so a testdata
     // regeneration fails a test, not the hash gate.
-    VerifiedQuery("q_ann_batch", lshDetTopKBatchQuery, Some(lshDetTopKSql)),
+    VerifiedQuery("q_ann_batch", lshDetTopKBatchQuery, Some(lshDetTopKSql),
+      contract = Some(OracleContract("embeddings", BatchGadgetMaxN,
+        "batch schedule nQueries = max(3, n/1000) grows past the gadget's " +
+          "3 queries at n = 4000 (and bits widen above 4096); the batch " +
+          "tracks the corpus BY DESIGN (COVERAGE.md rows-only table)"))),
     VerifiedQuery("q_minhash_dedup", minhashDedupQuery, None),
     VerifiedQuery("q_minhash_det_dedup", minhashDetDedupQuery, Some(minhashDetDedupSql)),
     VerifiedQuery("q_minhash_det_transitive", minhashDetTransitiveQuery, Some(minhashDetTransitiveSql)),

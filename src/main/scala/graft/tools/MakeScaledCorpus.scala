@@ -6,7 +6,8 @@ import graft.Tables
 
 /** Materialize an N× ("sf1") copy of a testdata directory for the
   * FULL-REGISTRY scale probe (r6 verdict item 4) — the same synthesis
-  * rules [[ScaleProbe]] proved for the iterative tier, applied to every
+  * rules the r5 ScaleProbe (retired r15; git history + SCALE.md carry
+  * its conclusions) proved for the iterative tier, applied to every
   * table and written to disk so `Bench` can run the whole registry
   * against it via `SPARK_GRAFT_SF_DIR`:
   *

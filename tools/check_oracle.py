@@ -54,7 +54,26 @@ def main(sf_dir, out_dir):
             p += "/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_soft = n_fail = 0
+    # SF-validity contracts (r14 verdict item 3): oracles pinned to a fixed
+    # gadget that a count-adaptive schedule only coincides with below a
+    # corpus-size bound. Above the bound a VALUE/ROW divergence is the
+    # documented design (wider hash family / larger query batch), reported
+    # BYCONTRACT instead of FAIL; schema/column divergences still FAIL
+    # (the schedule never changes the shape). A match above the bound still
+    # counts as exact.
+    contracts = {}
+    cpath = f"{out_dir}/oracle_contracts.json"
+    if os.path.exists(cpath):
+        contracts = json.load(open(cpath))
+    def exempt(name):
+        c = contracts.get(name)
+        if not c:
+            return None
+        n = con.sql(f"SELECT count(*) FROM {c['table']}").fetchone()[0]
+        if n > c["max_rows"]:
+            return f"{c['table']} rows {n} > {c['max_rows']}: {c['reason']}"
+        return None
+    n_pass = n_soft = n_fail = n_contract = 0
     for name, sql in sorted(oracle.items()):
         try:
             got = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
@@ -101,8 +120,14 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         if len(got_rows) != len(exp_rows):
-            print(f"FAIL {name}: row count spark={len(got_rows)} duckdb={len(exp_rows)}")
-            n_fail += 1
+            ex = exempt(name)
+            if ex:
+                print(f"BYCONTRACT {name}: row count spark={len(got_rows)} "
+                      f"duckdb={len(exp_rows)} — {ex}")
+                n_contract += 1
+            else:
+                print(f"FAIL {name}: row count spark={len(got_rows)} duckdb={len(exp_rows)}")
+                n_fail += 1
             continue
         gs = sorted(got_rows, key=key_row)
         es = sorted(exp_rows, key=key_row)
@@ -123,9 +148,15 @@ def main(sf_dir, out_dir):
             print(f"SOFT {name}: {len(gs)} rows match within 1e-9 (not exact!)")
             n_soft += 1
         else:
-            print(f"FAIL {name}: value mismatch\n  spark : {bad[0]}\n  duckdb: {bad[1]}")
-            n_fail += 1
-    print(f"\n== {n_pass} exact, {n_soft} soft, {n_fail} fail ==")
+            ex = exempt(name)
+            if ex:
+                print(f"BYCONTRACT {name}: value divergence — {ex}")
+                n_contract += 1
+            else:
+                print(f"FAIL {name}: value mismatch\n  spark : {bad[0]}\n  duckdb: {bad[1]}")
+                n_fail += 1
+    print(f"\n== {n_pass} exact, {n_soft} soft, {n_contract} by-contract, "
+          f"{n_fail} fail ==")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
