@@ -192,6 +192,54 @@ class GraphEdgeTableSpec extends graft.SparkSpec {
     rm(srcDir)
   }
 
+  test("legitimately EMPTY buckets reuse across JVMs via the publish manifest") {
+    // ADVICE r14: Spark writes NO file for an empty bucket, so the r13
+    // full-coverage reuse check conflated a small corpus (fewer occupied
+    // buckets than declared) with tampering — every fresh JVM deleteAside'd
+    // the live table and rebuilt, downgrading "build at most once across
+    // JVMs" to once-per-JVM and opening reader-visible table-not-found
+    // windows. The publish-time `_graft_buckets` manifest records the id
+    // set the writer actually produced; reuse validates disk against IT.
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-empty-").toFile
+    val srcFile = new java.io.File(srcDir, "data.parquet")
+    // 3 distinct keys into 8 buckets → at most 3 occupied buckets
+    spark.range(30).selectExpr("id % 3 AS k", "id AS v")
+      .write.mode("overwrite").parquet(srcFile.getAbsolutePath)
+    def ensure(): String = Materialize.ensureBucketedTable(spark,
+      "emptybucket_fixture", "k", 8, Seq("file:" + srcFile.getAbsolutePath)) {
+      spark.read.parquet(srcFile.getAbsolutePath)
+    }
+    val name = ensure()
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    val loc = new java.io.File(wh, name)
+    def parts(): Seq[String] =
+      loc.listFiles().map(_.getName).filter(_.startsWith("part-")).sorted.toSeq
+    val partsBefore = parts()
+    assert(partsBefore.nonEmpty && partsBefore.size < 8,
+      s"fixture needs empty buckets, got ${partsBefore.size} occupied of 8")
+    assert(new java.io.File(loc, "_graft_buckets").exists(),
+      "publish must manifest its bucket-id set")
+    // fresh-JVM simulation: catalog + session keys forgotten, files survive
+    spark.sql(s"DROP TABLE $name")
+    Materialize.resetForTests()
+    val name2 = ensure()
+    assert(name2 == name, "same dataset+spec must resolve to the same identity")
+    // a rebuild writes part files under a NEW writer UUID — identical
+    // listing proves the reuse path ran
+    assert(parts() == partsBefore,
+      s"empty-bucket table must be REUSED, not rebuilt — " +
+        s"before=$partsBefore after=${parts()}")
+    assert(spark.table(name2).count() == 30)
+    spark.sql(s"DROP TABLE $name2")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+      f.delete()
+    }
+    rm(loc)
+    rm(srcDir)
+  }
+
   test("two CONCURRENT writer JVMs over one warehouse publish exactly one build") {
     // r13 verdict item 1: the cross-JVM "build at most once" contract was
     // guarded only by an in-process lock — two JVMs that both missed

@@ -275,6 +275,52 @@ class SketchGraphEntitySpec extends SparkSpec {
     assert(capped == 3)
   }
 
+  test("pageRankConverged amortized check: identical answer, measurably fewer jobs") {
+    // r14 verdict item 4: the per-iteration convergence test cost one
+    // driver round-trip (one Spark job) per iteration — 100 extra jobs on
+    // a 100-iteration corpus. checkEvery = 2 batches every pending
+    // round's max-delta into ONE unioned keyed aggregate and picks the
+    // FIRST qualifying iteration, so the output contract (ranks AND
+    // iters_run) is byte-identical at any cadence; only the job count
+    // drops. Both properties asserted here: cadences 1 (the old
+    // behavior, kept reachable through the parameter) and 2 agree
+    // exactly, and cadence 2 runs strictly fewer jobs.
+    import spark.implicits._
+    val edgeList = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (4L, 1L), (5L, 1L))
+    val sym = edgeList.flatMap(e => Seq(e, e.swap)).distinct.toDF("src", "dst")
+    def run(cadence: Int, eps: Long, cap: Int): (Map[Long, Long], Int, Int) = {
+      val tag = s"prc-jobs-$cadence-$eps-$cap"
+      spark.sparkContext.setJobGroup(tag, tag)
+      val (ranks, iters) =
+        try Graph.pageRankConverged(sym, eps = eps, maxIters = cap,
+          checkEvery = cadence)
+        finally spark.sparkContext.clearJobGroup()
+      val got = ranks.as[(Long, Long)].collect().toMap
+      ranks.unpersist()
+      // the status store is listener-fed (async) — poll briefly until the
+      // group's job count stabilizes
+      def jobs() = spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length
+      var (prev, stable) = (jobs(), 0)
+      while (stable < 3) {
+        Thread.sleep(100)
+        val cur = jobs()
+        if (cur == prev) stable += 1 else { prev = cur; stable = 0 }
+      }
+      (got, iters, prev)
+    }
+    // convergence fires mid-run: answers and iteration counts must agree
+    val (g1, it1, _) = run(1, eps = 5000L, cap = 30)
+    val (g2, it2, _) = run(2, eps = 5000L, cap = 30)
+    assert(it1 == it2, s"cadence changed iters_run: $it1 vs $it2")
+    assert(g1 === g2, "cadence changed the converged ranks")
+    // no convergence (eps unreachable): pure job-count comparison over a
+    // fixed 8 iterations — cadence 2 must save the skipped check jobs
+    val (c1, _, j1) = run(1, eps = 0L, cap = 8)
+    val (c2, _, j2) = run(2, eps = 0L, cap = 8)
+    assert(c1 === c2)
+    assert(j2 < j1, s"amortized cadence should run fewer jobs: $j2 !< $j1")
+  }
+
   test("pageRank favors the hub over leaf nodes") {
     import spark.implicits._
     // star: every leaf points at the hub, hub points at one leaf
