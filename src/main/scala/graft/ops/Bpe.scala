@@ -100,6 +100,9 @@ object Bpe {
       // vocabulary must stay a literal byte, never SQL syntax.
       words = words.withColumn("w",
         replace($"w", lit(s"|$lhs||$rhs|"), lit(s"|$lhs$rhs|")))
+      // single state reference per round ⇒ linear analyzed-plan growth,
+      // bounded by fixed K (IterativePlanGrowthSpec pins it)
+      graft.plans.PlanGrowth.record("bpeLearn", step, words)
     }
     (merges.result(), words)
   }

@@ -73,8 +73,14 @@ class IterativePlanGrowthSpec extends SparkSpec {
       Graph.pageRank(sym, iters = 6, completeGraph = true).count()
       Graph.labelPropagationSym(
         sym.select(col("src"), col("dst")), iters = 4).count()
+      // the BPE merge loop is the sixth loop-carried DataFrame state in
+      // the repo (one withColumn(replace) per round over the cached
+      // vocabulary) — same single-reference class, gated the same way
+      Bpe.train(Seq(("abcdefgh",
+        "|" + "abcdefgh".map(c => s"|$c|").mkString + "|", 2L))
+        .toDF("word", "w", "cnt"), k = 4).count()
     }
-    for (op <- Seq("pageRankFixedK", "labelPropagationSym")) {
+    for (op <- Seq("pageRankFixedK", "labelPropagationSym", "bpeLearn")) {
       val s = sizes(rec, op)
       assert(s.size >= 4, s"$op: expected >=4 rounds, got ${s.size}")
       val diffs = s.sliding(2).map(p => p(1) - p(0)).toSeq
