@@ -297,6 +297,10 @@ object Graph {
       storage: Option[org.apache.spark.storage.StorageLevel] =
         Some(org.apache.spark.storage.StorageLevel.DISK_ONLY),
       checkEvery: Int = 2): (DataFrame, Int) = {
+    // ADVICE r15: 0 would throw ArithmeticException at `it % checkEvery`
+    // and a negative value silently disables every mid-loop probe (all
+    // runs overshoot to maxIters before the tail runCheck) — reject both
+    require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
     val spark = edges.sparkSession
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val repart = edges.join(deg, "src").repartition(col("src"))

@@ -107,9 +107,33 @@ private[graft] object Materialize {
   private val ready = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val lock = new Object
 
-  /** Grace window for orphaned `.build`/`.trash` dir GC: a dir younger
-    * than this may belong to a LIVE concurrent writer and is left alone. */
+  /** Grace window for orphaned `.build`/`.trash` dir GC: a dir whose
+    * newest-anywhere mtime is younger than this may belong to a LIVE
+    * concurrent writer and is left alone. */
   private val OrphanGraceMs = 60L * 60 * 1000
+
+  /** Hard age cap past which an orphan is collected even with
+    * `_temporary` still present (ADVICE r15): `_temporary` outlives a
+    * writer killed mid-write, so it cannot grant immunity — only a
+    * longer reprieve sized for a writer legitimately holding files open
+    * past [[OrphanGraceMs]] without an mtime tick. */
+  private val OrphanHardCapMs = 8L * 60 * 60 * 1000
+
+  /** Newest modification time anywhere under `p` (the dir itself, every
+    * file and subdir) — the GC's liveness signal: an in-flight Spark
+    * write keeps creating task files so this stays current, while a
+    * crashed writer's subtree goes uniformly stale. Unreadable entries
+    * (racing deletes) contribute nothing. */
+  private def newestMtimeUnder(fs: FileSystem, p: Path): Long = {
+    val self = try fs.getFileStatus(p).getModificationTime
+               catch { case _: java.io.IOException => 0L }
+    val kids = try fs.listStatus(p).toSeq
+               catch { case _: java.io.IOException => Nil }
+    kids.foldLeft(self) { (acc, st) =>
+      math.max(acc, if (st.isDirectory) newestMtimeUnder(fs, st.getPath)
+                    else st.getModificationTime)
+    }
+  }
 
   private[graft] def tag(s: String): String = s.replaceAll("[^A-Za-z0-9]", "_")
 
@@ -172,13 +196,21 @@ private[graft] object Materialize {
   private def manifestIds(fs: FileSystem, dir: Path): Option[Seq[Int]] = {
     val p = new Path(dir, ManifestFile)
     if (!fs.exists(p)) None
-    else {
+    // corrupted/tampered manifest (ADVICE r15): a manifest that exists
+    // but cannot be READ (ChecksumException on an out-of-band edit —
+    // Hadoop's local FS verifies the .crc sidecar before a byte is
+    // served) or cannot be PARSED (NumberFormatException) must not
+    // throw out of ensureBucketedTable — it is exactly the degraded
+    // on-disk input the reuse check exists to absorb. Return an id no
+    // writer can ever produce (-1) so the comparison fails and the
+    // table conservatively REBUILDS.
+    else Some(scala.util.Try {
       val in = fs.open(p)
       val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
               finally in.close()
-      Some(if (s.trim.isEmpty) Seq.empty[Int]
-           else s.trim.split(",").toSeq.map(_.toInt))
-    }
+      if (s.trim.isEmpty) Seq.empty[Int]
+      else s.trim.split(",").toSeq.map(_.toInt)
+    }.getOrElse(Seq(-1)))
   }
 
   /** A published table directory another JVM may reuse: committed
@@ -206,6 +238,35 @@ private[graft] object Materialize {
       try fs.exists(p) && fs.rename(p, trash)
       catch { case _: java.io.IOException => false }
     if (moved) fs.delete(trash, true) else fs.delete(p, true)
+  }
+
+  /** Conditional-atomic destroy of the FINAL location (ADVICE r15): the
+    * reusable() re-check before destruction narrows the publish race but
+    * a concurrent JVM can still complete its atomic rename between the
+    * check and the delete. So the destroy takes the name FIRST (one
+    * namespace rename, same as [[deleteAside]]) and re-validates what it
+    * actually grabbed: if the renamed dir turns out to be a complete
+    * published table — the race fired — it is renamed straight back and
+    * reused. Returns true iff `loc` now holds a reusable table (restored,
+    * or republished by the concurrent winner while we held the aside);
+    * false means the debris is gone and the caller should build. The
+    * residual exposure is readers hitting the two-rename aside window —
+    * nanoseconds of namespace ops, not a full rebuild. */
+  private[graft] def destroyUnlessReusable(fs: FileSystem, loc: Path,
+                                           buckets: Int): Boolean = {
+    if (!fs.exists(loc)) return false
+    val trash = new Path(loc.getParent, s".${loc.getName}.trash.${nonce()}")
+    val moved =
+      try fs.rename(loc, trash)
+      catch { case _: java.io.IOException => false }
+    if (!moved) { fs.delete(loc, true); false }
+    else if (reusable(fs, trash, buckets) && fs.rename(trash, loc)) true
+    else {
+      fs.delete(trash, true)
+      // rename-back can lose only to a concurrent publish at loc — if
+      // that winner's table is complete, reuse it instead of rebuilding
+      reusable(fs, loc, buckets)
+    }
   }
 
   /** Register an existing published location under `name` with the
@@ -266,30 +327,42 @@ private[graft] object Materialize {
               ready.removeIf(_.endsWith(s":${p.getName}"))
             }
             // GC temp/trash orphans of THIS base left by a writer JVM
-            // killed mid-publish — grace-windowed, AND a build dir still
-            // holding a `_temporary` subtree is skipped regardless of age
-            // (ADVICE r14: the top-level dir's mtime is set at creation
-            // and a very long in-flight Spark write may not touch it again
-            // within the window; `_temporary` exists for exactly the
-            // lifetime of the uncommitted write, so its presence is the
-            // live-writer signal the mtime alone can't give)
+            // killed mid-publish. Liveness signal is the newest mtime
+            // ANYWHERE under the subtree, not the top dir's (set at
+            // creation; a long in-flight write may never touch it again)
+            // and not `_temporary`'s mere presence (ADVICE r15: a writer
+            // killed mid-write — the common crash window — leaves
+            // `_temporary` behind permanently, so an unconditional skip
+            // leaks one full partial build per crash forever). A live
+            // Spark write keeps minting task files, so its newest mtime
+            // stays inside the grace window; a crashed writer's subtree
+            // goes uniformly stale. Belt and braces for a pathological
+            // writer that holds one file open past the grace window
+            // without an mtime tick (HDFS sets mtime on close): dirs
+            // still holding `_temporary` get a much longer hard cap
+            // before collection instead of immunity.
+            val now = System.currentTimeMillis()
             entries.filter { st =>
               val n = st.getPath.getName
               n.startsWith(s".$prefix") &&
-                (n.contains(".build.") || n.contains(".trash.")) &&
-                st.getModificationTime < System.currentTimeMillis() - OrphanGraceMs &&
-                !(n.contains(".build.") &&
-                  fs.exists(new Path(st.getPath, "_temporary")))
+                (n.contains(".build.") || n.contains(".trash.")) && {
+                  val age = now - newestMtimeUnder(fs, st.getPath)
+                  age > OrphanGraceMs &&
+                    (age > OrphanHardCapMs ||
+                      !(n.contains(".build.") &&
+                        fs.exists(new Path(st.getPath, "_temporary"))))
+                }
             }.foreach(st => fs.delete(st.getPath, true))
-            // TOCTOU guard (ADVICE r14): between the reusable() miss that
-            // brought us here and this point, a concurrent JVM may have
-            // PUBLISHED a complete table at `loc` — re-check immediately
-            // before destroying the final location and reuse instead of
-            // trashing a live table out from under its readers (the old
-            // unconditional deleteAside made the winner's registered
-            // table vanish for the loser's whole rebuild).
-            if (!reusable(fs, loc, buckets)) {
-              if (fs.exists(loc)) deleteAside(fs, loc)
+            // TOCTOU guard (ADVICE r14/r15): between the reusable() miss
+            // that brought us here and this point, a concurrent JVM may
+            // have PUBLISHED a complete table at `loc` — re-check before
+            // destroying the final location, and make the destroy itself
+            // conditional-atomic (take the name, re-validate what was
+            // grabbed, restore if it turns out to be the winner's live
+            // table) so the residual window is two namespace renames
+            // instead of a full rebuild.
+            if (!reusable(fs, loc, buckets) &&
+                !destroyUnlessReusable(fs, loc, buckets)) {
               // build into a dot-prefixed temp sibling (invisible to
               // Spark's listings even if a rename fallback ever nests it),
               // registered transiently under a worker-unique table name

@@ -1607,19 +1607,25 @@ object Similarity {
       |FROM p""".stripMargin
 
   /** kNN classification eval — the standard embedding-quality probe (and
-    * the eval step after any quantization/projection change): every
-    * held-out query vector (`vec_id % queryMod == 0`) is classified by
-    * majority label vote of its k exact-cosine nearest neighbors among
+    * the eval step after any quantization/projection change): a FIXED
+    * panel of held-out query vectors (`vec_id < nQueries`) is classified
+    * by majority label vote of its k exact-cosine nearest neighbors among
     * the remaining corpus (deterministic ties: rank by (cos desc,
     * vec_id), vote by (count desc, label)); emits per-true-label query
     * counts, correct counts and a qid checksum — a single mis-ranked
     * neighbor flips a vote and hash-fails.
     *
-    * Scale shape: same as [[bruteForceTopK]] — broadcast O(queries) ×
+    * Scale shape: same as [[bruteForceTopK]] — broadcast O(nQueries) ×
     * one linear corpus scan with the codegen'd native dot; per-query
-    * state is the k-row window. For corpus-sized query sets, swap the
-    * exact scan for [[lshDetTopK]]/[[ivfTopK]] candidates — the vote and
-    * eval stages are unchanged. */
+    * state is the k-row window. The query panel is a CONSTANT-size
+    * prefix by design (the [[contrastiveMine]] pattern): the earlier
+    * `vec_id % 100 == 0` selection grew the broadcast side linearly
+    * with the corpus, making the eval n²/100 (1.5 s at sf1 → 75 s at
+    * sf10, r15 scale audit) — an eval panel measures embedding quality
+    * equally well at any corpus size, so it must not scale with it.
+    * For corpus-sized query sets, swap the exact scan for
+    * [[lshDetTopK]]/[[ivfTopK]] candidates — the vote and eval stages
+    * are unchanged. */
   /** Contrastive training-pair MINING — the dataset-construction step of
     * embedding-model training (SimCSE/E5-style): for each anchor, the
     * mined POSITIVE is its highest-cosine same-label neighbor and the
@@ -1685,16 +1691,16 @@ object Similarity {
       |FROM r WHERE rn = 1 GROUP BY qid""".stripMargin
 
   def knnEval(spark: SparkSession, dir: String,
-              queryMod: Int = 100, k: Int = 5): DataFrame = {
+              nQueries: Int = 64, k: Int = 5): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
-    val q = e.filter(col("vec_id") % queryMod === 0)
+    val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("label").as("true_label"),
         col("emb").as("qemb"))
     val wRank = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
     val wVote = Window.partitionBy($"qid").orderBy($"votes".desc, $"label")
-    e.filter(col("vec_id") % queryMod =!= 0)
+    e.filter(col("vec_id") >= nQueries)
       .crossJoin(broadcast(q))
       .select($"qid", $"true_label", $"vec_id", $"label",
         (V.dotNative($"emb", $"qemb") /
@@ -1716,12 +1722,12 @@ object Similarity {
       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
       |), q AS (
       |  SELECT vec_id AS qid, label AS true_label, emb AS qemb
-      |  FROM e WHERE vec_id % 100 = 0
+      |  FROM e WHERE vec_id < 64
       |), s AS (
       |  SELECT qid, true_label, e.vec_id, e.label,
       |    list_dot_product(emb, qemb)
       |      / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qemb, qemb))) AS cos
-      |  FROM e, q WHERE e.vec_id % 100 != 0
+      |  FROM e, q WHERE e.vec_id >= 64
       |), nn AS (
       |  SELECT * FROM (
       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk

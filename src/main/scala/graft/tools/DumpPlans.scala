@@ -59,7 +59,7 @@ object DumpPlans {
     "q_session_window" -> "built-in session_window: one shuffle on user_id, engine-side merge",
     "q_gini_diversity" -> "token Gini: explode + two keyed hash aggs, rational math only",
     "q_label_centroids" -> "quantized centroids: per-row scalar + posexplode + one (label,dim) agg",
-    "q_knn_eval" -> "kNN eval: broadcast queries x linear scan with native dot, k-row windows",
+    "q_knn_eval" -> "kNN eval: fixed 64-query broadcast panel x linear scan with native dot, k-row windows",
     "q_nested_struct" -> "nested structs: schema'd from_json, struct array agg, HOFs — one shuffle",
     "q_countmin" -> "count-min: one digest/row, explode to d cells, sketch-sized agg, sketch broadcast to probes",
     "q_bloom" -> "bloom: member bits distinct (≤m rows) broadcast into the probe-bit join",

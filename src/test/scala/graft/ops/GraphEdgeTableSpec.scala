@@ -240,6 +240,160 @@ class GraphEdgeTableSpec extends graft.SparkSpec {
     rm(srcDir)
   }
 
+  test("corrupted _graft_buckets manifest triggers a conservative REBUILD, not a crash") {
+    // ADVICE r15: `_.toInt` over a tampered manifest threw
+    // NumberFormatException out of ensureBucketedTable, failing the query
+    // on exactly the degraded on-disk input the reuse check exists to
+    // absorb. Contract now: unparseable manifest == not reusable == rebuild.
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-corrupt-").toFile
+    val srcFile = new java.io.File(srcDir, "data.parquet")
+    spark.range(40).selectExpr("id % 5 AS k", "id AS v")
+      .write.mode("overwrite").parquet(srcFile.getAbsolutePath)
+    def ensure(): String = Materialize.ensureBucketedTable(spark,
+      "corruptmanifest_fixture", "k", 8, Seq("file:" + srcFile.getAbsolutePath)) {
+      spark.read.parquet(srcFile.getAbsolutePath)
+    }
+    val name = ensure()
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    val loc = new java.io.File(wh, name)
+    def corrupt(dropCrc: Boolean): Unit = {
+      java.nio.file.Files.writeString(
+        new java.io.File(loc, "_graft_buckets").toPath, "3,banana,7")
+      // with the .crc sidecar gone the garbage READS fine and fails the
+      // PARSE; left stale, Hadoop's checksummed local FS refuses the read
+      // itself — both are the same degraded input and must both rebuild
+      if (dropCrc) new java.io.File(loc, "._graft_buckets.crc").delete()
+    }
+    def cycle(n: String): String = {
+      spark.sql(s"DROP TABLE $n")
+      Materialize.resetForTests()
+      val n2 = ensure() // must not throw
+      assert(n2 == name)
+      assert(spark.table(n2).count() == 40,
+        "rebuild after manifest corruption must still serve the full table")
+      val rewritten = java.nio.file.Files.readString(
+        new java.io.File(loc, "_graft_buckets").toPath)
+      assert(rewritten.split(",").forall(s => scala.util.Try(s.toInt).isSuccess),
+        s"rebuild must republish a parseable manifest, got [$rewritten]")
+      n2
+    }
+    corrupt(dropCrc = true) // unparseable-content path
+    val afterParse = cycle(name)
+    corrupt(dropCrc = false) // unreadable-file (ChecksumException) path
+    val name2 = cycle(afterParse)
+    spark.sql(s"DROP TABLE $name2")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+      f.delete()
+    }
+    rm(loc)
+    rm(srcDir)
+  }
+
+  test("orphan GC: subtree-mtime liveness with a hard cap for crashed _temporary dirs") {
+    // ADVICE r15: the r14 guard skipped ANY build dir holding `_temporary`
+    // regardless of age, so a writer killed mid-write (which leaves
+    // `_temporary` behind permanently) leaked a full partial build per
+    // crash, forever. Contract now: liveness is the newest mtime anywhere
+    // under the subtree; `_temporary` grants a longer reprieve (8h hard
+    // cap), never immunity.
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-gc-").toFile
+    val srcFile = new java.io.File(srcDir, "data.parquet")
+    spark.range(20).selectExpr("id % 2 AS k", "id AS v")
+      .write.mode("overwrite").parquet(srcFile.getAbsolutePath)
+    def ensure(): String = Materialize.ensureBucketedTable(spark,
+      "orphangc_fixture", "k", 4, Seq("file:" + srcFile.getAbsolutePath)) {
+      spark.read.parquet(srcFile.getAbsolutePath)
+    }
+    val name = ensure()
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+      f.delete()
+    }
+    // plant fake orphaned build dirs of THIS base, with a part file and a
+    // `_temporary` subtree, every mtime pinned to the scenario's age
+    def plant(suffix: String, ageMs: Long, withTemporary: Boolean): java.io.File = {
+      val d = new java.io.File(wh, s".$name.build.$suffix")
+      val tmp = new java.io.File(d, "_temporary")
+      val task = new java.io.File(tmp, "attempt_0")
+      if (withTemporary) { task.getParentFile.mkdirs()
+        java.nio.file.Files.writeString(task.toPath, "x") }
+      else d.mkdirs()
+      java.nio.file.Files.writeString(new java.io.File(d, "part-0").toPath, "x")
+      val t = System.currentTimeMillis() - ageMs
+      def touch(f: java.io.File): Unit = {
+        if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(touch) }
+        assert(f.setLastModified(t), s"cannot set mtime on $f")
+      }
+      touch(d)
+      d
+    }
+    val hour = 60L * 60 * 1000
+    val fresh     = plant("fresh", 0, withTemporary = true)       // live writer
+    val reprieved = plant("repr", 2 * hour, withTemporary = true) // stale, under cap
+    val dead      = plant("dead", 9 * hour, withTemporary = true) // past hard cap
+    val staleNoT  = plant("plain", 2 * hour, withTemporary = false) // past grace
+    // force the build path (GC runs there): delete the published table
+    spark.sql(s"DROP TABLE $name")
+    rm(new java.io.File(wh, name))
+    Materialize.resetForTests()
+    val name2 = ensure()
+    assert(name2 == name)
+    assert(fresh.exists(), "fresh in-flight build dir must survive GC")
+    assert(reprieved.exists(),
+      "stale `_temporary` dir inside the hard cap must get the reprieve")
+    assert(!dead.exists(),
+      "crashed-writer `_temporary` dir past the hard cap must be collected")
+    assert(!staleNoT.exists(),
+      "stale dir without `_temporary` must be collected at the grace window")
+    spark.sql(s"DROP TABLE $name2")
+    Seq(fresh, reprieved, new java.io.File(wh, name)).foreach(rm)
+    rm(srcDir)
+  }
+
+  test("destroyUnlessReusable restores a complete table it grabbed, removes debris") {
+    // ADVICE r15 TOCTOU narrowing: the destroy takes the name first and
+    // re-validates what it actually grabbed — a concurrent winner's
+    // complete publish is renamed back and reused, not trashed.
+    val conf = spark.sessionState.newHadoopConf()
+    val whPath = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = whPath.getFileSystem(conf)
+    val work = java.nio.file.Files.createTempDirectory("graft-destroy-").toFile
+    // a COMPLETE published 2-bucket table shape: _SUCCESS + both part
+    // files + a matching manifest (reusable() validates exactly this)
+    val full = new java.io.File(work, "full_table")
+    full.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(full, "_SUCCESS").toPath, "")
+    java.nio.file.Files.writeString(
+      new java.io.File(full, "part-00000-x_00000.c000.snappy.parquet").toPath, "a")
+    java.nio.file.Files.writeString(
+      new java.io.File(full, "part-00001-x_00001.c000.snappy.parquet").toPath, "b")
+    java.nio.file.Files.writeString(
+      new java.io.File(full, "_graft_buckets").toPath, "0,1")
+    val fullPath = new org.apache.hadoop.fs.Path(full.getAbsolutePath)
+    assert(Materialize.destroyUnlessReusable(fs, fullPath, 2),
+      "a complete table must be re-validated and restored, not destroyed")
+    assert(full.exists() && new java.io.File(full, "_SUCCESS").exists(),
+      "restored table must be back at its original location, intact")
+    // debris (no _SUCCESS) is destroyed and the caller told to build
+    val debris = new java.io.File(work, "debris_table")
+    debris.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(debris, "part-00000-y_00000.c000.snappy.parquet").toPath, "a")
+    assert(!Materialize.destroyUnlessReusable(
+      fs, new org.apache.hadoop.fs.Path(debris.getAbsolutePath), 2))
+    assert(!debris.exists(), "debris must be gone after the destroy")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+      f.delete()
+    }
+    rm(work)
+  }
+
   test("two CONCURRENT writer JVMs over one warehouse publish exactly one build") {
     // r13 verdict item 1: the cross-JVM "build at most once" contract was
     // guarded only by an in-process lock — two JVMs that both missed

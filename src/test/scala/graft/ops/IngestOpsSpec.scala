@@ -438,8 +438,8 @@ class IngestOpsSpec extends SparkSpec {
 
   test("knnEval: perfect accuracy on tightly clustered planted embeddings") {
     val dir = tmpDir()
-    // three tight clusters around orthogonal axes; queries are the
-    // vec_id % 100 == 0 members and must vote with their own cluster
+    // three tight clusters around orthogonal axes; queries are the fixed
+    // vec_id < 64 panel and must vote with their own cluster
     val rows = (0 until 300).map { i =>
       val label = i % 3
       val base = Array.fill(8)(0.001f * ((i * 7) % 10))
@@ -451,7 +451,7 @@ class IngestOpsSpec extends SparkSpec {
     val out = Similarity.knnEval(spark, dir)
       .select($"true_label", $"n_queries", $"n_correct")
       .as[(Int, Long, Long)].collect()
-    assert(out.map(_._2).sum == 3) // vec_ids 0, 100, 200
+    assert(out.map(_._2).sum == 64) // the fixed vec_id < 64 query panel
     out.foreach { case (label, n, correct) => assert(correct == n, s"label $label") }
   }
 

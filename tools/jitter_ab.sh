@@ -15,7 +15,7 @@
 set -euo pipefail
 ROUNDS=${1:-4}
 ITERS=${2:-3}
-QUERIES=q_lm_score,q_countmin,q_minhash_dedup,q_hll_det
+QUERIES=${AB_QUERIES:-q_lm_score,q_countmin,q_minhash_dedup,q_hll_det}
 SF=/root/testdata/sf0.1
 WT=${AB_WT:-/root/repo/.wt-r12}
 WT_COMMIT=${AB_WT_COMMIT:-7daf364}
