@@ -63,6 +63,42 @@ object StreamSessionize {
       }
     }
 
+  /** Drain a ROW-stream query (output ∝ input, not an aggregate) into
+    * per-batch parquet dirs and read the rows back. The memory sink the
+    * row-proportional queries previously used appends every output row
+    * into driver heap — the r16 scale audit measured q_stream_enrich (the
+    * largest such output, the full enriched event stream) at solo 4.2 s
+    * (sf1) → 60–100 s (sf10), 14×+ for 10× data with GC-shaped variance;
+    * at 100× that sink is a driver OOM. Executor-side parquet writes are
+    * linear in rows and leave the driver holding nothing (measured
+    * post-fix: 2.2 s → 14.3 s, 6.4×). Memory sinks remain correct — and
+    * in use — for the AGGREGATE-output stream queries (windowed, hopping,
+    * dedup-summary), whose sink size is bounded by the group space.
+    *
+    * The sink dir is cleared at entry: this is per-run transport, so a
+    * fresh dir makes stale batches from a prior run structurally
+    * impossible. (A numInputRows>0 high-water-mark, as
+    * [[availableNowForeachBatchSink]] uses for its surviving sink, would
+    * be WRONG here: stateful queries emit timeout/eviction rows in the
+    * final NO-data micro-batch, which such a filter would delete.
+    * fbsink's sink deliberately survives across runs because cross-run
+    * idempotent redelivery is the thing it demonstrates.) */
+  private def drainToParquet(spark: SparkSession, kind: String,
+                             fixtureRoot: String, dir: String, ckpt: String)(
+      stream: DataFrame): DataFrame = {
+    val outDir = new java.io.File(s"$fixtureRoot/${kind}_sink_${tag(dir)}")
+    rm(outDir)
+    startDrained(spark)(stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start())
+    spark.read.parquet(outDir.getAbsolutePath).drop("batch_id")
+  }
+
   /** Scratch root for the AvailableNow fixtures (input files + stream
     * checkpoints): under the JVM temp dir with a per-PROCESS unique
     * suffix, so two sessions (e.g. a Verify and a Bench running
@@ -218,7 +254,7 @@ object StreamSessionize {
                              fixtureRoot: String = defaultFixtureRoot,
                              gapSeconds: Long = 1800): DataFrame = {
     import spark.implicits._
-    val (ckpt, sinkName) = freshRun("stream_sess", fixtureRoot, dir)
+    val (ckpt, _) = freshRun("stream_sess", fixtureRoot, dir)
 
     val ev = graft.Tables.events(spark, dir)
       .select($"event_id", $"user_id", date_trunc("second", $"ts").as("ts"),
@@ -233,19 +269,15 @@ object StreamSessionize {
 
     val stream = spark.readStream.schema(ev.schema).parquet(inDir)
       .as[Event]
-    startDrained(spark)(sessionize(stream, gapSeconds, watermarkDelay = "0 seconds")
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start())
+    val sessions = drainToParquet(spark, "stream_sess", fixtureRoot, dir, ckpt)(
+      sessionize(stream, gapSeconds, watermarkDelay = "0 seconds").toDF())
 
     // shape to the batch sessionize schema; session_seq re-derived from the
     // per-user session start order (sessions of one user are disjoint and
     // strictly ordered in time, so this is the batch running-sum index)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"user_id").orderBy($"start_s")
-    spark.table(sinkName)
+    sessions
       .filter($"user_id" >= 0)
       .select($"user_id",
         unix_timestamp($"start").as("start_s"),
@@ -412,7 +444,7 @@ object StreamSessionize {
                              fixtureRoot: String = defaultFixtureRoot,
                              horizonSeconds: Long = 600): DataFrame = {
     import spark.implicits._
-    val (ckpt, sinkName) = freshRun("stream_join", fixtureRoot, dir)
+    val (ckpt, _) = freshRun("stream_join", fixtureRoot, dir)
 
     val ev = graft.Tables.events(spark, dir)
       .select($"event_id", $"user_id", date_trunc("second", $"ts").as("ts"),
@@ -430,17 +462,11 @@ object StreamSessionize {
       .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
         $"ts".as("purchase_ts"), $"value")
       .withWatermark("purchase_ts", "0 seconds")
-    startDrained(spark)(clicks.join(purchases,
+    drainToParquet(spark, "stream_join", fixtureRoot, dir, ckpt)(
+      clicks.join(purchases,
         $"c_user" === $"p_user" &&
           $"purchase_ts" >= $"click_ts" &&
-          $"purchase_ts" <= $"click_ts" + expr(s"INTERVAL $horizonSeconds SECONDS"))
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start())
-
-    spark.table(sinkName)
+          $"purchase_ts" <= $"click_ts" + expr(s"INTERVAL $horizonSeconds SECONDS")))
       .select($"click_id", $"purchase_id", $"c_user".as("user_id"),
         (unix_timestamp($"purchase_ts") - unix_timestamp($"click_ts")).as("delay_s"),
         round($"value" * 100).cast("long").as("value_c"))
@@ -467,7 +493,7 @@ object StreamSessionize {
                                   fixtureRoot: String = defaultFixtureRoot,
                                   horizonSeconds: Long = 600): DataFrame = {
     import spark.implicits._
-    val (ckpt, sinkName) = freshRun("stream_join_outer", fixtureRoot, dir)
+    val (ckpt, _) = freshRun("stream_join_outer", fixtureRoot, dir)
 
     val ev = graft.Tables.events(spark, dir)
       .select($"event_id", $"user_id", date_trunc("second", $"ts").as("ts"),
@@ -491,18 +517,12 @@ object StreamSessionize {
       .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
         $"ts".as("purchase_ts"), $"value")
       .withWatermark("purchase_ts", "0 seconds")
-    startDrained(spark)(clicks.join(purchases,
+    drainToParquet(spark, "stream_join_outer", fixtureRoot, dir, ckpt)(
+      clicks.join(purchases,
         $"c_user" === $"p_user" &&
           $"purchase_ts" >= $"click_ts" &&
           $"purchase_ts" <= $"click_ts" + expr(s"INTERVAL $horizonSeconds SECONDS"),
-        "leftOuter")
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start())
-
-    spark.table(sinkName)
+        "leftOuter"))
       .filter($"click_id" >= 0)
       .select($"click_id", $"purchase_id", $"c_user".as("user_id"),
         (unix_timestamp($"purchase_ts") - unix_timestamp($"click_ts")).as("delay_s"),
@@ -518,11 +538,14 @@ object StreamSessionize {
     * join inside every micro-batch, the stream side never shuffles, and
     * dimension updates between batches are picked up automatically
     * (Spark re-plans the static side each trigger).
-    */
+    *
+    * Sink: [[drainToParquet]] — this is the stream query with the LARGEST
+    * row-proportional output (the full enriched event stream), the one the
+    * r16 scale audit caught first. */
   def availableNowStaticEnrich(spark: SparkSession, dir: String,
                                fixtureRoot: String = defaultFixtureRoot): DataFrame = {
     import spark.implicits._
-    val (ckpt, sinkName) = freshRun("stream_enrich", fixtureRoot, dir)
+    val (ckpt, _) = freshRun("stream_enrich", fixtureRoot, dir)
 
     val ev = graft.Tables.events(spark, dir)
       .select($"event_id", $"user_id", $"event_type", $"value")
@@ -533,17 +556,12 @@ object StreamSessionize {
     val src = spark.readStream.schema(ev.schema).parquet(inDir)
     val dim = broadcast(graft.Tables.customer(spark, dir)
       .select($"c_custkey", $"c_mktsegment", $"c_nationkey"))
-    startDrained(spark)(src.join(dim, src("user_id") === dim("c_custkey"), "left")
-      .select($"event_id", $"user_id",
-        coalesce($"c_mktsegment", lit("UNKNOWN")).as("segment"),
-        coalesce($"c_nationkey", lit(-1L)).as("nation_key"),
-        round($"value" * 100).cast("long").as("value_c"))
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start())
-    spark.table(sinkName)
+    drainToParquet(spark, "stream_enrich", fixtureRoot, dir, ckpt)(
+      src.join(dim, src("user_id") === dim("c_custkey"), "left")
+        .select($"event_id", $"user_id",
+          coalesce($"c_mktsegment", lit("UNKNOWN")).as("segment"),
+          coalesce($"c_nationkey", lit(-1L)).as("nation_key"),
+          round($"value" * 100).cast("long").as("value_c")))
   }
 
   /** foreachBatch idempotent sink — exactly-once parquet output on top of

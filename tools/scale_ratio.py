@@ -20,11 +20,15 @@ growth). Rows whose SCALED time is under `--floor` seconds are skipped:
 sub-noise scans carry single-iteration IO spikes at ITERS=2 (r15: 6-7x
 swings on q_unpivot/q_text_stats between epochs) and cannot prove shape.
 
-Annotations file: {"query": "explanation", ...}. A flagged query with an
-annotation prints EXPLAINED and does not fail the gate — the annotation
-is the audit trail ("solo ProfileQuery run shows 2.1 s steady:
-interference" or "shuffle-bound 13.4x: linear in bytes shuffled, see
-SCALE.md"). A flagged query WITHOUT an annotation fails the gate (exit 1).
+Annotations file: {"query": "explanation", ...} or, per the sf10 epoch
+spike protocol (r15 verdict item 3), {"query": {"solo_min_s": 2.1,
+"note": "interference — solo ProfileQuery steady"}}: any epoch row that
+trips the gate gets ONE solo ProfileQuery re-run and the sidecar records
+both numbers, so the pinned artifact never contradicts its own solo
+measurement. A flagged query with an annotation prints EXPLAINED and
+does not fail the gate; a flagged query WITHOUT one fails the gate
+(exit 1). Keep the sidecar next to the epoch it annotates
+(tools/bench_baselines/bench_rN_sf10.annotations.json).
 """
 import argparse, json, re, sys
 
@@ -71,7 +75,12 @@ def main():
         if ratio <= a.threshold:
             verdict = "ok"
         elif q in notes:
-            verdict = f"EXPLAINED: {notes[q]}"
+            note = notes[q]
+            if isinstance(note, dict):
+                solo = note.get("solo_min_s")
+                note = (f"solo {solo:g}s — " if solo is not None else "") \
+                    + note.get("note", "")
+            verdict = f"EXPLAINED: {note}"
             n_expl += 1
         else:
             verdict = "FLAG"
