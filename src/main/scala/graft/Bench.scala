@@ -167,7 +167,20 @@ object Bench {
     // host-contention noise (the dominant variance source — see ROUND2.md),
     // and one-time fixture creation (bucketed tables) lands in iteration 1
     // where the median discards it.
+    // Optional subset (r17, for the sf100 epoch): comma-separated EXACT
+    // query names. An epoch artifact produced under a subset is still a
+    // valid input to tools/scale_ratio.py (it joins on query name), but
+    // its total is NOT comparable to a full-registry run — the summary
+    // carries n_queries so a reader can tell. Unknown names fail fast:
+    // a typo that silently shrank the subset would fake a green gate.
+    val subset = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    subset.foreach { s =>
+      val unknown = s -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_QUERIES names not in registry: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => subset.forall(_.contains(n)) }
     val perQuery = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
     // name -> error message from the LAST failing iteration. A failing query

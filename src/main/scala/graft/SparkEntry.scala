@@ -38,4 +38,12 @@ object SparkEntry {
     * Dumped by [[Verify]] as `oracle_contracts.json`. */
   def oracleContracts: Map[String, OracleContract] =
     VerifiedQuery.toContractMap(registry)
+
+  /** Machine-readable contracts for the rows-only queries (r16 verdict
+    * item 4) — dumped by [[Verify]] as `rows_only_contracts.json` so
+    * tools/check_oracle.py can self-report "N exact, 12 by-contract"
+    * with zero prose lookups. RowsOnlyContractSpec pins that this map
+    * covers EXACTLY the no-oracle registrations. */
+  def rowsOnlyContracts: Map[String, RowsOnlyContract] =
+    VerifiedQuery.toRowsOnlyMap(registry)
 }

@@ -22,6 +22,7 @@ final case class VerifiedQuery(
     build: (SparkSession, String) => DataFrame,
     oracle: Option[String],
     contract: Option[OracleContract] = None,
+    rowsOnly: Option[RowsOnlyContract] = None,
 )
 
 /** SF-validity annotation for an oracle that is exact only while a
@@ -37,6 +38,34 @@ final case class VerifiedQuery(
   * (`oracle_contracts.json`) and tools/check_oracle.py self-reports. */
 final case class OracleContract(table: String, maxRows: Long, reason: String)
 
+/** Machine-readable contract for a query registered WITHOUT a DuckDB
+  * oracle (r16 verdict item 4). The 12 rows-only queries were previously
+  * documented in COVERAGE.md prose only — an epoch checker could not
+  * self-report them, so a silent regression in one's output shape would
+  * surface in scalatest but never in the oracle artifact. Each contract
+  * states, checkable by tools/check_oracle.py against the dumped parquet:
+  *
+  *  - `reason`: why no SQL oracle can exist (learned floats, engine
+  *    seeds, layout-dependent sampling, sketch internals);
+  *  - `columns`: the exact output column set (shape regression gate);
+  *  - `minRows` and the optional DuckDB scalar queries `exactRowsSql` /
+  *    `maxRowsSql`: the row-count invariant, expressed against the same
+  *    corpus tables the oracles use so it holds at every SF;
+  *  - `twin`: the hash-green deterministic twin in the same registry
+  *    carrying the semantics (the checker requires the twin to be
+  *    oracle-exact in the SAME run);
+  *  - `test`: the scalatest suite pinning the property an oracle can't.
+  */
+final case class RowsOnlyContract(
+    reason: String,
+    columns: Seq[String],
+    test: String,
+    twin: Option[String] = None,
+    minRows: Long = 1L,
+    exactRowsSql: Option[String] = None,
+    maxRowsSql: Option[String] = None,
+)
+
 object VerifiedQuery {
   /** Registry helper: turn a module's query list into the SparkEntry maps. */
   def toQueryMap(qs: Seq[VerifiedQuery]): Map[String, (SparkSession, String) => DataFrame] =
@@ -45,4 +74,6 @@ object VerifiedQuery {
     qs.flatMap(q => q.oracle.map(q.name -> _)).toMap
   def toContractMap(qs: Seq[VerifiedQuery]): Map[String, OracleContract] =
     qs.flatMap(q => q.contract.map(q.name -> _)).toMap
+  def toRowsOnlyMap(qs: Seq[VerifiedQuery]): Map[String, RowsOnlyContract] =
+    qs.flatMap(q => q.rowsOnly.map(q.name -> _)).toMap
 }

@@ -75,6 +75,25 @@ object Verify {
           s"${q("max_rows")}: ${c.maxRows}, ${q("reason")}: ${q(c.reason)}}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_contracts.json"), cjson)
+    // Rows-only contracts (r16 verdict item 4): the machine-checkable
+    // invariants for queries registered WITHOUT an oracle, so
+    // tools/check_oracle.py can audit their dumped parquet (column set,
+    // row-count invariant, twin-must-be-exact) instead of leaving them
+    // invisible to the artifact. Same separate-sidecar rationale as the
+    // oracle contracts above.
+    def jopt(o: Option[String]): String = o.map(q).getOrElse("null")
+    val rjson = SparkEntry.rowsOnlyContracts
+      .filter { case (k, _) => nameFilter(k) }
+      .map { case (k, c) =>
+        s"${q(k)}: {${q("reason")}: ${q(c.reason)}, " +
+          s"${q("columns")}: ${c.columns.sorted.map(q).mkString("[", ",", "]")}, " +
+          s"${q("test")}: ${q(c.test)}, " +
+          s"${q("twin")}: ${jopt(c.twin)}, " +
+          s"${q("min_rows")}: ${c.minRows}, " +
+          s"${q("exact_rows_sql")}: ${jopt(c.exactRowsSql)}, " +
+          s"${q("max_rows_sql")}: ${jopt(c.maxRowsSql)}}"
+      }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/rows_only_contracts.json"), rjson)
     spark.stop()
   }
 }

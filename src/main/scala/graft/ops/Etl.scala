@@ -821,7 +821,13 @@ object Etl {
     VerifiedQuery("q_etl_features", etlFeatures, Some(etlFeaturesSql)),
     VerifiedQuery("q_weather_csv", weatherCsv, Some(weatherCsvSql)),
     VerifiedQuery("q_parquet_sink", parquetSink, Some(parquetSinkSql)),
-    VerifiedQuery("q_sample_split", sampleSplit, None),
+    VerifiedQuery("q_sample_split", sampleSplit, None,
+      rowsOnly = Some(graft.RowsOnlyContract(
+        reason = "Bernoulli sample() output depends on physical row layout",
+        columns = Seq("split", "n_rows"),
+        test = "EtlOpsSpec seed-stability + disjointness/coverage",
+        twin = Some("q_hash_sample"),
+        exactRowsSql = Some("SELECT 3")))), // sampled/train/test count rows
     VerifiedQuery("q_hash_sample", hashSample, Some(hashSampleSql)),
     VerifiedQuery("q_epoch_shuffle", epochShuffle, Some(epochShuffleSql)),
     VerifiedQuery("q_scd2", scd2, Some(scd2Sql)),

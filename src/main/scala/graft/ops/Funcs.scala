@@ -487,7 +487,15 @@ object Funcs {
     VerifiedQuery("q_nested_struct", nestedStruct, Some(nestedStructSql)),
     VerifiedQuery("q_sql_entry", sqlEntry, Some(sqlEntrySql)),
     VerifiedQuery("q_custom_agg", customAgg, Some(customAggSql)),
-    VerifiedQuery("q_sketch_agg", sketchAgg, None),
+    VerifiedQuery("q_sketch_agg", sketchAgg, None,
+      rowsOnly = Some(graft.RowsOnlyContract(
+        reason = "HLL++/approx_percentile register layouts are engine-specific",
+        columns = Seq("l_returnflag", "approx_parts", "approx_supps",
+          "approx_median"),
+        test = "AnalyticsSpec rank-error bound",
+        twin = Some("q_quantile_sketch"),
+        exactRowsSql =
+          Some("SELECT count(DISTINCT l_returnflag) FROM lineitem")))),
     VerifiedQuery("q_string_funcs", stringFuncs, Some(stringFuncsSql)),
     VerifiedQuery("q_array_funcs", arrayFuncs, Some(arrayFuncsSql)),
     VerifiedQuery("q_json_funcs", jsonFuncs, Some(jsonFuncsSql)),

@@ -1426,6 +1426,89 @@ object LlmData {
       |  (n_shared * 1000000) // LEAST(ta.n_grams, tb.n_grams) AS overlap_ppm
       |FROM s JOIN t ta ON ta.source = s.src_a JOIN t tb ON tb.source = s.src_b""".stripMargin
 
+  /** Slot count for [[sourceOverlapSketch]]'s one-permutation MinHash
+    * signature. Bounded (see COVERAGE.md adaptive-constants audit): state
+    * is O(sources × slots) regardless of corpus size. 128 slots give a
+    * Jaccard standard error of ~sqrt(J(1-J)/128) <= 0.045. */
+  private[ops] val OverlapSketchSlots = 128
+
+  /** Sketch-based scale path for [[sourceOverlap]] (r16 verdict item 2).
+    *
+    * The exact operator is correct and sub-linear in shape but pays two
+    * full-width shuffles over every distinct 8-gram in the corpus — at
+    * 100 TB that is the most expensive aggregation in the registry. This
+    * estimator replaces the gram-level distinct with one-permutation
+    * MinHash (Li, Owen, Zhang, NIPS 2012 — one hash evaluation per gram,
+    * not k): each gram lands in slot `g % 128` and each (source, slot)
+    * keeps the MINIMUM gram hash. `min` is duplicate-insensitive, so no
+    * distinct is needed, the groupBy is map-side combinable, and the
+    * shuffle carries O(partitions × sources × 128) rows — constant in the
+    * corpus. Slot-wise minima of two sources match with probability equal
+    * to the Jaccard similarity of their gram sets, so
+    * `matches / both_filled` estimates J. Empty slots (possible only for
+    * near-empty sources — a source with g grams misses a slot with
+    * probability (127/128)^g) simply don't pair, shrinking `both_filled`
+    * rather than biasing toward a match.
+    *
+    * Deterministic by construction (no seeds — the "permutation" is the
+    * gram hash itself), so the DuckDB oracle reproduces it bit-exactly;
+    * an error-bound test vs the exact query pins estimator quality
+    * (LlmDataSpec). Output grain: one row per source pair sharing at
+    * least one filled slot, with `jaccard_ppm = matches·10⁶ / both_filled`
+    * in integer math. */
+  def sourceOverlapSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sm = $"sm"
+    // ordered pairs i<j out of each slot's per-source minima; the
+    // sequence(1,0)-descends guard pattern from sourceOverlapAgg is
+    // handled by the size>=2 filter (no singleton rows needed here)
+    val pairCol = flatten(transform(sequence(lit(1), size(sm) - 1),
+      i => transform(sequence(i + lit(1), size(sm)),
+        j => struct(
+          element_at(sm, i).getField("src").as("src_a"),
+          element_at(sm, j).getField("src").as("src_b"),
+          when(element_at(sm, i).getField("mn") ===
+            element_at(sm, j).getField("mn"), 1L).otherwise(0L).as("m")))))
+    Tuning.spread(Tables.documents(spark, dir))
+      .select($"source", Text.normalized($"text").as("norm"))
+      .filter(length($"norm") >= 8)
+      .select($"source", explode(Text.kgramHashesNative($"norm", 8)).as("g"))
+      .groupBy($"source", ($"g" % OverlapSketchSlots).as("slot"))
+      .agg(min($"g").as("mn"))
+      .groupBy($"slot")
+      .agg(sort_array(collect_list(struct($"source".as("src"), $"mn"))).as("sm"))
+      .filter(size(sm) >= 2)
+      .select(explode(pairCol).as("p"))
+      .groupBy($"p.src_a".as("src_a"), $"p.src_b".as("src_b"))
+      .agg(count(lit(1)).as("both_filled"), sum($"p.m").as("matches"))
+      .withColumn("jaccard_ppm", expr("matches * 1000000 div both_filled"))
+  }
+
+  private val sourceOverlapSketchSql =
+    s"""WITH n AS (
+      |  SELECT source,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+      |  FROM documents
+      |), g AS (
+      |  SELECT source, unnest(list_transform(range(1, length(norm) - 6),
+      |    i -> list_reduce(
+      |      list_prepend(CAST(7 AS BIGINT),
+      |        list_transform(regexp_extract_all(substring(norm, CAST(i AS INTEGER), 8), '.'),
+      |          c -> CAST(ord(c) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 2147483647))) AS gh
+      |  FROM n WHERE length(norm) >= 8
+      |), s AS (
+      |  SELECT source, gh % ${OverlapSketchSlots} AS slot, MIN(gh) AS mn
+      |  FROM g GROUP BY 1, 2
+      |)
+      |SELECT a.source AS src_a, b.source AS src_b,
+      |  COUNT(*) AS both_filled,
+      |  CAST(SUM(CASE WHEN a.mn = b.mn THEN 1 ELSE 0 END) AS BIGINT) AS matches,
+      |  (CAST(SUM(CASE WHEN a.mn = b.mn THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+      |    // COUNT(*) AS jaccard_ppm
+      |FROM s a JOIN s b ON a.slot = b.slot AND a.source < b.source
+      |GROUP BY 1, 2""".stripMargin
+
   /** Token-diversity quality signal — Gini impurity of each document's
     * token distribution, `1 − Σ(cᵢ/n)²` (all-distinct text scores
     * 1 − 1/n, approaching 1 as the document grows; a single token looped
@@ -1735,5 +1818,7 @@ object LlmData {
     VerifiedQuery("q_dsir_select", (s, d) => dsirSelect(s, d), Some(dsirSelectSql)),
     VerifiedQuery("q_domain_stats", domainStats, Some(domainStatsSql)),
     VerifiedQuery("q_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
+    VerifiedQuery("q_source_overlap_sketch", sourceOverlapSketch,
+      Some(sourceOverlapSketchSql)),
   )
 }

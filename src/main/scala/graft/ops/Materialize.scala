@@ -203,14 +203,23 @@ private[graft] object Materialize {
     // throw out of ensureBucketedTable — it is exactly the degraded
     // on-disk input the reuse check exists to absorb. Return an id no
     // writer can ever produce (-1) so the comparison fails and the
-    // table conservatively REBUILDS.
-    else Some(scala.util.Try {
-      val in = fs.open(p)
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-              finally in.close()
-      if (s.trim.isEmpty) Seq.empty[Int]
-      else s.trim.split(",").toSeq.map(_.toInt)
-    }.getOrElse(Seq(-1)))
+    // table conservatively REBUILDS. Catch ONLY those two families
+    // (ADVICE r16): a blanket Try would also absorb transient faults
+    // (interrupt-wrapped IO, OOM-adjacent errors) and mark a LIVE
+    // published table non-reusable — destroyUnlessReusable could then
+    // delete it out from under concurrent readers. Anything else
+    // propagates to the caller as the infrastructure failure it is.
+    else Some(
+      try {
+        val in = fs.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+        if (s.trim.isEmpty) Seq.empty[Int]
+        else s.trim.split(",").toSeq.map(_.toInt)
+      } catch {
+        case _: java.io.IOException       => Seq(-1)  // incl. ChecksumException
+        case _: NumberFormatException     => Seq(-1)
+      })
   }
 
   /** A published table directory another JVM may reuse: committed
@@ -345,7 +354,14 @@ private[graft] object Materialize {
             entries.filter { st =>
               val n = st.getPath.getName
               n.startsWith(s".$prefix") &&
-                (n.contains(".build.") || n.contains(".trash.")) && {
+                (n.contains(".build.") || n.contains(".trash.")) &&
+                // Short-circuit before the full recursive subtree listing
+                // (ADVICE r16): newestMtimeUnder >= the top dir's own
+                // mtime, so a top dir touched inside the grace window can
+                // never be eligible — skip walking a live concurrent
+                // writer's thousands of in-flight task files while we
+                // hold the global build lock.
+                now - st.getModificationTime > OrphanGraceMs && {
                   val age = now - newestMtimeUnder(fs, st.getPath)
                   age > OrphanGraceMs &&
                     (age > OrphanHardCapMs ||

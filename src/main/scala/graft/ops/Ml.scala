@@ -159,10 +159,36 @@ object Ml {
 
   val all: Seq[VerifiedQuery] = Seq(
     VerifiedQuery("q_string_index", stringIndex, Some(stringIndexSql)),
-    VerifiedQuery("q_rf_congestion", rfCongestion, None),
-    VerifiedQuery("q_rf_delay", rfDelay, None),
-    VerifiedQuery("q_gbt_congestion", gbtCongestion, None),
-    VerifiedQuery("q_model_select", modelSelect, None),
-    VerifiedQuery("q_quality_classifier", qualityClassifier, None),
+    VerifiedQuery("q_rf_congestion", rfCongestion, None,
+      rowsOnly = Some(graft.RowsOnlyContract(
+        reason = "learned floats: RF probabilities depend on MLlib's internal RNG/threading",
+        columns = Seq("kind", "name", "value"),
+        test = "MlPipelineSpec (AUC/accuracy floors) + tools/MlParityReport",
+        exactRowsSql = Some("SELECT 15")))), // 5 evaluator metrics + top-10 importances
+    VerifiedQuery("q_rf_delay", rfDelay, None,
+      rowsOnly = Some(graft.RowsOnlyContract(
+        reason = "learned floats (same RF family, delay label)",
+        columns = Seq("kind", "name", "value"),
+        test = "MlPipelineSpec floors + tools/MlParityReport",
+        exactRowsSql = Some("SELECT 15")))),
+    VerifiedQuery("q_gbt_congestion", gbtCongestion, None,
+      rowsOnly = Some(graft.RowsOnlyContract(
+        reason = "learned floats (boosted ensemble; same features/sample/split/seeds as the RF)",
+        columns = Seq("kind", "name", "value"),
+        test = "MlPipelineSpec (AUC floor, same-held-out-set assert)",
+        exactRowsSql = Some("SELECT 15")))),
+    VerifiedQuery("q_model_select", modelSelect, None,
+      rowsOnly = Some(graft.RowsOnlyContract(
+        reason = "learned floats: TrainValidationSplit fold metrics",
+        columns = Seq("params", "val_auc", "is_best"),
+        test = "ModelSelectionSpec (winner=argmax, grid/metric alignment, fold math)",
+        exactRowsSql = Some("SELECT 2")))), // one row per grid point (ModelSelection.treeGrid)
+    VerifiedQuery("q_quality_classifier", qualityClassifier, None,
+      rowsOnly = Some(graft.RowsOnlyContract(
+        reason = "learned floats: logistic weights over hashed bag-of-words",
+        columns = Seq("kind", "name", "value"),
+        test = "QualityFilterSpec (held-out AUC > 0.8, keep-vs-drop ordering)",
+        // 5 evaluator metrics + n_heldout + one keep-rate row per language
+        exactRowsSql = Some("SELECT 6 + count(DISTINCT lang) FROM documents")))),
   )
 }

@@ -1690,8 +1690,17 @@ object Similarity {
       |  MAX(CASE WHEN same = 1 THEN cos END) - MAX(CASE WHEN same = 0 THEN cos END) AS margin
       |FROM r WHERE rn = 1 GROUP BY qid""".stripMargin
 
+  /** Defaults for [[knnEval]], shared with [[knnEvalSql]] by
+    * interpolation (ADVICE r16): the oracle is generated from the SAME
+    * constants the Scala default parameters use, so the registered pair
+    * cannot silently diverge. A caller overriding nQueries/k gets an
+    * un-oracled frame by definition — only the default panel is
+    * oracle-checked (same contract as bruteForceTopK). */
+  private[ops] val KnnEvalQueries = 64
+  private[ops] val KnnEvalK = 5
+
   def knnEval(spark: SparkSession, dir: String,
-              nQueries: Int = 64, k: Int = 5): DataFrame = {
+              nQueries: Int = KnnEvalQueries, k: Int = KnnEvalK): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
@@ -1718,21 +1727,21 @@ object Similarity {
   }
 
   private val knnEvalSql =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
       |), q AS (
       |  SELECT vec_id AS qid, label AS true_label, emb AS qemb
-      |  FROM e WHERE vec_id < 64
+      |  FROM e WHERE vec_id < $KnnEvalQueries
       |), s AS (
       |  SELECT qid, true_label, e.vec_id, e.label,
       |    list_dot_product(emb, qemb)
       |      / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qemb, qemb))) AS cos
-      |  FROM e, q WHERE e.vec_id >= 64
+      |  FROM e, q WHERE e.vec_id >= $KnnEvalQueries
       |), nn AS (
       |  SELECT * FROM (
       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
       |    FROM s)
-      |  WHERE rnk <= 5
+      |  WHERE rnk <= $KnnEvalK
       |), v AS (
       |  SELECT qid, true_label, label, COUNT(*) AS votes FROM nn GROUP BY 1, 2, 3
       |), w AS (
@@ -1861,7 +1870,13 @@ object Similarity {
     VerifiedQuery("q_dedup_clusters", dedupClusterStats, Some(dedupClusterStatsSql)),
     VerifiedQuery("q_split_leakage", splitLeakage, Some(splitLeakageSql)),
     VerifiedQuery("q_ann_cosine", bruteForceTopKQuery, Some(bruteForceTopKSql)),
-    VerifiedQuery("q_ann_lsh", lshTopKQuery, None),
+    VerifiedQuery("q_ann_lsh", lshTopKQuery, None,
+      rowsOnly = Some(graft.RowsOnlyContract(
+        reason = "MLlib BucketedRandomProjectionLSH's seeded projections",
+        columns = Seq("qid", "vec_id", "dist", "rank"),
+        test = "LlmDataSpec recall@10 >= 0.7 vs exact",
+        twin = Some("q_ann_lsh_det"),
+        exactRowsSql = Some("SELECT 30")))), // 3 queries x k=10
     VerifiedQuery("q_ann_lsh_det", lshDetTopKQuery, Some(lshDetTopKSql)),
     // adaptive bits depend on the corpus count (each width is a distinct
     // hash family), but at verify SF the schedule resolves to AnnBits so
@@ -1887,17 +1902,42 @@ object Similarity {
         "batch schedule nQueries = max(3, n/1000) grows past the gadget's " +
           "3 queries at n = 4000 (and bits widen above 4096); the batch " +
           "tracks the corpus BY DESIGN (COVERAGE.md rows-only table)"))),
-    VerifiedQuery("q_minhash_dedup", minhashDedupQuery, None),
+    VerifiedQuery("q_minhash_dedup", minhashDedupQuery, None,
+      rowsOnly = Some(graft.RowsOnlyContract(
+        reason = "seeded MinHash coefficient family",
+        columns = Seq("doc_id", "source", "n_chars"),
+        test = "LlmDataSpec planted-dup + chain-collapse",
+        twin = Some("q_minhash_det_dedup"),
+        maxRowsSql = Some("SELECT count(*) FROM documents")))), // survivors
     VerifiedQuery("q_minhash_det_dedup", minhashDetDedupQuery, Some(minhashDetDedupSql)),
     VerifiedQuery("q_minhash_det_transitive", minhashDetTransitiveQuery, Some(minhashDetTransitiveSql)),
     VerifiedQuery("q_minhash_det_transitive_dist", minhashDetTransitiveDistQuery, Some(minhashDetTransitiveSql)),
     VerifiedQuery("q_neardup_survivor", neardupSurvivor, Some(neardupSurvivorSql)),
-    VerifiedQuery("q_simhash_dedup", simhashDedupQuery, None),
+    VerifiedQuery("q_simhash_dedup", simhashDedupQuery, None,
+      rowsOnly = Some(graft.RowsOnlyContract(
+        reason = "seeded hash family",
+        columns = Seq("doc_id", "source", "n_chars"),
+        test = "LlmDataSpec planted-dup + property tests",
+        twin = Some("q_simhash_det_dedup"),
+        maxRowsSql = Some("SELECT count(*) FROM documents")))),
     VerifiedQuery("q_simhash_det_dedup", simhashDetDedupQuery, Some(simhashDetDedupSql)),
     VerifiedQuery("q_cosine_neardup", cosineNearDupQuery, Some(cosineNearDupSql)),
     VerifiedQuery("q_cosine_neardup_transitive", cosineNearDupTransitiveQuery, Some(cosineNearDupTransitiveSql)),
-    VerifiedQuery("q_cosine_neardup_kmeans", cosineNearDupKMeansQuery, None),
-    VerifiedQuery("q_ann_ivf", ivfTopKQuery, None),
+    VerifiedQuery("q_cosine_neardup_kmeans", cosineNearDupKMeansQuery, None,
+      rowsOnly = Some(graft.RowsOnlyContract(
+        reason = "seeded KMeans quantizer blocks",
+        columns = Seq("vec_a", "vec_b", "cos"),
+        test = "LlmDataSpec recall >= 0.9 vs exact pairs on clustered fixture",
+        twin = Some("q_cosine_neardup"),
+        maxRowsSql = Some(
+          "SELECT count(*) * (count(*) - 1) / 2 FROM embeddings")))),
+    VerifiedQuery("q_ann_ivf", ivfTopKQuery, None,
+      rowsOnly = Some(graft.RowsOnlyContract(
+        reason = "seeded KMeans cell assignment",
+        columns = Seq("qid", "vec_id", "cos", "rank"),
+        test = "LlmDataSpec recall >= 0.9 + exact-rerank-within-probed-cells",
+        twin = Some("q_ann_cosine"),
+        exactRowsSql = Some("SELECT 30")))),
     VerifiedQuery("q_ann_rerank", rerankTopKQuery, Some(rerankTopKSql)),
     VerifiedQuery("q_quantize_emb", quantizeEmbeddingsQuery, Some(quantizeEmbeddingsSql)),
     VerifiedQuery("q_rand_proj", randomProjectionQuery, Some(randomProjectionSql)),

@@ -96,7 +96,14 @@ object StreamSessionize {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start())
-    spark.read.parquet(outDir.getAbsolutePath).drop("batch_id")
+    // Zero committed batches (empty/absent input) leaves outDir never
+    // recreated after the rm above — the memory sink this replaced
+    // returned an empty typed table there, so preserve that contract
+    // instead of surfacing PATH_NOT_FOUND (ADVICE r16).
+    if (!outDir.exists())
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        stream.schema)
+    else spark.read.parquet(outDir.getAbsolutePath).drop("batch_id")
   }
 
   /** Scratch root for the AvailableNow fixtures (input files + stream

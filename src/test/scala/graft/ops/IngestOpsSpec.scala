@@ -337,6 +337,52 @@ class IngestOpsSpec extends SparkSpec {
     }
   }
 
+  test("sourceOverlapSketch: Jaccard estimate within MinHash error bound of exact, at sf0.1") {
+    // r16 verdict item 2: the estimator's accuracy contract vs the exact
+    // gram-distinct operator, at the driver's own bench SF. 128 slots give
+    // a standard error <= 0.045, so 0.15 is a >3-sigma bound per pair.
+    val big = "/root/testdata/sf0.1"
+    val exact = LlmData.sourceOverlap(spark, big)
+      .select($"src_a", $"src_b", $"n_shared", $"n_a", $"n_b")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) ->
+        (r._3.toDouble / (r._4 + r._5 - r._3).toDouble)).toMap
+    val est = LlmData.sourceOverlapSketch(spark, big)
+      .select($"src_a", $"src_b", $"both_filled", $"matches", $"jaccard_ppm")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(est.nonEmpty)
+    val estMap = est.map(r => (r._1, r._2) -> r._4.toDouble / r._3.toDouble).toMap
+    // every exactly-overlapping pair must be estimated, and inside the bound
+    exact.foreach { case (pair, j) =>
+      val e = estMap.getOrElse(pair, 0.0)
+      assert(math.abs(e - j) <= 0.15, s"$pair est=$e exact=$j")
+    }
+    est.foreach { case (a, b, filled, m, ppm) =>
+      assert(filled > 0 && filled <= LlmData.OverlapSketchSlots && m <= filled)
+      assert(ppm == m * 1000000L / filled, s"($a,$b)")
+    }
+  }
+
+  test("sourceOverlapSketch: republished content scores high, disjoint sources low") {
+    val dir = tmpDir()
+    val shared = (1 to 30).map(i => s"token$i").mkString(" ")
+    Seq(
+      (1L, "srcA", shared),
+      (2L, "srcB", shared + " tiny tail"),
+      (3L, "srcC", "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii hh gg"))
+      .toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = LlmData.sourceOverlapSketch(spark, dir)
+      .select($"src_a", $"src_b", $"jaccard_ppm")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(rows(("srcA", "srcB")) > 700000, rows) // near-identical gram sets
+    rows.get(("srcA", "srcC")).foreach(p => assert(p < 200000, rows))
+    rows.get(("srcB", "srcC")).foreach(p => assert(p < 200000, rows))
+  }
+
   test("winsorize: bounds ordered, clip fractions ~5%, clipped sum inside bounds") {
     val rows = Funcs.winsorize(spark, sf)
       .select($"l_returnflag", $"lo_c", $"hi_c", $"n_rows",

@@ -35,9 +35,69 @@ def load(path):
             "iter_load_avg": json.loads(load_avg.group(1)) if load_avg else None}
 
 
+def classify(old, new, old_path, new_path):
+    """Machine verdict for a close-vs-close comparison (r16 verdict item 3).
+
+    The r16 session burned judge+builder time re-litigating a 26% headline
+    swing that per-query analysis refuted as host drift. This encodes that
+    analysis: on RAW (un-normalized) seconds over shared queries —
+
+      DRIFT  — calib ratio > ~1.2x AND the mover set is uniformly
+               inflated (median per-query ratio tracks the total ratio;
+               no concentration). Host epoch, not code; no A/B needed.
+      CODE   — the delta is concentrated (top-5 absolute movers explain
+               > half of the total absolute delta). Settle with the
+               interleaved same-box A/B (tools/jitter_ab.sh) before
+               attributing.
+      NEUTRAL— shared-query totals within 3%. Nothing to attribute.
+      AMBIGUOUS — anything else (e.g. uniform inflation WITHOUT a calib
+               shift, or mixed shape); run the A/B.
+    """
+    oq, nq = old["queries"], new["queries"]
+    both = set(oq) & set(nq)
+    tot_o = sum(oq[k] for k in both)
+    tot_n = sum(nq[k] for k in both)
+    if tot_o <= 0 or not both:
+        return "AMBIGUOUS", "no shared timed queries"
+    total_ratio = tot_n / tot_o
+    if abs(total_ratio - 1) < 0.03:
+        return "NEUTRAL", (f"shared-query totals within 3% "
+                           f"({tot_o:.1f} -> {tot_n:.1f} s)")
+    oc, nc = old.get("calib_sec", -1), new.get("calib_sec", -1)
+    op, np_ = old.get("calib_protocol", 1), new.get("calib_protocol", 1)
+    calib_ratio = (nc / oc) if (oc and nc and oc > 0 and nc > 0
+                                and op == np_) else None
+    # movers: queries big enough to carry signal on at least one side
+    movers = [(k, nq[k] / oq[k], nq[k] - oq[k])
+              for k in both if max(oq[k], nq[k]) >= 1.0 and oq[k] > 0]
+    if not movers:
+        return "AMBIGUOUS", "no query >= 1 s to attribute the delta to"
+    ratios = sorted(r for _, r, _ in movers)
+    med_ratio = ratios[len(ratios) // 2]
+    abs_total = sum(abs(d) for _, _, d in movers)
+    top5 = sorted(movers, key=lambda m: -abs(m[2]))[:5]
+    top5_share = (sum(abs(d) for _, _, d in top5) / abs_total
+                  if abs_total > 0 else 0.0)
+    uniform = abs(med_ratio - total_ratio) <= 0.1 * total_ratio
+    concentrated = top5_share > 0.5
+    detail = (f"total {total_ratio:.2f}x, median mover ratio "
+              f"{med_ratio:.2f}x, top-5 movers "
+              f"{', '.join(k for k, _, _ in top5)} explain "
+              f"{100 * top5_share:.0f}% of the absolute delta"
+              + (f", calib {calib_ratio:.2f}x" if calib_ratio
+                 else ", calib not comparable"))
+    if concentrated:
+        return "CODE", detail + " — settle with tools/jitter_ab.sh before attributing"
+    if calib_ratio and max(calib_ratio, 1 / calib_ratio) > 1.2 and uniform:
+        return "DRIFT", detail + " — host epoch, not code; no A/B needed"
+    return "AMBIGUOUS", detail + " — run the interleaved A/B"
+
+
 def main(old_path, new_path, min_sec=1.0):
     old, new = load(old_path), load(new_path)
     oq, nq = old["queries"], new["queries"]
+    v, why = classify(old, new, old_path, new_path)
+    print(f"VERDICT: {v} — {why}")
     # Host-epoch normalization (r12): if both records carry the fixed
     # calibration probe, report deltas on calib-normalized seconds — the
     # r12 A/B showed the box's absolute speed drifts ~1.25x across days
