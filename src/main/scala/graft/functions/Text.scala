@@ -66,8 +66,16 @@ object Text {
   }
 
   /** Canonical text normalization: lowercase, strip non-alphanumerics,
-    * collapse whitespace. */
-  def normalized(c: Column): Column =
+    * collapse whitespace — on the native one-pass fast path
+    * ([[graft.plans.Normalize]]; bit-identical to [[normalizedPortable]],
+    * NativeExprPropertySpec fuzzes the equivalence). Requires
+    * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+  def normalized(c: Column): Column = call_function("graft_normalize", c)
+
+  /** The portable composed form of [[normalized]] (what the DuckDB oracles
+    * mirror): four passes — lowercase, two regex replaces, trim. Kept as
+    * the native expression's reference twin. */
+  def normalizedPortable(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
 
   /** Document fingerprint = md5 of the normalized text: case/punctuation/
@@ -229,4 +237,21 @@ object Text {
       val b = 7L + j * 104729L
       array_min(transform(shingles, h => (h * a + b) % RollPrime))
     }: _*)
+
+  /** Fused native minhash signature straight from the normalized string —
+    * bit-identical to
+    * `minhashSignatures(array_distinct(kgramHashesNative(c, k)), numHashes)`
+    * (the distinct cannot change any minimum; NativeExprPropertySpec
+    * fuzzes the equivalence) in ONE sliding-window pass with no
+    * intermediate arrays ([[graft.plans.MinhashSig]]). Requires
+    * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+  def minhashSigNative(c: Column, k: Int = 8, numHashes: Int = 12): Column =
+    call_function("graft_minhash_sig", c, lit(k), lit(numHashes))
+
+  /** Fused native `[n_grams, n_distinct]` k-gram counts — bit-identical to
+    * `[size(g), size(array_distinct(g))]` over `g = kgramHashesNative(c, k)`
+    * without materializing either array ([[graft.plans.KgramStats]]).
+    * Requires `spark.sql.extensions=graft.plans.GraftExtensions`. */
+  def kgramStatsNative(c: Column, k: Int): Column =
+    call_function("graft_kgram_stats", c, lit(k))
 }

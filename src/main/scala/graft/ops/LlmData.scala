@@ -417,13 +417,17 @@ object LlmData {
   def repetition(spark: SparkSession, dir: String,
                  minRatio: Double = 0.12): DataFrame = {
     import spark.implicits._
+    // fused native [n_grams, n_distinct] (r17): the filter only needs the
+    // two counts — no gram array or distinct copy is materialized per row
+    // (bit-identical to size/size(array_distinct) over kgramHashesNative;
+    // NativeExprPropertySpec pins it)
     Tuning.spread(Tables.documents(spark, dir))
       .select($"doc_id", Text.normalized($"text").as("norm"))
       .filter(length($"norm") >= 8)
-      .select($"doc_id", Text.kgramHashesNative($"norm", 8).as("grams"))
+      .select($"doc_id", Text.kgramStatsNative($"norm", 8).as("gs"))
       .select($"doc_id",
-        size($"grams").cast("long").as("n_grams"),
-        size(array_distinct($"grams")).cast("long").as("n_distinct"))
+        element_at($"gs", 1).as("n_grams"),
+        element_at($"gs", 2).as("n_distinct"))
       .withColumn("rep_ratio", lit(1.0) - $"n_distinct" * lit(1.0) / $"n_grams")
       .filter($"rep_ratio" >= minRatio)
   }
@@ -1392,8 +1396,16 @@ object LlmData {
     Tuning.spread(Tables.documents(spark, dir))
       .select($"source", Text.normalized($"text").as("norm"))
       .filter(length($"norm") >= 8)
-      .select($"source", explode(Text.kgramHashesNative($"norm", 8)).as("g"))
-      .distinct()
+      // distinct per doc BEFORE the explode (array_distinct is a per-row
+      // scalar) — and NO frame-level .distinct(): collect_set dedupes
+      // sources per gram by definition and its partial (map-side)
+      // aggregation dedupes within each task, so the old explicit
+      // distinct only added a full-width (source, gram) Exchange ahead of
+      // the collect_set Exchange — 2 corpus-gram shuffles where 1 does
+      // the identical job (r17; guide §2.4 — remove shuffles outright).
+      // The singleton (src, NULL) totals count DISTINCT grams per source
+      // either way, because each gram row contributes each source once.
+      .select($"source", explode(array_distinct(Text.kgramHashesNative($"norm", 8))).as("g"))
       .groupBy($"g").agg(sort_array(collect_set($"source")).as("ss"))
       .select(explode(concat(
         when(size(ss) >= 2, pairCol).otherwise(emptyPairs), singleCol)).as("p"))

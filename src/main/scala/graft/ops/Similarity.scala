@@ -314,9 +314,14 @@ object Similarity {
       // computed shingle alias would push below the projection and
       // re-evaluate the whole k-gram pipeline per row
       .filter(length(col("norm")) >= 8)
-      // native O(len) sliding-window hashes (bit-identical to the HOF form)
-      .select(col("doc_id"), array_distinct(Text.kgramHashesNative(col("norm"), 8)).as("shingles"))
-      .select(col("doc_id"), Text.minhashSignatures(col("shingles"), numHashes).as("sig"))
+      // fused native signature (r17): one sliding-window pass computing the
+      // 12 running minima directly — bit-identical to the previous
+      // array_distinct(kgramHashesNative) → minhashSignatures composition
+      // (distinct can't change a minimum), but with no shingle/distinct/
+      // transform array materialized per row (NativeExprPropertySpec pins
+      // the equivalence; the DuckDB oracle CTEs still mirror the composed
+      // form)
+      .select(col("doc_id"), Text.minhashSigNative(col("norm"), 8, numHashes).as("sig"))
 
   /** Candidate near-dup pairs from the deterministic minhash, banded LSH:
     * signatures split into numHashes/bandWidth bands; documents sharing any
@@ -1828,13 +1833,20 @@ object Similarity {
   def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = graft.Tuning.spread(Tables.documents(spark, dir))
-    val splits = docs.select($"doc_id",
-      when(Etl.hashBucket($"doc_id") < 80, lit("train"))
-        .otherwise(lit("test")).as("split"))
+    // r17: the split assignment is a PURE function of doc_id
+    // ([[Etl.hashBucket]] — deterministic affine math), so the edge list
+    // can compute both endpoints' splits directly instead of joining a
+    // corpus-sized (doc_id, split) projection onto the candidates twice.
+    // Same rows by construction (the joins were total: every candidate
+    // endpoint is a document); drops two shuffle joins and a second
+    // corpus scan from the plan — candidates are now the only shuffle.
+    // The oracle SQL still spells the joins; the hash gate pins equality.
+    def splitOf(id: org.apache.spark.sql.Column) =
+      when(Etl.hashBucket(id) < 80, lit("train")).otherwise(lit("test"))
     val (cand, release) = minhashDetCandidatesWithRelease(docs)
     val leaks = cand
-      .join(splits.select($"doc_id".as("doc_a"), $"split".as("split_a")), "doc_a")
-      .join(splits.select($"doc_id".as("doc_b"), $"split".as("split_b")), "doc_b")
+      .withColumn("split_a", splitOf($"doc_a"))
+      .withColumn("split_b", splitOf($"doc_b"))
       .filter($"split_a" =!= $"split_b")
       .select(
         when($"split_a" === "test", $"doc_a").otherwise($"doc_b").as("test_doc"),

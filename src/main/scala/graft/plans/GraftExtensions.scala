@@ -117,6 +117,51 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SignBucketKey(asDouble(exprs.head), planes, bits, pairs)
       }))
     extensions.injectFunction((
+      new FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[Normalize].getName, "graft_normalize"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1) {
+          throw new AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_normalize`",
+              "expectedNum" -> "1",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        }
+        Normalize(exprs.head)
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "graft_minhash_sig"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 3) {
+          throw new AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_minhash_sig`",
+              "expectedNum" -> "3",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        }
+        MinhashSig(exprs.head, exprs(1), exprs(2))
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("graft_kgram_stats"),
+      new ExpressionInfo(classOf[KgramStats].getName, "graft_kgram_stats"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) {
+          throw new AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_kgram_stats`",
+              "expectedNum" -> "2",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        }
+        KgramStats(exprs.head, exprs(1))
+      }))
+    extensions.injectFunction((
       new FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[Simhash64].getName, "graft_simhash64"),
       (exprs: Seq[Expression]) => {

@@ -186,6 +186,13 @@ class PlanShapeSpec extends SparkSpec {
     val scans = "Scan parquet".r.findAllIn(plan).size
     assert(scans == 1, s"expected 1 documents scan, got $scans:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    // r17: exactly TWO gram-level (hash) shuffles — collect_set's (keyed
+    // on g, map-side set partials dedupe) and the final pair agg's. The
+    // old frame-level .distinct() added a third, full-width (source,
+    // gram) Exchange that collect_set made redundant. Tuning.spread's
+    // round-robin scan repartition is not a keyed shuffle — excluded.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <= 2 hash exchanges (no redundant distinct), got $exchanges:\n$plan")
   }
 
   test("domainStats: blocklist is broadcast; the corpus side never shuffles for the join") {

@@ -115,6 +115,53 @@ class NativeExprPropertySpec extends SparkSpec {
     }
   }
 
+  test("fuzz: graft_normalize == composed lower/regex/trim over 1200 unicode strings") {
+    val strs = samples(strGen, 1200, 61L)
+    val df = viaParquet(strs.toDF("s"))
+    val rows = df.select($"s",
+      Text.normalizedPortable($"s").as("composed"),
+      Text.normalized($"s").as("native"))
+      .as[(String, String, String)].collect()
+    assert(rows.length == 1200)
+    rows.foreach { case (s, c, n) =>
+      assert(c == n, s"normalize diverges on ${s.take(40).map(ch => f"\\u${ch.toInt}%04x").mkString}: " +
+        s"composed=${c.take(60)} native=${n.take(60)}")
+    }
+  }
+
+  test("fuzz: graft_minhash_sig == composed distinct-shingle minhash over unicode strings × k ∈ {1,3,8}") {
+    for ((k, seed) <- Seq(1 -> 71L, 3 -> 72L, 8 -> 73L)) {
+      val strs = samples(strGen, 300, seed)
+      val df = viaParquet(strs.toDF("s"))
+      val rows = df.select($"s",
+        Text.minhashSignatures(array_distinct(Text.kgramHashes($"s", k)), 12).as("composed"),
+        Text.minhashSigNative($"s", k, 12).as("native"))
+        .as[(String, Seq[Option[Long]], Seq[Option[Long]])].collect()
+      assert(rows.length == 300)
+      rows.foreach { case (s, c, n) =>
+        assert(c == n, s"minhash_sig k=$k diverges on ${s.take(40).map(ch => f"\\u${ch.toInt}%04x").mkString}: " +
+          s"composed=${c.take(4)}... native=${n.take(4)}...")
+      }
+    }
+  }
+
+  test("fuzz: graft_kgram_stats == composed size/array_distinct counts over unicode strings × k ∈ {1,8}") {
+    for ((k, seed) <- Seq(1 -> 81L, 8 -> 82L)) {
+      val strs = samples(strGen, 300, seed)
+      val df = viaParquet(strs.toDF("s"))
+      val rows = df.select($"s",
+        size(Text.kgramHashes($"s", k)).cast("long").as("cg"),
+        size(array_distinct(Text.kgramHashes($"s", k))).cast("long").as("cd"),
+        Text.kgramStatsNative($"s", k).as("native"))
+        .as[(String, Long, Long, Seq[Long])].collect()
+      assert(rows.length == 300)
+      rows.foreach { case (s, cg, cd, n) =>
+        assert(Seq(cg, cd) == n, s"kgram_stats k=$k diverges on " +
+          s"${s.take(40).map(ch => f"\\u${ch.toInt}%04x").mkString}: composed=[$cg,$cd] native=$n")
+      }
+    }
+  }
+
   // ---------------------------------------------------------------- doubles
 
   private val specialD: Gen[Double] = Gen.oneOf(
