@@ -478,6 +478,12 @@ object LlmData {
   def decontaminate(spark: SparkSession, dir: String,
                     benchmarkIds: Long = 20, minFrac: Double = 0.85): DataFrame = {
     import spark.implicits._
+    // minFrac > 0 is load-bearing for the inner-join restructure below: a
+    // doc with ZERO shared grams has share_frac 0 and can never clear the
+    // threshold, so dropping its gram rows at the join (instead of
+    // carrying them through a LEFT join to aggregate nulls) cannot change
+    // the result. At minFrac <= 0 the two shapes would differ.
+    require(minFrac > 0, s"decontaminate requires minFrac > 0, got $minFrac")
     def grams(df: DataFrame): DataFrame = df
       .select($"doc_id", Text.normalized($"text").as("norm"))
       .filter(length($"norm") >= 8)
@@ -485,16 +491,25 @@ object LlmData {
     val docs = Tables.documents(spark, dir)
     val bench = grams(docs.filter($"doc_id" < benchmarkIds))
       .select($"doc_id".as("bench_id"), $"g")
-    val corpus = grams(Tuning.spread(docs.filter($"doc_id" >= benchmarkIds)))
-    // Left join keeps every corpus gram (bench_id null when unmatched), so
-    // one aggregation sees totals and matches at once. Grams are distinct
-    // per doc before the join; the join can only fan a gram out across the
-    // bench docs that contain it, so count_distinct(g) is the true total.
-    corpus.join(broadcast(bench), Seq("g"), "left")
-      .groupBy($"doc_id")
+    // r17 restructure (guide §2.3 — shuffle fewer bytes): the per-doc gram
+    // TOTAL is just the size of the per-row distinct gram array, so compute
+    // it as a scalar BEFORE the explode and carry it through the grouping
+    // key instead of a third count_distinct. That (a) turns the old
+    // 3-projection Expand (one per distinct aggregate) into 2 and (b) lets
+    // the join go INNER — on a real corpus the benchmark-matched fraction
+    // is near zero, so the aggregation's input shrinks from every corpus
+    // gram to the matched grams only. Grams are distinct per doc before
+    // the join, so count_distinct(g) == the old left-join total and the
+    // matched-side counts are unchanged; the oracle hash pins equality.
+    val corpus = Tuning.spread(docs.filter($"doc_id" >= benchmarkIds))
+      .select($"doc_id", Text.normalized($"text").as("norm"))
+      .filter(length($"norm") >= 8)
+      .select($"doc_id", array_distinct(Text.kgramHashesNative($"norm", 8)).as("gs"))
+      .select($"doc_id", size($"gs").cast("long").as("n_grams"), explode($"gs").as("g"))
+    corpus.join(broadcast(bench), Seq("g"))
+      .groupBy($"doc_id", $"n_grams")
       .agg(
-        count_distinct($"g").as("n_grams"),
-        count_distinct(when($"bench_id".isNotNull, $"g")).as("n_shared_grams"),
+        count_distinct($"g").as("n_shared_grams"),
         count_distinct($"bench_id").as("n_bench_docs"))
       .withColumn("share_frac", $"n_shared_grams" * lit(1.0) / $"n_grams")
       .filter($"share_frac" >= minFrac)
