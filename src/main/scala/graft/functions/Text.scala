@@ -132,6 +132,13 @@ object Text {
     * stay correlated (measured: an HLL keyed on rolling hashes
     * under-estimated by 40–80%). */
   def md5Long(c: Column): Column =
+    call_function("graft_md5_long", c.cast("binary"))
+
+  /** The portable composed form of [[md5Long]] (what the DuckDB oracles
+    * mirror): md5 → 32-char hex string → substring → conv parse. Kept as
+    * the native expression's reference twin (NativeExprPropertySpec pins
+    * bit-equality). */
+  def md5LongPortable(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
   private val RollPrime = 2147483647L // 2^31 - 1

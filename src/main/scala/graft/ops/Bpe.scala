@@ -48,6 +48,24 @@ object Bpe {
   private def syms(w: Column): Column =
     filter(split(w, "\\|\\|"), x => length(x) > 0)
 
+  /** Double-delimited symbol form of a word (`abc` → `|a||b||c|`). */
+  private def delimited(word: Column): Column =
+    concat(lit("|"), regexp_replace(word, "(.)", "|$1|"), lit("|"))
+
+  /** Per-(source, word) occurrence histogram of the documents corpus —
+    * ONE scan; vocabulary AND the per-source encode audits both derive
+    * from it (r17: the encode queries used to re-scan documents and push
+    * the corpus-sized word stream through a shuffle join; every audit
+    * quantity is an occ-weighted sum over this vocab×sources-sized
+    * frame). */
+  private[ops] def sourceWordHist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"source", explode(Text.tokens(Text.normalized($"text"))).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"source", $"word").agg(count(lit(1)).as("occ"))
+  }
+
   /** Word-frequency table of the documents corpus: (word, w =
     * double-delimited symbol form, cnt). */
   def vocabulary(spark: SparkSession, dir: String): DataFrame = {
@@ -56,9 +74,7 @@ object Bpe {
       .select(explode(Text.tokens(Text.normalized($"text"))).as("word"))
       .filter(length($"word") > 0)
       .groupBy($"word").agg(count(lit(1)).as("cnt"))
-      .select($"word",
-        concat(lit("|"), regexp_replace($"word", "(.)", "|$1|"), lit("|")).as("w"),
-        $"cnt")
+      .select($"word", delimited($"word").as("w"), $"cnt")
   }
 
   /** Adjacent (lhs, rhs) symbol pairs of a symbol array (empty below 2
@@ -133,24 +149,31 @@ object Bpe {
     * the vocabulary is dimension-sized) + one hash agg per source. */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val vocab = vocabulary(spark, dir).cache()
+    // ONE corpus scan (r17; was 2): the (source, word) histogram feeds both
+    // the vocabulary (sum over sources) and the per-source audit (occ-
+    // weighted sums) — and the audit join is now vocab-sized on BOTH sides
+    // instead of streaming every corpus word occurrence through the
+    // exchange (plans/r17/q_bpe_encode_{before,after}.txt).
+    val srcHist = sourceWordHist(spark, dir).cache()
+    val vocab = srcHist.groupBy($"word").agg(sum($"occ").as("cnt"))
+      .select($"word", delimited($"word").as("w"), $"cnt")
+      .cache()
     val (_, rewritten) = learn(vocab, Rounds)
     val tokPerWord = rewritten
       .select($"word", length($"word").cast("long").as("n_chars"),
         size(syms($"w")).cast("long").as("n_tokens"))
-    val out = Tables.documents(spark, dir)
-      .select($"source", explode(Text.tokens(Text.normalized($"text"))).as("word"))
-      .filter(length($"word") > 0)
+    val out = srcHist
       .join(tokPerWord, Seq("word"))
       .groupBy($"source")
-      .agg(count(lit(1)).as("n_words"),
-        sum($"n_chars").as("n_chars"),
-        sum($"n_tokens").as("n_tokens"))
+      .agg(sum($"occ").as("n_words"),
+        sum($"n_chars" * $"occ").as("n_chars"),
+        sum($"n_tokens" * $"occ").as("n_tokens"))
       .select($"source", $"n_words", $"n_chars", $"n_tokens",
         expr("(n_tokens * 1000000) div n_words").as("fertility_micro"),
         expr("(n_chars * 1000000) div n_tokens").as("compression_micro"))
-    out.cache().count() // materialize before releasing the vocab cache
+    out.cache().count() // materialize before releasing the upstream caches
     vocab.unpersist()
+    srcHist.unpersist()
     out
   }
 
@@ -263,10 +286,11 @@ object Bpe {
     * columns as `q_bpe_encode` for a direct BPE-vs-WordPiece readout. */
   def wordpiece(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val words = Tables.documents(spark, dir)
-      .select(explode(Text.tokens(Text.normalized($"text"))).as("word"))
-      .filter(length($"word") > 0)
-      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+    // ONE corpus scan (r17; was 2) — same histogram derivation as
+    // [[bpeEncode]]: words = per-source histogram summed over sources,
+    // audit = occ-weighted sums over the vocab-sized join.
+    val srcHist = sourceWordHist(spark, dir).cache()
+    val words = srcHist.groupBy($"word").agg(sum($"occ").as("cnt"))
       .cache()
     val top = words
       .select($"cnt", explode(expr(
@@ -292,24 +316,23 @@ object Bpe {
            |    ELSE named_struct('p', acc.p + 1, 'n', acc.n + CAST(1 AS BIGINT)) END),
            |  acc -> acc.n)""".stripMargin))
       .select($"word", length($"word").cast("long").as("n_chars"), $"n_tokens")
-    val out = Tables.documents(spark, dir)
-      .select($"source", explode(Text.tokens(Text.normalized($"text"))).as("word"))
-      .filter(length($"word") > 0)
+    val out = srcHist
       .join(tokPerWord, Seq("word"))
       .groupBy($"source")
-      .agg(count(lit(1)).as("n_words"),
-        sum($"n_chars").as("n_chars"),
-        sum($"n_tokens").as("n_tokens"))
+      .agg(sum($"occ").as("n_words"),
+        sum($"n_chars" * $"occ").as("n_chars"),
+        sum($"n_tokens" * $"occ").as("n_tokens"))
       .select($"source", $"n_words", $"n_chars", $"n_tokens",
         expr("(n_tokens * 1000000) div n_words").as("fertility_micro"),
         expr("(n_chars * 1000000) div n_tokens").as("compression_micro"))
-    // Materialize the result-sized frame while `words` is still cached,
-    // then release the corpus-sized cache; the tiny cached `out` (source
-    // rows) deliberately stays for the caller's action — unpersisting it
-    // here would make the caller recompute the whole pipeline WITHOUT the
-    // word cache (same pattern and rationale as [[bpeEncode]]).
+    // Materialize the result-sized frame while the histograms are still
+    // cached, then release them; the tiny cached `out` (source rows)
+    // deliberately stays for the caller's action — unpersisting it here
+    // would make the caller recompute the whole pipeline WITHOUT the
+    // caches (same pattern and rationale as [[bpeEncode]]).
     out.cache().count()
     words.unpersist()
+    srcHist.unpersist()
     out
   }
 

@@ -277,7 +277,15 @@ object Funcs {
     import spark.implicits._
     val c = Tables.lineitem(spark, dir)
       .select($"l_returnflag", round($"l_extendedprice" * 100).cast("long").as("price_c"))
-    val counts = c.groupBy($"l_returnflag", $"price_c").agg(count(lit(1)).as("cnt"))
+    // ONE corpus scan (r17): the clip/sum pass used to re-scan lineitem and
+    // join every ROW against the bounds; every output quantity is a
+    // cnt-weighted aggregate over the distinct-value histogram the bounds
+    // already needed, so compute the histogram once (cached — it is the
+    // frame both consumers read; histogram-sized, the same order of state
+    // the cumulative window below already holds) and derive both from it.
+    val hist = c.groupBy($"l_returnflag", $"price_c").agg(count(lit(1)).as("cnt"))
+      .cache()
+    val counts = hist
       .withColumn("cum", sum($"cnt").over(Window.partitionBy($"l_returnflag")
         .orderBy($"price_c").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("n", sum($"cnt").over(Window.partitionBy($"l_returnflag")))
@@ -295,13 +303,13 @@ object Funcs {
           ($"v05h" - $"v05l")).cast("long").as("lo_c"),
         floor($"v95l" + (($"n" - 1) * 0.95 - floor(($"n" - 1) * 0.95)) *
           ($"v95h" - $"v95l")).cast("long").as("hi_c"))
-    c.join(broadcast(bounds), Seq("l_returnflag"))
+    hist.join(broadcast(bounds), Seq("l_returnflag"))
       .withColumn("clipped_c", greatest(least($"price_c", $"hi_c"), $"lo_c"))
       .groupBy($"l_returnflag", $"lo_c", $"hi_c")
-      .agg(count(lit(1)).as("n_rows"),
-        sum(when($"price_c" < $"lo_c", 1L).otherwise(0L)).as("n_clip_lo"),
-        sum(when($"price_c" > $"hi_c", 1L).otherwise(0L)).as("n_clip_hi"),
-        (sum($"clipped_c") / lit(100.0)).as("sum_clipped"))
+      .agg(sum($"cnt").as("n_rows"),
+        sum(when($"price_c" < $"lo_c", $"cnt").otherwise(0L)).as("n_clip_lo"),
+        sum(when($"price_c" > $"hi_c", $"cnt").otherwise(0L)).as("n_clip_hi"),
+        (sum($"clipped_c" * $"cnt") / lit(100.0)).as("sum_clipped"))
   }
 
   private val winsorizeSql =

@@ -480,10 +480,15 @@ object Graph {
     var dist = seeds.select(col("node"), lit(0).as("dist")).cache()
     cached += dist
     for (d <- 1 to k) {
+      // No `.distinct()` on the frontier expansion (r17): the union-fold's
+      // `groupBy(node).min(dist)` already dedupes, and its partial (map-side)
+      // aggregation collapses duplicate dst rows before the exchange — the
+      // explicit distinct was a SECOND full exchange of the same rows per
+      // round (plans/r17/q_khop_bfs_{before,after}.txt: 3 exchanges saved
+      // over k=3; identical rows by construction, oracle hash unchanged).
       val next = edges.join(dist.filter(col("dist") === d - 1),
           edges("src") === col("node"))
         .select(edges("dst").as("node"), lit(d).as("dist"))
-        .distinct()
       val folded = dist.unionByName(next)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .cache()

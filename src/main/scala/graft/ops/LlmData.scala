@@ -1269,13 +1269,16 @@ object LlmData {
       .select($"doc_id", $"lang",
         explode(Text.tokensLower($"text")).as("term"))
       .withColumn("bucket", pmod(Text.md5Long($"term"), lit(buckets.toLong)))
-    val tCounts = toks.filter($"lang" === targetLang)
-      .groupBy($"bucket").agg(count(lit(1)).as("cnt_t"))
-    val rCounts = toks.filter($"lang" =!= targetLang)
-      .groupBy($"bucket").agg(count(lit(1)).as("cnt_r"))
+    // ONE histogram pass (r17; was two corpus scans — target and raw each
+    // re-exploded the corpus — glued back by a full-outer join + fill):
+    // both per-bucket counts are conditional sums of the same scan, and
+    // the B-row frame needs no join at all. Identical cells: a bucket
+    // appears exactly when either side hit it, with the other side 0.
     val wAll = Window.partitionBy() // B-row dim only — never data-sized
-    val weights = tCounts.join(rCounts, Seq("bucket"), "full_outer")
-      .na.fill(0L, Seq("cnt_t", "cnt_r"))
+    val weights = toks
+      .groupBy($"bucket").agg(
+        sum(when($"lang" === targetLang, 1L).otherwise(0L)).as("cnt_t"),
+        sum(when($"lang" =!= targetLang, 1L).otherwise(0L)).as("cnt_r"))
       .withColumn("tot_t", sum($"cnt_t").over(wAll))
       .withColumn("tot_r", sum($"cnt_r").over(wAll))
       .select($"bucket", expr(

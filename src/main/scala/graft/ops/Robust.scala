@@ -28,10 +28,13 @@ object Robust {
   private def valueAt(v: Column, cum: Column, cnt: Column, k: Column): Column =
     max(when(cum - cnt <= k && k < cum, v))
 
-  /** Per-group doubled median of an integer column: (group, med2, n) via
-    * one distinct-value histogram + cumulative window. */
-  private def doubledMedian(df: DataFrame, g: String, v: String): DataFrame = {
-    val counts = df.groupBy(col(g), col(v)).agg(count(lit(1)).as("cnt"))
+  /** Per-group doubled median from a pre-counted (group, value, cnt)
+    * histogram: (group, med2, n) via cumulative window over the DISTINCT
+    * values. r17: split out of [[doubledMedian]] so callers that already
+    * hold the histogram (madOutliers' one-scan shape) can reuse it
+    * without re-counting. */
+  private def doubledMedianFromHist(hist: DataFrame, g: String, v: String): DataFrame = {
+    val counts = hist
       .withColumn("cum", sum(col("cnt")).over(
         Window.partitionBy(col(g)).orderBy(col(v))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -41,6 +44,12 @@ object Robust {
       (valueAt(col(v), col("cum"), col("cnt"), expr("(n-1) div 2")) +
         valueAt(col(v), col("cum"), col("cnt"), expr("n div 2"))).as("med2"))
   }
+
+  /** Per-group doubled median of an integer column: (group, med2, n) via
+    * one distinct-value histogram + cumulative window. */
+  private def doubledMedian(df: DataFrame, g: String, v: String): DataFrame =
+    doubledMedianFromHist(
+      df.groupBy(col(g), col(v)).agg(count(lit(1)).as("cnt")), g, v)
 
   /** MAD outlier audit over order totals per order status: per group the
     * doubled median, quadrupled MAD, and the count/sum of rows beyond
@@ -54,20 +63,26 @@ object Robust {
     import spark.implicits._
     val c = Tables.orders(spark, dir).select($"o_orderstatus".as("g"),
       round($"o_totalprice" * 100).cast("long").as("v"))
-    // the O(groups) stats frames are cached: each is consumed 2×, and
-    // without the cache every consumer would re-run the full upstream
-    // histogram (measured: 8 parquet scans of orders instead of 3 — one
-    // per histogram pass plus one for the outlier agg)
-    val med = doubledMedian(c, "g", "v").select($"g", $"med2").cache()
-    val dev = c.join(broadcast(med), Seq("g"))
-      .select($"g", $"v", $"med2", abs(lit(2) * $"v" - $"med2").as("dev2"))
-    val mad = doubledMedian(dev.select($"g", $"dev2"), "g", "dev2")
+    // ONE corpus scan (r17; was 3 — value histogram, deviation histogram,
+    // outlier agg each re-read orders). Every downstream quantity is a
+    // cnt-weighted aggregate over the distinct-value histogram: the
+    // deviation histogram is the value histogram mapped through
+    // |2v − med2| and re-summed (two values can collide on one deviation),
+    // and the outlier tallies weight each distinct value by its count.
+    // The cached frames are histogram-sized (the state the cumulative
+    // windows already hold), never row-sized.
+    val hist = c.groupBy($"g", $"v").agg(count(lit(1)).as("cnt")).cache()
+    val med = doubledMedianFromHist(hist, "g", "v").select($"g", $"med2").cache()
+    val devHist = hist.join(broadcast(med), Seq("g"))
+      .select($"g", $"v", $"cnt", $"med2", abs(lit(2) * $"v" - $"med2").as("dev2"))
+    val mad = doubledMedianFromHist(
+      devHist.groupBy($"g", $"dev2").agg(sum($"cnt").as("cnt")), "g", "dev2")
       .select($"g", $"med2".as("mad4")).cache()
-    dev.join(broadcast(mad), Seq("g"))
+    devHist.join(broadcast(mad), Seq("g"))
       .groupBy($"g", $"med2", $"mad4") // med2/mad4 functionally depend on g
-      .agg(count(lit(1)).as("n"),
-        sum(when(lit(2) * $"dev2" > lit(3) * $"mad4", 1L).otherwise(0L)).as("n_outliers"),
-        sum(when(lit(2) * $"dev2" > lit(3) * $"mad4", $"v").otherwise(0L)).as("outlier_sum_c"))
+      .agg(sum($"cnt").as("n"),
+        sum(when(lit(2) * $"dev2" > lit(3) * $"mad4", $"cnt").otherwise(0L)).as("n_outliers"),
+        sum(when(lit(2) * $"dev2" > lit(3) * $"mad4", $"v" * $"cnt").otherwise(0L)).as("outlier_sum_c"))
       .select($"g", $"n", $"med2", $"mad4", $"n_outliers", $"outlier_sum_c")
   }
 
@@ -117,7 +132,11 @@ object Robust {
     import spark.implicits._
     val c = Tables.customer(spark, dir).select($"c_mktsegment".as("seg"),
       round($"c_acctbal" * 100).cast("long").as("bal_c"))
-    val counts = c.groupBy($"seg", $"bal_c").agg(count(lit(1)).as("cnt"))
+    // ONE corpus scan (r17): bucket assignment and the per-bucket stats are
+    // cnt-weighted aggregates over the same distinct-value histogram the
+    // bounds need — cache it and derive both (the winsorize pattern).
+    val hist = c.groupBy($"seg", $"bal_c").agg(count(lit(1)).as("cnt")).cache()
+    val counts = hist
       .withColumn("cum", sum($"cnt").over(Window.partitionBy($"seg")
         .orderBy($"bal_c").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("n", sum($"cnt").over(Window.partitionBy($"seg")))
@@ -138,14 +157,14 @@ object Robust {
       interp(0.25, $"v25l", $"v25h", "q1_c"),
       interp(0.50, $"v50l", $"v50h", "q2_c"),
       interp(0.75, $"v75l", $"v75h", "q3_c"))
-    c.join(broadcast(bounds), Seq("seg"))
+    hist.join(broadcast(bounds), Seq("seg"))
       .withColumn("bucket",
         (lit(1) + when($"bal_c" > $"q1_c", 1).otherwise(0)
           + when($"bal_c" > $"q2_c", 1).otherwise(0)
           + when($"bal_c" > $"q3_c", 1).otherwise(0)))
       .groupBy($"seg", $"bucket")
-      .agg(count(lit(1)).as("n"), min($"bal_c").as("min_c"),
-        max($"bal_c").as("max_c"), sum($"bal_c").as("sum_c"))
+      .agg(sum($"cnt").as("n"), min($"bal_c").as("min_c"),
+        max($"bal_c").as("max_c"), sum($"bal_c" * $"cnt").as("sum_c"))
   }
 
   private val quantileBucketSql =

@@ -38,14 +38,16 @@ import graft.{Tables, VerifiedQuery}
   */
 object Sketches {
 
-  /** The hex digest, computed ONCE per row — chunk extraction then costs
-    * a substring, not a fresh md5 per sketch row. */
-  private def digest(c: Column): Column = md5(c.cast("binary"))
+  /** The four 28-bit digest chunks as one array, computed in ONE native
+    * pass per row ([[graft.plans.Md5Chunks]] — r17; the prior hex-string
+    * digest + per-chunk substring/conv parse paid string allocation and
+    * hex parsing four times per row on the sketch builds). */
+  private def digest(c: Column): Column =
+    call_function("graft_md5_chunks", c.cast("binary"))
 
   /** 28-bit integer from digest chunk j (hex chars 1+7j … 7+7j of the
     * md5; j < 4 — disjoint chunks of the 32-hex digest). */
-  private def chunk(d: Column, j: Int): Column =
-    conv(substring(d, 1 + 7 * j, 7), 16, 10).cast("long")
+  private def chunk(d: Column, j: Int): Column = element_at(d, j + 1)
 
   private def chunkSql(expr: String, j: Int): String =
     s"('0x' || substr(md5($expr), ${1 + 7 * j}, 7))::BIGINT"
@@ -459,12 +461,24 @@ object Sketches {
       $"n_zero_a", $"n_zero_b", $"n_zero_union",
       (lit(HllEstNumerator) / $"reg_sum_a" + lit(HllEstNumerator) / $"reg_sum_b"
         - lit(HllEstNumerator) / $"reg_sum_union").as("est_intersect"))
-    val segKeys = Tables.orders(spark, dir)
-      .select($"o_orderpriority".as("seg"), $"o_custkey").distinct()
-    val exact = segKeys.as("x").join(segKeys.as("y"),
-        $"x.o_custkey" === $"y.o_custkey" && $"x.seg" < $"y.seg")
-      .groupBy($"x.seg".as("seg_a"), $"y.seg".as("seg_b"))
-      .agg(countDistinct($"x.o_custkey").as("n_exact_intersect"))
+    // Exact audit without the self-join (r17): the old form materialized
+    // the distinct (seg, custkey) frame and shuffle-joined it against
+    // itself on custkey — two key-level exchanges plus a join sort. The
+    // pair count per (seg_a, seg_b) is just "customers whose segment SET
+    // contains both", so aggregate each customer's segment set in ONE
+    // keyed exchange (collect_set partials combine map-side) and explode
+    // the sorted set's ordered pairs — per-customer scalar work bounded by
+    // |segments|² = 25 cells. Identical rows: each qualifying customer
+    // contributes exactly one (a, b) pair either way.
+    val segSets = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sort_array(collect_set($"o_orderpriority")).as("segs"))
+    val exact = segSets
+      .select(explode(flatten(transform($"segs", (a, i) =>
+        transform(slice($"segs", i + lit(2), size($"segs")), b =>
+          struct(a.as("seg_a"), b.as("seg_b")))))).as("p"))
+      .groupBy($"p.seg_a".as("seg_a"), $"p.seg_b".as("seg_b"))
+      .agg(count(lit(1)).as("n_exact_intersect"))
     est.join(exact, Seq("seg_a", "seg_b"), "left")
       .select($"seg_a", $"seg_b", $"reg_sum_a", $"reg_sum_b", $"reg_sum_union",
         $"n_zero_a", $"n_zero_b", $"n_zero_union",
@@ -775,10 +789,19 @@ object Sketches {
     val vals = Tables.lineitem(spark, dir)
       .select($"l_returnflag".as("scope"),
         round($"l_extendedprice" * 100).cast("long").as("v"))
+    // ONE corpus scan (r17; was 2 — the sketch and the exact audit each
+    // re-scanned lineitem). This REGISTERED query always carries the exact
+    // distinct-value histogram as its verification audit, so the sketch's
+    // bucket cells are derivable from it for free: bucket count = sum of
+    // the value counts mapping into the bucket. The cached frame is the
+    // histogram both sides read; the production sketch path (no audit)
+    // remains the direct per-row bucket aggregation documented above — the
+    // derivation only short-circuits work the audit already paid for.
+    val histF = vals.groupBy($"scope", $"v").agg(count(lit(1)).as("cnt")).cache()
     // per-scope partial sketches, then the exact bucket-wise-sum merge
-    val partial = vals
+    val partial = histF
       .withColumn("b", expr(s"v - v % ${bucketWidth("v")}"))
-      .groupBy($"scope", $"b").agg(count(lit(1)).as("cnt"))
+      .groupBy($"scope", $"b").agg(sum($"cnt").as("cnt"))
     val merged = partial.groupBy($"b").agg(sum($"cnt").as("cnt"))
       .select(lit("ALL").as("scope"), $"b", $"cnt")
     val sketch = partial.select($"scope", $"b", $"cnt").unionByName(merged)
@@ -797,8 +820,8 @@ object Sketches {
       .agg(max($"n").as("n"), max($"rank").as("rank"),
         min(when($"cum" >= $"rank", $"b")).as("est_lo"))
       .withColumn("est_hi", expr(s"est_lo + ${bucketWidth("est_lo")} - 1"))
-    // exact audit: distinct-value count histogram (values shuffle, not rows)
-    val histF = vals.groupBy($"scope", $"v").agg(count(lit(1)).as("cnt"))
+    // exact audit: the same distinct-value count histogram (values
+    // shuffle, not rows), read from the cache
     val histA = histF.groupBy($"v").agg(sum($"cnt").as("cnt"))
       .select(lit("ALL").as("scope"), $"v", $"cnt")
     val hcumW = Window.partitionBy($"scope").orderBy($"v")

@@ -162,6 +162,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KgramStats(exprs.head, exprs(1))
       }))
     extensions.injectFunction((
+      new FunctionIdentifier("graft_md5_long"),
+      new ExpressionInfo(classOf[Md5Long].getName, "graft_md5_long"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1) {
+          throw new AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_md5_long`",
+              "expectedNum" -> "1",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        }
+        Md5Long(exprs.head)
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("graft_md5_chunks"),
+      new ExpressionInfo(classOf[Md5Chunks].getName, "graft_md5_chunks"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1) {
+          throw new AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_md5_chunks`",
+              "expectedNum" -> "1",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        }
+        Md5Chunks(exprs.head)
+      }))
+    extensions.injectFunction((
       new FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[Simhash64].getName, "graft_simhash64"),
       (exprs: Seq[Expression]) => {

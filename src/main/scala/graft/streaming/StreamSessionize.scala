@@ -153,14 +153,32 @@ object StreamSessionize {
     * repeated verify calls) streams from the same files. Checkpoints are
     * NOT memoized — each run gets a fresh one via [[freshRun]].
     *
-    * NOTE for readers: the builders below write the fixture with
-    * `coalesce(1)` so the whole corpus (sentinel included) lands in ONE
-    * file → ONE deterministic micro-batch → the watermark advances once,
-    * after all real events are in state. That is a TEST-HARNESS device —
-    * do NOT copy the single-file funnel into a production ingest; a real
-    * pipeline writes many files and relies on per-source watermark
-    * tracking across batches, not on file-arrival order. */
+    * NOTE for readers: every query here relies on the whole corpus
+    * (sentinel included) landing in ONE micro-batch, so the watermark
+    * advances once, after all real events are in state. Through r16 that
+    * was pinned with a `coalesce(1)` single-file write — which made
+    * fixture creation a SINGLE-THREADED scan+write of the corpus,
+    * charged to whichever stream query built the fixture first (~9 s at
+    * sf0.1, ~90 s at sf10 — half of it survived the sf10 epoch's
+    * 2-iteration median: q_stream_hopping read 51 s vs its ~10 s steady
+    * state). r17 writes the fixture with normal parallelism instead
+    * ([[fixtureWrite]]): a file-source stream with NO `maxFilesPerTrigger`
+    * has read limit `allAvailable`, so `Trigger.AvailableNow` still
+    * processes every file in ONE batch regardless of file count —
+    * StreamSessionizeSpec pins exactly-one-data-batch over a multi-file
+    * fixture, and every query's output is single-batch order-independent
+    * (aggregates; per-user sort in sessionize; bit-identical dup copies
+    * in dedup). This remains a TEST-HARNESS device — a real pipeline
+    * relies on per-source watermark tracking across batches, not on
+    * one-batch delivery. */
   private val builtInputs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Parallel fixture write (see the one-batch NOTE above): spread the
+    * corpus over the session's full parallelism instead of funneling it
+    * through one task. The repartition is harness-side fixture I/O, never
+    * part of the measured operator's production shape. */
+  private def fixtureWrite(df: DataFrame): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism).write
   private def inputOnce(key: String, fixtureRoot: String, dir: String)
                        (build: String => Unit): String =
     builtInputs.getOrElseUpdate(s"$fixtureRoot|$key|$dir", {
@@ -271,7 +289,7 @@ object StreamSessionize {
       val sentinelTs = new Timestamp(maxTs.getTime + (gapSeconds + 3600) * 1000)
       val sentinel = Seq((-1L, -1L, sentinelTs, "sentinel", 0.0))
         .toDF("event_id", "user_id", "ts", "event_type", "value")
-      ev.unionByName(sentinel).coalesce(1).write.parquet(in)
+      fixtureWrite(ev.unionByName(sentinel)).parquet(in)
     }
 
     val stream = spark.readStream.schema(ev.schema).parquet(inDir)
@@ -319,7 +337,7 @@ object StreamSessionize {
       val sentinelTs = new Timestamp(maxTs.getTime + (windowSeconds + 3600) * 1000L)
       val sentinel = Seq((-1L, -1L, sentinelTs, "sentinel", 0.0))
         .toDF("event_id", "user_id", "ts", "event_type", "value")
-      ev.unionByName(sentinel).coalesce(1).write.parquet(in)
+      fixtureWrite(ev.unionByName(sentinel)).parquet(in)
     }
 
     val stream = spark.readStream.schema(ev.schema).parquet(inDir)
@@ -364,7 +382,7 @@ object StreamSessionize {
       val sentinelTs = new Timestamp(maxTs.getTime + (windowSeconds + 3600) * 1000L)
       val sentinel = Seq((-1L, -1L, sentinelTs, "sentinel", 0.0))
         .toDF("event_id", "user_id", "ts", "event_type", "value")
-      ev.unionByName(sentinel).coalesce(1).write.parquet(in)
+      fixtureWrite(ev.unionByName(sentinel)).parquet(in)
     }
 
     val stream = spark.readStream.schema(ev.schema).parquet(inDir)
@@ -408,8 +426,8 @@ object StreamSessionize {
         $"event_type", $"value")
     val inDir = inputOnce("stream_dedup", fixtureRoot, dir) { in =>
       // at-least-once delivery: the full corpus arrives twice
-      ev.coalesce(1).write.parquet(in)
-      ev.coalesce(1).write.mode("append").parquet(in)
+      fixtureWrite(ev).parquet(in)
+      fixtureWrite(ev).mode("append").parquet(in)
     }
 
     val stream = spark.readStream.schema(ev.schema).parquet(inDir)
@@ -457,7 +475,7 @@ object StreamSessionize {
       .select($"event_id", $"user_id", date_trunc("second", $"ts").as("ts"),
         $"event_type", $"value")
     val inDir = inputOnce("stream_join", fixtureRoot, dir) { in =>
-      ev.coalesce(1).write.parquet(in)
+      fixtureWrite(ev).parquet(in)
     }
 
     val src = spark.readStream.schema(ev.schema).parquet(inDir)
@@ -512,7 +530,7 @@ object StreamSessionize {
         (-1L, -1L, sentinelTs, "click", 0.0),
         (-2L, -2L, sentinelTs, "purchase", 0.0))
         .toDF("event_id", "user_id", "ts", "event_type", "value")
-      ev.unionByName(sentinels).coalesce(1).write.parquet(in)
+      fixtureWrite(ev.unionByName(sentinels)).parquet(in)
     }
 
     val src = spark.readStream.schema(ev.schema).parquet(inDir)
@@ -557,7 +575,7 @@ object StreamSessionize {
     val ev = graft.Tables.events(spark, dir)
       .select($"event_id", $"user_id", $"event_type", $"value")
     val inDir = inputOnce("stream_enrich", fixtureRoot, dir) { in =>
-      ev.coalesce(1).write.parquet(in)
+      fixtureWrite(ev).parquet(in)
     }
 
     val src = spark.readStream.schema(ev.schema).parquet(inDir)

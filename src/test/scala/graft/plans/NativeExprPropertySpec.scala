@@ -162,6 +162,36 @@ class NativeExprPropertySpec extends SparkSpec {
     }
   }
 
+  test("fuzz: graft_md5_long == composed conv/substring/md5 over 1200 unicode strings") {
+    val strs = samples(strGen, 1200, 91L)
+    val df = viaParquet(strs.toDF("s"))
+    val rows = df.select($"s",
+      Text.md5LongPortable($"s").as("composed"),
+      Text.md5Long($"s").as("native"))
+      .as[(String, Long, Long)].collect()
+    assert(rows.length == 1200)
+    rows.foreach { case (s, c, n) =>
+      assert(c == n, s"md5_long diverges on ${s.take(40).map(ch => f"\\u${ch.toInt}%04x").mkString}: " +
+        s"composed=$c native=$n")
+    }
+  }
+
+  test("fuzz: graft_md5_chunks == composed per-chunk conv/substring/md5 over 1200 unicode strings") {
+    val strs = samples(strGen, 1200, 92L)
+    val df = viaParquet(strs.toDF("s"))
+    val composed = (0 until 4).map(j =>
+      conv(substring(md5($"s".cast("binary")), 1 + 7 * j, 7), 16, 10).cast("long"))
+    val rows = df.select($"s",
+      array(composed: _*).as("composed"),
+      call_function("graft_md5_chunks", $"s".cast("binary")).as("native"))
+      .as[(String, Seq[Long], Seq[Long])].collect()
+    assert(rows.length == 1200)
+    rows.foreach { case (s, c, n) =>
+      assert(c == n, s"md5_chunks diverges on ${s.take(40).map(ch => f"\\u${ch.toInt}%04x").mkString}: " +
+        s"composed=$c native=$n")
+    }
+  }
+
   // ---------------------------------------------------------------- doubles
 
   private val specialD: Gen[Double] = Gen.oneOf(

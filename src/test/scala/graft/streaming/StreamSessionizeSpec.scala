@@ -232,4 +232,39 @@ class StreamSessionizeSpec extends SparkSpec {
     assert(out.get(t(0)).contains(2L), s"first window wrong: $out")   // events at 0,5
     assert(out.get(t(10)).contains(1L), s"second window wrong: $out") // event at 12
   }
+
+  test("multi-file AvailableNow fixture is consumed in exactly ONE data micro-batch") {
+    // r17: the registered stream fixtures are written with normal
+    // parallelism (many files) instead of coalesce(1). Their correctness
+    // rests on a file-source stream with NO maxFilesPerTrigger having
+    // read limit `allAvailable`, so Trigger.AvailableNow takes every file
+    // in one batch and the 0-second watermark only advances AFTER all
+    // real events are in state. Pin that invariant directly: were the
+    // files ever split across data batches, events behind the first
+    // batch's watermark would be dropped and the q_stream_* oracles would
+    // diverge — this test names the mechanism, not just the symptom.
+    val dir = "target/test-tmp/stream_multifile_src"
+    val batch = Seq(ev(1, 1, 0), ev(2, 1, 5), ev(3, 2, 12), ev(4, 9, 100),
+      ev(5, 9, 101), ev(6, 3, 7), ev(7, 3, 55), ev(8, 4, 99)).toDF()
+    batch.repartition(8).write.mode("overwrite").parquet(dir)
+    val nFiles = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles > 1, s"fixture should span multiple files, got $nFiles")
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val query = windowedCounts(stream, "10 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("multifile_wcounts")
+      .outputMode("append")
+      .option("checkpointLocation", "target/test-tmp/stream_multifile_ckpt_" +
+        java.util.UUID.randomUUID().toString.take(8))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val dataBatches = query.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches == 1,
+      s"expected exactly 1 data micro-batch over a $nFiles-file fixture, got $dataBatches " +
+        "— the no-maxFilesPerTrigger ⇒ allAvailable read-limit assumption no longer holds")
+    // and the single batch saw every row
+    val totalRows = query.recentProgress.map(_.numInputRows).sum
+    assert(totalRows == 8L, s"expected all 8 rows in one batch, got $totalRows")
+  }
 }
